@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The engine surface is assembled from [[QueryPack]]s, one per operator
+  * family; each pack contributes (name, query fn, optional DuckDB oracle)
+  * triples. Packs must keep query names globally unique.
+  */
 object SparkEntry {
+
+  /** All operator families the engine declares. */
+  val packs: Seq[QueryPack] = Seq(
+    CoreOps)
+
+  private lazy val all: Seq[QueryDef] = {
+    val ds = packs.flatMap(_.defs)
+    require(ds.map(_.name).distinct.size == ds.size,
+      s"duplicate query names: ${ds.groupBy(_.name).filter(_._2.size > 1).keys}")
+    ds
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreOps.flagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops (driver
+    * then records a weaker rows-only check). */
+  def oracleSql: Map[String, String] =
+    all.collect { case QueryDef(n, _, Some(sql), _) => n -> sql }.toMap
 }

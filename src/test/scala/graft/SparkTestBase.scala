@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared test session: one lazy session per suite (spark_guide.md),
+  * UTC + small shuffle partitions for local determinism and speed. */
+trait SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  val sf: String = "/root/testdata/sf0.001"
+
+  def q(name: String) = SparkEntry.queries(name)(spark, sf)
+}
