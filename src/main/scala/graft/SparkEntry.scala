@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All operator families the engine declares. */
   val packs: Seq[QueryPack] = Seq(
-    CoreOps)
+    CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)

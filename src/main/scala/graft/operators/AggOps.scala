@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation family (SURVEY §2.2 ext tier) — generalizes the reference's
+  * two avg strategies (O8 pushed-down, O9 client-side; utils/load.py:13-35)
+  * into the full grouped-aggregation surface.
+  *
+  * Scale posture: all of these are partial-agg → exchange-on-group-key →
+  * final-agg; map-side combine bounds shuffle volume by group cardinality,
+  * not input rows. Distinct-heavy ops use approx_count_distinct at scale
+  * (exact countDistinct declared too, as a correctness op).
+  */
+object AggOps extends QueryPack {
+
+  private def dec(cn: String) = col(cn).cast("decimal(18,2)")
+
+  // --------------------------------------------- TPC-H Q1-style group-by
+  private val aggGroupBy = QueryDef(
+    "q_agg_groupby",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1998-09-02"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("decimal(38,4)").as("sum_disc_price"),
+          count("*").as("count_order"),
+          round(sum(dec("l_quantity")) / count("*"), 6)
+            .cast("decimal(38,6)").as("avg_qty"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      count(*) AS count_order,
+      CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) / count(*), 6) AS DECIMAL(38,6)) AS avg_qty
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    "TPC-H Q1-style multi-aggregate group-by with decimal-exact arithmetic")
+
+  // ------------------------------------------------- exact distinct ops
+  private val aggDistinct = QueryDef(
+    "q_agg_distinct",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_orderkey").as("n_orders"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count("*").as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      count(DISTINCT l_orderkey) AS n_orders,
+      count(DISTINCT l_suppkey) AS n_supps,
+      count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    "Exact multi-column countDistinct (expand + two-phase agg)")
+
+  // ------------------------------------------ dropDuplicates as a query
+  private val aggDropDup = QueryDef(
+    "q_agg_dropdup",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderstatus")
+        .dropDuplicates("o_custkey", "o_orderstatus")
+        .orderBy($"o_custkey", $"o_orderstatus")
+    },
+    Some("""SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+      ORDER BY o_custkey, o_orderstatus"""),
+    "dropDuplicates = shuffle-on-key distinct")
+
+  // ------------------------------------------------------ HLL approx
+  // No DuckDB oracle (algorithm-specific); spec checks the estimate
+  // against the exact count within HLL's published error bound.
+  private val aggHll = QueryDef(
+    "q_agg_hll",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          approx_count_distinct($"user_id", 0.02).as("approx_users"),
+          count("*").as("n_events"))
+        .orderBy($"event_type")
+    },
+    None,
+    "HyperLogLog++ distinct: constant memory per group at any scale")
+
+  // -------------------------------------------------- rollup + grouping
+  private val rollupCube = QueryDef(
+    "q_rollup_cube",
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count("*").as("n_cust"),
+          sum(dec("c_acctbal")).cast("decimal(38,2)").as("sum_bal"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce($"r_name", lit("ALL")).as("region"),
+          coalesce($"n_name", lit("ALL")).as("nation"),
+          $"n_cust", $"sum_bal", $"gid")
+        .orderBy($"gid", $"region", $"nation")
+    },
+    Some("""SELECT coalesce(r_name, 'ALL') AS region,
+      coalesce(n_name, 'ALL') AS nation,
+      count(*) AS n_cust,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal,
+      CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY gid, region, nation"""),
+    "Grouping sets via rollup + grouping_id over the dim hierarchy")
+
+  override def defs: Seq[QueryDef] =
+    Seq(aggGroupBy, aggDistinct, aggDropDup, aggHll, rollupCube)
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join family (SURVEY §2.2 ext tier). The reference's only join-shaped
+  * computation is the window-grain combine (O12, utils/load.py:37-42);
+  * these generalize it to the full relational join surface.
+  *
+  * Scale posture: small dims (customer, part, dates) are explicitly
+  * broadcast — zero shuffle on the fact side. Big-big joins use the
+  * `merge` hint so the plan is a sort-merge join on the shuffled key even
+  * when a test-scale side would fit in a broadcast; at 100 TB both sides
+  * shuffle-partition on the join key and AQE handles skew.
+  */
+object JoinOps extends QueryPack {
+
+  private def dec(cn: String) = col(cn).cast("decimal(18,2)")
+
+  // ------------------------------------------------ broadcast hash join
+  private val joinBroadcast = QueryDef(
+    "q_join_broadcast",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count("*").as("n_orders"),
+          sum(dec("o_totalprice")).cast("decimal(38,2)").as("revenue"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    "Fact ⋈ broadcast dim: no shuffle of the orders side")
+
+  // ------------------------------------------------- big-big sort-merge
+  private val joinSmj = QueryDef(
+    "q_join_smj",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).hint("merge")
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count("*").as("n_items"),
+          sum(dec("l_extendedprice")).cast("decimal(38,2)").as("sum_price"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    "Big-big equi join, forced sort-merge (both sides shuffle on key)")
+
+  // ---------------------------------------------------- semi / anti join
+  private val joinSemiAnti = QueryDef(
+    "q_join_semi_anti",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val semi = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", lit("has_orders").as("tag"))
+      val anti = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", lit("no_orders").as("tag"))
+      semi.unionAll(anti).orderBy($"c_custkey", $"tag")
+    },
+    Some("""SELECT c_custkey, 'has_orders' AS tag FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      UNION ALL
+      SELECT c_custkey, 'no_orders' AS tag FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      ORDER BY c_custkey, tag"""),
+    "EXISTS / NOT EXISTS as left_semi / left_anti")
+
+  // ------------------------------------------------------- as-of join
+  // For each order, the most recent lineitem ship DATE <= the order date.
+  // The date domain is small and bounded (~2.5k distinct days regardless of
+  // fact rows), so instead of a non-equi join (BNL at scale) we broadcast
+  // the sorted distinct-date array and probe it per row with codegen'd
+  // higher-order array functions — O(rows × |dates|) map-side work, zero
+  // shuffle, survives a 1000-executor fan-out unchanged.
+  private val joinRangeAsof = QueryDef(
+    "q_join_range_asof",
+    (s, d) => {
+      import s.implicits._
+      val shipDates = Tables.lineitem(s, d)
+        .select($"l_shipdate".cast("date").as("sd")).distinct()
+        .agg(sort_array(collect_list($"sd")).as("dates"))
+      Tables.orders(s, d)
+        .join(broadcast(shipDates))
+        .select(
+          $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+          date_format(
+            array_max(filter($"dates", x => x <= $"o_orderdate".cast("date"))),
+            "yyyy-MM-dd").as("asof_ship_date"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      (SELECT strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE)) AS asof_ship_date
+      FROM orders ORDER BY o_orderkey"""),
+    "As-of join via broadcast sorted date-domain probe (no non-equi shuffle)")
+
+  override def defs: Seq[QueryDef] =
+    Seq(joinBroadcast, joinSmj, joinSemiAnti, joinRangeAsof)
+}

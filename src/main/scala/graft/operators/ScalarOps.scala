@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar function batteries: string / date / JSON / array (SURVEY §2.2
+  * ext tier). All codegen'd built-ins — each query is a single narrow
+  * map stage over the scan, no shuffle except the final presentation sort.
+  */
+object ScalarOps extends QueryPack {
+
+  // ------------------------------------------------------- strings
+  private val scalarString = QueryDef(
+    "q_scalar_string",
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .select(
+          $"p_partkey",
+          lower($"p_name").as("name_lc"),
+          substring($"p_type", 1, 4).as("type_prefix"),
+          regexp_extract($"p_brand", "(\\d+)", 1).as("brand_num"),
+          concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+          length($"p_name").as("name_len"),
+          replace($"p_name", lit(" "), lit("_")).as("name_snake"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+      lower(p_name) AS name_lc,
+      substring(p_type, 1, 4) AS type_prefix,
+      regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+      concat_ws('|', p_brand, p_type) AS brand_type,
+      CAST(length(p_name) AS INT) AS name_len,
+      replace(p_name, ' ', '_') AS name_snake
+      FROM part ORDER BY p_partkey"""),
+    "String battery: lower/substring/regexp_extract/concat_ws/length/replace")
+
+  // ---------------------------------------------------------- dates
+  private val scalarDate = QueryDef(
+    "q_scalar_datemath",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"),
+          dayofmonth($"o_orderdate").as("dom"),
+          unix_timestamp(date_trunc("month", $"o_orderdate")).as("month_start"),
+          datediff(lit("1999-01-01").cast("date"), $"o_orderdate".cast("date"))
+            .as("days_to_1999"),
+          date_format(date_add($"o_orderdate".cast("date"), 30), "yyyy-MM-dd")
+            .as("plus_30d"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      CAST(year(o_orderdate) AS INT) AS yr,
+      CAST(month(o_orderdate) AS INT) AS mo,
+      CAST(day(o_orderdate) AS INT) AS dom,
+      CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start,
+      CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT) AS days_to_1999,
+      strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d
+      FROM orders ORDER BY o_orderkey"""),
+    "Date battery: year/month/day, date_trunc, datediff, date arithmetic")
+
+  // ----------------------------------------------------------- JSON
+  private val scalarJson = QueryDef(
+    "q_scalar_json",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k_val"))
+        .filter($"k_val".isNotNull)
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+      ORDER BY event_id"""),
+    "JSON path extraction from the events.props payload (reference O3 analog)")
+
+  // ---------------------------------------------------------- arrays
+  // Float elements are widened to double (exact) then cast to DECIMAL(18,9)
+  // BEFORE any arithmetic so both engines sum exactly — a direct float to
+  // decimal cast diverges (Spark goes via the float's short string repr,
+  // DuckDB via the exact double expansion).
+  private val arrayMap = QueryDef(
+    "q_array_map",
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select(
+          $"vec_id",
+          size($"embedding").as("dim"),
+          element_at($"embedding", 1).cast("double").cast("decimal(18,9)").as("e1"),
+          element_at($"embedding", 64).cast("double").cast("decimal(18,9)").as("e64"),
+          aggregate(
+            transform($"embedding", x => x.cast("double").cast("decimal(18,9)")),
+            lit(0).cast("decimal(28,9)"),
+            // accumulator stays at p=28: (28,9)+(18,9) promotes to (29,9)
+            // losslessly; at p=38 Spark would demote the scale to 8 and
+            // round every fold step. aggregate() needs merge type == zero
+            // type, hence the explicit down-cast (exact while |sum| < 1e19).
+            (acc, x) => (acc + x).cast("decimal(28,9)"))
+            .cast("decimal(38,9)").as("sum_e"))
+        .orderBy($"vec_id")
+    },
+    Some("""SELECT vec_id,
+      CAST(len(embedding) AS INT) AS dim,
+      CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9)) AS e1,
+      CAST(CAST(embedding[64] AS DOUBLE) AS DECIMAL(18,9)) AS e64,
+      CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))) AS DECIMAL(38,9)) AS sum_e
+      FROM embeddings ORDER BY vec_id"""),
+    "Array battery: size/element_at/transform/aggregate over embeddings")
+
+  override def defs: Seq[QueryDef] =
+    Seq(scalarString, scalarDate, scalarJson, arrayMap)
+}

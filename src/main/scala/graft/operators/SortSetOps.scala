@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Sort/limit/top-k and set operations (SURVEY §2.2 ext tier).
+  *
+  * Scale posture: `orderBy(...).limit(k)` is planned as
+  * TakeOrderedAndProject — each partition keeps a k-heap, the driver merges
+  * k × partitions rows; no global sort ever materializes. Set ops are
+  * shuffle-on-full-row distincts; at scale prefer keyed forms (here the
+  * input is already projected to keys).
+  */
+object SortSetOps extends QueryPack {
+
+  // ------------------------------------------------------- top-k
+  private val sortTopK = QueryDef(
+    "q_sort_limit_topk",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey",
+          $"o_totalprice".cast("decimal(18,2)").cast("decimal(38,2)").as("price"))
+        .orderBy($"price".desc, $"o_orderkey")
+        .limit(100)
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      CAST(o_totalprice AS DECIMAL(38,2)) AS price
+      FROM orders ORDER BY price DESC, o_orderkey LIMIT 100"""),
+    "Top-k via TakeOrderedAndProject (per-partition heaps, no global sort)")
+
+  // ------------------------------------------------------ set ops
+  // Key sets: customers ordering in 1995 vs in 1996.
+  private def yearKeys(s: org.apache.spark.sql.SparkSession, d: String, y: Int) = {
+    import s.implicits._
+    Tables.orders(s, d).filter(year($"o_orderdate") === y)
+      .select($"o_custkey").distinct()
+  }
+
+  private val setOps = QueryDef(
+    "q_setops",
+    (s, d) => {
+      import s.implicits._
+      val a = yearKeys(s, d, 1995)
+      val b = yearKeys(s, d, 1996)
+      val both = a.intersect(b).withColumn("tag", lit("both"))
+      val only95 = a.except(b).withColumn("tag", lit("only_1995"))
+      val any = a.union(b).distinct().withColumn("tag", lit("any"))
+      both.unionAll(only95).unionAll(any)
+        .orderBy($"tag", $"o_custkey")
+    },
+    Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      SELECT o_custkey, tag FROM (
+        SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        UNION ALL
+        SELECT o_custkey, 'only_1995' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        UNION ALL
+        SELECT o_custkey, 'any' AS tag FROM (SELECT * FROM a UNION SELECT * FROM b))
+      ORDER BY tag, o_custkey"""),
+    "union / intersect / except with distinct semantics on key sets")
+
+  override def defs: Seq[QueryDef] = Seq(sortTopK, setOps)
+}

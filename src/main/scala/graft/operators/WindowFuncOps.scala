@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic window functions (SURVEY §2.2 ext tier). Absent from the
+  * reference (SURVEY §2.1 "notably absent"), but its O11 fallback is
+  * lag-shaped, so the family is a natural generalization.
+  *
+  * Scale posture: every window here is partitioned by a key (customer),
+  * so state is bounded per partition and the only shuffle is the exchange
+  * on the partition key; no global sorts.
+  */
+object WindowFuncOps extends QueryPack {
+
+  private def dec(cn: String) = col(cn).cast("decimal(18,2)")
+
+  // ------------------------------------------- ranking + lag/lead
+  private val winRank = QueryDef(
+    "q_winfunc_rank",
+    (s, d) => {
+      import s.implicits._
+      // total per-customer order: totalprice can tie, orderkey breaks it
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, d)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          dec("o_totalprice").cast("decimal(38,2)").as("price"),
+          rank().over(w).cast("long").as("rnk"),      // bigint: match DuckDB rank()
+          row_number().over(w).cast("long").as("rn"),
+          lag(dec("o_totalprice").cast("decimal(38,2)"), 1).over(w).as("prev_price"),
+          lead(dec("o_totalprice").cast("decimal(38,2)"), 1).over(w).as("next_price"))
+        .filter($"rn" <= 3)
+        .orderBy($"o_custkey", $"rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, price, rnk, rn, prev_price, next_price
+      FROM (
+        SELECT o_custkey, o_orderkey,
+          CAST(o_totalprice AS DECIMAL(38,2)) AS price,
+          rank() OVER w AS rnk,
+          row_number() OVER w AS rn,
+          lag(CAST(o_totalprice AS DECIMAL(38,2)), 1) OVER w AS prev_price,
+          lead(CAST(o_totalprice AS DECIMAL(38,2)), 1) OVER w AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+    "Top-3 orders per customer: rank/row_number/lag/lead over one window")
+
+  // ------------------------------------------------ running-sum frame
+  private val winFrame = QueryDef(
+    "q_winfunc_frame",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").as("running_spend"),
+          count("*").over(w).as("running_orders"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS running_spend,
+      count(*) OVER w AS running_orders
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""),
+    "Explicit rowsBetween frame: per-customer running totals")
+
+  override def defs: Seq[QueryDef] = Seq(winRank, winFrame)
+}

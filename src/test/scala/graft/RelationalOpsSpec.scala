@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ext relational tier: joins, aggregates, window functions, sort/set,
+  * scalar batteries. Includes physical-plan shape assertions — at 100 TB
+  * the plan IS the performance contract. */
+class RelationalOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  // ------------------------------------------------------------- joins
+  test("q_join_broadcast plans a broadcast hash join") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_smj plans a sort-merge join (no broadcast of big sides)") {
+    assert(plan("q_join_smj").contains("SortMergeJoin"))
+  }
+
+  test("q_join_semi_anti partitions all customers into exactly one tag") {
+    val df = q("q_join_semi_anti")
+    assert(df.count() === Tables.customer(spark, sf).count())
+    assert(df.groupBy("c_custkey").count().filter($"count" > 1).count() === 0)
+  }
+
+  test("q_join_range_asof: asof date is the max ship date <= order date") {
+    val rows = q("q_join_range_asof").limit(50).collect()
+    val ships = Tables.lineitem(spark, sf)
+      .select($"l_shipdate".cast("date").cast("string")).distinct()
+      .as[String].collect().sorted
+    rows.foreach { r =>
+      val od = r.getAs[String]("order_date")
+      val expected = ships.takeWhile(_ <= od).lastOption.orNull
+      assert(r.getAs[String]("asof_ship_date") === expected)
+    }
+  }
+
+  // -------------------------------------------------------------- aggs
+  test("q_agg_groupby matches hand-computed group count") {
+    val n = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" <= lit("1998-09-02"))
+      .select($"l_returnflag", $"l_linestatus").distinct().count()
+    assert(q("q_agg_groupby").count() === n)
+  }
+
+  test("q_agg_hll estimate within 5% of exact distinct") {
+    val est = q("q_agg_hll").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) <= math.max(1, n * 0.05), s"$k: est=${est(k)} exact=$n")
+    }
+  }
+
+  test("q_rollup_cube has detail, subtotal and grand-total grouping levels") {
+    val gids = q("q_rollup_cube").select($"gid").distinct().as[Long].collect().toSet
+    assert(gids === Set(0L, 1L, 3L))
+    val grand = q("q_rollup_cube").filter($"gid" === 3).collect()
+    assert(grand.length === 1 &&
+      grand.head.getAs[Long]("n_cust") === Tables.customer(spark, sf).count())
+  }
+
+  // ----------------------------------------------------------- windows
+  test("q_winfunc_rank keeps at most 3 rows per customer, rank consistent") {
+    val df = q("q_winfunc_rank")
+    assert(df.filter($"rn" > 3).count() === 0)
+    assert(df.filter($"rnk" > $"rn").count() === 0) // rank <= row_number always
+  }
+
+  test("q_winfunc_frame running counts are 1..n per customer") {
+    val bad = q("q_winfunc_frame")
+      .groupBy($"o_custkey")
+      .agg(max($"running_orders").as("mx"), count("*").as("n"))
+      .filter($"mx" =!= $"n")
+    assert(bad.count() === 0)
+  }
+
+  // ---------------------------------------------------- sort / set ops
+  test("q_sort_limit_topk plans TakeOrdered and is sorted descending") {
+    assert(plan("q_sort_limit_topk").contains("TakeOrderedAndProject"))
+    val prices = q("q_sort_limit_topk")
+      .select($"price".cast("double")).as[Double].collect()
+    assert(prices.length === 100)
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q_setops: both + only_1995 partition the 1995 key set") {
+    val byTag = q("q_setops").groupBy($"tag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = Tables.orders(spark, sf).filter(year($"o_orderdate") === 1995)
+      .select($"o_custkey").distinct().count()
+    assert(byTag("both") + byTag("only_1995") === a)
+    assert(byTag("any") >= byTag("both"))
+  }
+
+  // ------------------------------------------------------------ scalar
+  test("q_scalar_string extracts brand digits") {
+    val r = q("q_scalar_string").limit(5).collect()
+    r.foreach { row =>
+      assert(row.getAs[String]("brand_num").forall(_.isDigit))
+      assert(row.getAs[String]("brand_type").contains("|"))
+    }
+  }
+
+  test("q_scalar_json parses every props payload") {
+    assert(q("q_scalar_json").count() === Tables.events(spark, sf).count())
+  }
+
+  test("q_array_map: 64 dims, sum consistent with elements") {
+    val r = q("q_array_map").limit(10).collect()
+    r.foreach(row => assert(row.getAs[Int]("dim") === 64))
+  }
+}
