@@ -13,7 +13,9 @@ object SparkEntry {
 
   /** All operator families the engine declares. */
   val packs: Seq[QueryPack] = Seq(
-    CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps)
+    CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps,
+    TextOps, DedupOps, SimilarityOps, CustomOps, MultimodalOps,
+    graft.streaming.StreamingOps)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)

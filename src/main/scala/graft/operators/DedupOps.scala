@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import graft.functions.SimHash64.simhash64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH, SimHash.
+  *
+  * Shingling note: the fixture vocabulary is tiny (~31 words), so token-SET
+  * similarity is degenerate (every doc resembles every doc). All near-dup
+  * ops therefore shingle on ORDERED word 3-grams, which separate cleanly
+  * (planted near-dups sit at Jaccard ≥ 0.9, everything else < 0.1).
+  *
+  * Scale posture: exact dedup is one shuffle on the content hash. The
+  * n-gram inverted index shuffles on the shingle key (df-bounded groups);
+  * MinHash/LSH shuffles on (band, bandhash) buckets — both avoid any
+  * all-pairs comparison, which is the only design that survives 100 TB.
+  */
+object DedupOps extends QueryPack {
+
+  private def toks(c: Column): Column = split(lower(c), " +")
+
+  /** Distinct ordered word-3-gram shingles; empty for docs under 3 tokens.
+    * Custom single-pass expression — the interpreted higher-order-function
+    * formulation (transform + element_at + concat_ws + array_distinct)
+    * was ~10× slower and dominated the whole dedup pipeline. */
+  private def shingles3(t: Column): Column =
+    graft.functions.WordNGrams.word_ngrams(t, 3)
+
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", shingles3(toks($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+  }
+
+  // ------------------------------------------------------ exact dedup
+  private val dedupExact = QueryDef(
+    "q_dedup_exact",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          md5(regexp_replace(lower($"text"), "\\s+", " ")).as("content_hash"))
+        .groupBy($"content_hash")
+        .agg(min($"doc_id").as("keep_doc"), count("*").as("n_copies"))
+        .orderBy($"keep_doc")
+    },
+    Some("""SELECT content_hash, min(doc_id) AS keep_doc, count(*) AS n_copies
+      FROM (SELECT doc_id,
+        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash
+        FROM documents)
+      GROUP BY content_hash ORDER BY keep_doc"""),
+    "Exact dedup: normalized-content hash, keep lowest doc_id per group")
+
+  // --------------------------------------- exact n-gram Jaccard pairs
+  /** Exact J >= 0.5 pairs; two physically different, logically identical
+    * strategies:
+    *
+    *  - DIRECT (default): inverted-index self-join on the shingle key →
+    *    per-pair intersection counts → Jaccard from |A|,|B|,|A∩B|. Work is
+    *    Σ df(shingle)², fine while shingle document frequency is bounded
+    *    (true here: the trigram domain is far larger than the corpus).
+    *
+    *  - PREFIX-FILTERED (ppjoin-style, Xiao et al. 2008): for J >= 0.5 a
+    *    partner has m >= n/2 shingles and overlap >= (n + n/2)/3 = n/2, so
+    *    every qualifying pair shares a shingle among each doc's rarest
+    *    floor(n/2)+1 shingles (df-ascending order) — candidates come only
+    *    from those prefix postings, then exact-verify. 100% recall. This
+    *    is the strategy to flip on at web scale, where hot shingles make
+    *    Σ df² explode; it trades two extra array-payload joins for
+    *    immunity to df skew (measured here: direct ~7 s, prefix ~15 s at
+    *    sf0.1 because the fixture has no hot shingles).
+    *
+    * The spec asserts both return identical pairs; the DuckDB oracle is
+    * the direct formulation.
+    */
+  def ngramJaccardPairs(s: SparkSession, d: String,
+      prefixFilter: Boolean): DataFrame = {
+    import s.implicits._
+    val docs = shingled(s, d).cache()
+    val counts = docs.select($"doc_id", size($"sh").cast("long").as("n_sh"))
+    val posting = docs.select($"doc_id", explode($"sh").as("shingle"))
+    val jaccardOf = (inter: Column, n1: Column, n2: Column) =>
+      round(inter.cast("decimal(18,2)") / (n1 + n2 - inter), 6)
+        .cast("decimal(38,6)")
+    val pairs =
+      if (!prefixFilter) {
+        posting.as("a")
+          .join(posting.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .agg(count("*").as("inter"))
+          .join(counts.toDF("doc1", "n1"), "doc1")
+          .join(counts.toDF("doc2", "n2"), "doc2")
+          .select($"doc1", $"doc2",
+            jaccardOf($"inter", $"n1", $"n2").as("jaccard"))
+      } else {
+        val df_ = posting.groupBy($"shingle").agg(count("*").as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+        val prefix = posting
+          .join(broadcast(df_), "shingle")
+          .withColumn("pos", row_number().over(
+            w.partitionBy($"doc_id").orderBy($"df", $"shingle")))
+          .withColumn("n", count("*").over(w.partitionBy($"doc_id")))
+          .filter($"pos" <= floor($"n" / 2) + 1)
+          .select($"doc_id", $"shingle")
+        prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .distinct()
+          .join(docs.select($"doc_id".as("doc1"), $"sh".as("sh1")), "doc1")
+          .join(docs.select($"doc_id".as("doc2"), $"sh".as("sh2")), "doc2")
+          .select($"doc1", $"doc2",
+            jaccardOf(size(array_intersect($"sh1", $"sh2")),
+              size($"sh1"), size($"sh2")).as("jaccard"))
+      }
+    pairs
+      .filter($"jaccard" >= lit("0.5").cast("decimal(38,6)"))
+      .orderBy($"doc1", $"doc2")
+  }
+
+  private val dedupNgram = QueryDef(
+    "q_dedup_ngram_jaccard",
+    (s, d) => ngramJaccardPairs(s, d, prefixFilter = false),
+    Some("""WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w FROM documents),
+      docs AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM w WHERE len(w) >= 3),
+      counts AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM docs),
+      posting AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+      inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+        FROM posting a JOIN posting b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc1, doc2,
+        CAST(round(CAST(i AS DECIMAL(18,2)) / (c1.n_sh + c2.n_sh - i), 6) AS DECIMAL(38,6)) AS jaccard
+      FROM inter
+      JOIN counts c1 ON doc1 = c1.doc_id
+      JOIN counts c2 ON doc2 = c2.doc_id
+      WHERE CAST(round(CAST(i AS DECIMAL(18,2)) / (c1.n_sh + c2.n_sh - i), 6) AS DECIMAL(38,6)) >= 0.5
+      ORDER BY doc1, doc2"""),
+    "Exact 3-gram Jaccard near-dup pairs via inverted shingle index")
+
+  // ----------------------------------------------- MinHash + LSH pairs
+  // 16 MinHash permutations (xxhash64 salted by k) → 4 bands × 4 rows →
+  // bucket self-join on (band, bandhash) → exact-Jaccard verification of
+  // candidates only. Deterministic given the fixed hash family, so the
+  // spec cross-checks it against q_dedup_ngram_jaccard's exact pairs.
+  private val dedupMinhash = QueryDef(
+    "q_dedup_minhash",
+    (s, d) => {
+      import s.implicits._
+      val docs = shingled(s, d).cache()
+      val sigs = docs.select(
+        $"doc_id", $"sh",
+        transform(sequence(lit(0), lit(15)),
+          k => array_min(transform($"sh", sh => xxhash64(k, sh)))).as("sig"))
+      val bands = sigs.select(
+        $"doc_id",
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => xxhash64(
+            element_at($"sig", b * 4 + 1), element_at($"sig", b * 4 + 2),
+            element_at($"sig", b * 4 + 3), element_at($"sig", b * 4 + 4)))))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bhash"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      cand
+        .join(docs.select($"doc_id".as("doc1"), $"sh".as("sh1")), "doc1")
+        .join(docs.select($"doc_id".as("doc2"), $"sh".as("sh2")), "doc2")
+        .select($"doc1", $"doc2",
+          round(
+            size(array_intersect($"sh1", $"sh2")).cast("decimal(18,2)") /
+              (size($"sh1") + size($"sh2") - size(array_intersect($"sh1", $"sh2"))),
+            6).cast("decimal(38,6)").as("jaccard"))
+        .filter($"jaccard" >= lit("0.5").cast("decimal(38,6)"))
+        .orderBy($"doc1", $"doc2")
+    },
+    None,
+    "MinHash(16) + LSH(4x4) candidate buckets, exact-Jaccard verified")
+
+  // -------------------------------------------------- SimHash near-dup
+  // Custom Catalyst expression (graft.functions.SimHash64) → 4 × 16-bit
+  // bands; pairs sharing a band are verified by Hamming distance ≤ 8.
+  private val dedupSimhash = QueryDef(
+    "q_dedup_simhash",
+    (s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", simhash64(toks($"text")).as("simhash"))
+      val bands = sh.select($"doc_id", $"simhash",
+        posexplode(array((0 to 3).map(b =>
+          shiftrightunsigned($"simhash", b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int")
+            .as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 8)
+        .orderBy($"doc1", $"doc2")
+    },
+    None,
+    "SimHash64 (custom expression) banded near-dup pairs, Hamming ≤ 8")
+
+  override def defs: Seq[QueryDef] =
+    Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash)
+}

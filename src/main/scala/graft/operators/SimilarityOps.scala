@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float unit
+  * vectors — cosine ≡ dot product on this corpus).
+  *
+  * Two paths, per the blueprint:
+  *  - brute-force top-k against a small broadcast query set — the exact
+  *    baseline. Scored map-side (queries broadcast, zero shuffle of the
+  *    corpus), then a TWO-PHASE top-k: per-partition heads first, then a
+  *    global head over (queries × partitions × k) rows only — the full
+  *    scored corpus never shuffles.
+  *  - SRP-LSH bucketed ANN — signature = sign pattern against 8 fixed
+  *    hyperplanes; candidates share the query's bucket; exact rerank on
+  *    the bucket only. This is the 100 TB path: bucket sizes are ~N/256
+  *    and the join is a hash join on the signature.
+  *
+  * The exact query ranks by decimal dot product (bit-stable across
+  * engines, hence DuckDB-oracle-able); the ANN query uses double cosine
+  * (verified in the spec against the exact baseline, no hash oracle).
+  */
+object SimilarityOps extends QueryPack {
+
+  private val K = 5
+  private val NQ = 10 // query vectors: vec_id < NQ
+
+  /** decimal(18,9) view of a float element via exact double widening. */
+  private def dec9(c: Column): Column = c.cast("double").cast("decimal(18,9)")
+
+  /** Exact decimal dot product of two float arrays: products at (20,18)
+    * (|x·y| < 1 so 2 integer digits suffice), accumulator at (28,18) —
+    * keeping every intermediate under p=38 so Spark never demotes scale. */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (dec9(x) * dec9(y)).cast("decimal(20,18)")),
+      lit(0).cast("decimal(28,18)"),
+      (acc, x) => (acc + x).cast("decimal(28,18)"))
+
+  // --------------------------------------------- exact brute-force top-k
+  private val simsearchCosine = QueryDef(
+    "q_simsearch_cosine",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter($"vec_id" < NQ)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val scored = emb.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+        .join(broadcast(queries))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid",
+          round(dotDec($"qvec", $"cvec"), 9).cast("decimal(38,9)").as("dot"))
+      // two-phase top-k: local heads per input partition, then global
+      val localW = Window.partitionBy($"qid", $"pid")
+        .orderBy($"dot".desc, $"cid")
+      val globalW = Window.partitionBy($"qid").orderBy($"dot".desc, $"cid")
+      scored
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(localW))
+        .filter($"lrn" <= K).drop("pid", "lrn")
+        .withColumn("rank", row_number().over(globalW).cast("long"))
+        .filter($"rank" <= K)
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""SELECT q.vec_id AS qid, c.vec_id AS cid,
+      CAST(round(list_sum(list_transform(range(1, 65),
+        i -> CAST(CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+           * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS DECIMAL(20,18)))), 9)
+        AS DECIMAL(38,9)) AS dot,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        CAST(round(list_sum(list_transform(range(1, 65),
+          i -> CAST(CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+             * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS DECIMAL(20,18)))), 9)
+          AS DECIMAL(38,9)) DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id
+      QUALIFY rank <= $K
+      ORDER BY qid, rank"""),
+    "Exact top-k neighbor search: broadcast queries, decimal dot, 2-phase top-k")
+
+  // ------------------------------------------------------ SRP-LSH ANN
+  /** 8 fixed pseudorandom hyperplanes (deterministic seed). */
+  private val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(20240101L)
+    Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** 8-bit SRP signature: bit k set iff dot(v, plane_k) > 0. */
+  private def srpSig(v: Column): Column =
+    planes.zipWithIndex.map { case (p, k) =>
+      val dot = aggregate(
+        zip_with(v, typedlit(p), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1 << k)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def cosDouble(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private val simsearchAnn = QueryDef(
+    "q_simsearch_ann_srp",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding", srpSig($"embedding").as("sig"))
+      val queries = sigs.filter($"vec_id" < NQ)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"sig".as("qsig"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      broadcast(queries)
+        .join(sigs.select($"vec_id".as("cid"), $"embedding".as("cvec"), $"sig"),
+          $"qsig" === $"sig" && $"qid" =!= $"cid", "left")
+        .select($"qid", $"qsig", $"cid",
+          round(cosDouble($"qvec", $"cvec"), 6).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= K)
+        .orderBy($"qid", $"rank")
+    },
+    None,
+    "ANN via 8-bit SRP-LSH bucket probe + exact rerank (left join keeps " +
+      "queries with empty buckets)")
+
+  override def defs: Seq[QueryDef] = Seq(simsearchCosine, simsearchAnn)
+}

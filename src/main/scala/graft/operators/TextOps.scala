@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the LLM-pipeline
+  * surface mandated by BASELINE.json beyond the reference's own operators.
+  *
+  * All tokenization is a codegen'd per-row `split`; the only shuffles are
+  * the term-count aggregation (bounded by vocabulary size, tiny after
+  * map-side combine) and presentation sorts. Every per-doc query is
+  * embarrassingly parallel at 100 TB.
+  */
+object TextOps extends QueryPack {
+
+  /** Whitespace tokenizer shared by every text operator (and mirrored
+    * exactly by the DuckDB oracle via regexp_split_to_array). */
+  private def toks(c: Column): Column = split(lower(c), " +")
+
+  // ------------------------------------------------- top terms
+  private val textAnalysis = QueryDef(
+    "q_text_analysis",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(toks($"text")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"term")
+        .agg(count("*").as("n"))
+        .orderBy($"n".desc, $"term")
+        .limit(20)
+    },
+    Some("""SELECT term, count(*) AS n FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS term
+        FROM documents) WHERE term <> ''
+      GROUP BY term ORDER BY n DESC, term LIMIT 20"""),
+    "Tokenize + explode + term frequency: top-20 corpus terms")
+
+  // ------------------------------------------------- token counting
+  private val textTokens = QueryDef(
+    "q_text_tokens",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          size(toks($"text")).as("n_ws_tokens"),
+          // BPE-ish pre-tokenizer: word pieces OR single non-space symbols
+          size(regexp_extract_all($"text", lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .as("n_bpe_tokens"),
+          size(array_distinct(toks($"text"))).as("n_distinct"),
+          length($"text").as("n_chars"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+      CAST(len(regexp_split_to_array(lower(text), ' +')) AS INT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+      CAST(len(list_distinct(regexp_split_to_array(lower(text), ' +'))) AS INT) AS n_distinct,
+      CAST(length(text) AS INT) AS n_chars
+      FROM documents ORDER BY doc_id"""),
+    "Whitespace + BPE-ish regex token counts per document")
+
+  // ------------------------------------------------- quality scoring
+  // Deterministic heuristics in exact decimal: length, lexical diversity,
+  // stopword ratio — the standard cheap pre-training quality signals.
+  private val textQuality = QueryDef(
+    "q_text_quality",
+    (s, d) => {
+      import s.implicits._
+      val t = toks($"text")
+      val nTok = size(t).cast("long")
+      val nDis = size(array_distinct(t)).cast("long")
+      val stop = size(filter(t, x => x.isin("the", "a"))).cast("long")
+      val ttr = round(nDis.cast("decimal(18,2)") / nTok, 6).cast("decimal(38,6)")
+      val stopRatio = round(stop.cast("decimal(18,2)") / nTok, 6).cast("decimal(38,6)")
+      Tables.documents(s, d)
+        .select(
+          $"doc_id", nTok.as("n_tokens"),
+          ttr.as("type_token_ratio"),
+          stopRatio.as("stopword_ratio"),
+          // composite score: diversity minus stopword dominance, floor 0
+          greatest(lit(0).cast("decimal(38,6)"),
+            (ttr - stopRatio).cast("decimal(38,6)")).as("quality_score"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(lower(text), ' +')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(regexp_split_to_array(lower(text), ' +'))) AS BIGINT) AS n_distinct,
+          CAST(len(list_filter(regexp_split_to_array(lower(text), ' +'),
+            x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_tokens,
+        CAST(round(CAST(n_distinct AS DECIMAL(18,2)) / n_tokens, 6) AS DECIMAL(38,6)) AS type_token_ratio,
+        CAST(round(CAST(n_stop AS DECIMAL(18,2)) / n_tokens, 6) AS DECIMAL(38,6)) AS stopword_ratio,
+        greatest(CAST(0 AS DECIMAL(38,6)),
+          CAST(CAST(round(CAST(n_distinct AS DECIMAL(18,2)) / n_tokens, 6) AS DECIMAL(38,6))
+             - CAST(round(CAST(n_stop AS DECIMAL(18,2)) / n_tokens, 6) AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS quality_score
+      FROM t ORDER BY doc_id"""),
+    "Per-doc quality heuristics: type-token ratio, stopword ratio, score")
+
+  // ------------------------------------------------- language/profile ID
+  // N-gram-profile classifier: score each document against small token
+  // profiles, argmax with lexicographic tie-break. (The fixture's `lang`
+  // column is uncorrelated with its synthetic vocabulary, so profiles are
+  // topic-shaped; the operator structure is the standard langid heuristic.)
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "db"     -> Seq("scan", "join", "sort", "query", "table", "index"),
+    "stream" -> Seq("stream", "window", "batch", "spark"),
+    "misc"   -> Seq("the", "a", "fast", "slow", "small", "big"))
+
+  private val textLangId = QueryDef(
+    "q_text_langid",
+    (s, d) => {
+      import s.implicits._
+      val t = toks($"text")
+      def score(words: Seq[String]): Column =
+        size(filter(t, x => x.isin(words.map(lit(_)): _*))).cast("long")
+      val scored = Tables.documents(s, d).select(
+        $"doc_id",
+        score(profiles(0)._2).as("s_db"),
+        score(profiles(1)._2).as("s_stream"),
+        score(profiles(2)._2).as("s_misc"))
+      scored.select(
+        $"doc_id", $"s_db", $"s_stream", $"s_misc",
+        when($"s_db" >= $"s_stream" && $"s_db" >= $"s_misc", "db")
+          .when($"s_stream" >= $"s_misc", "stream")
+          .otherwise("misc").as("pred"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w FROM documents),
+      s AS (
+        SELECT doc_id,
+          CAST(len(list_filter(w, x -> x IN ('scan','join','sort','query','table','index'))) AS BIGINT) AS s_db,
+          CAST(len(list_filter(w, x -> x IN ('stream','window','batch','spark'))) AS BIGINT) AS s_stream,
+          CAST(len(list_filter(w, x -> x IN ('the','a','fast','slow','small','big'))) AS BIGINT) AS s_misc
+        FROM t)
+      SELECT doc_id, s_db, s_stream, s_misc,
+        CASE WHEN s_db >= s_stream AND s_db >= s_misc THEN 'db'
+             WHEN s_stream >= s_misc THEN 'stream'
+             ELSE 'misc' END AS pred
+      FROM s ORDER BY doc_id"""),
+    "Profile-scoring classifier (langid heuristic shape): argmax token hits")
+
+  // ------------------------------------------------- fingerprinting
+  // Word-order-invariant content fingerprint: md5 of the sorted distinct
+  // token bag. Group size attached via a window over the fingerprint —
+  // shuffle is on the fingerprint key, groups are dup-cluster sized.
+  private val textFingerprint = QueryDef(
+    "q_text_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      val fp = md5(array_join(array_sort(array_distinct(toks($"text"))), " "))
+      Tables.documents(s, d)
+        .select($"doc_id", fp.as("fingerprint"))
+        .withColumn("group_size",
+          count("*").over(Window.partitionBy($"fingerprint")))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH f AS (
+        SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(
+            regexp_split_to_array(lower(text), ' +'))), ' ')) AS fingerprint
+        FROM documents)
+      SELECT doc_id, fingerprint,
+        count(*) OVER (PARTITION BY fingerprint) AS group_size
+      FROM f ORDER BY doc_id"""),
+    "Order-invariant document fingerprint (md5 of sorted token set)")
+
+  override def defs: Seq[QueryDef] =
+    Seq(textAnalysis, textTokens, textQuality, textLangId, textFingerprint)
+}

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time operators: batch sessionization plus the Structured
+  * Streaming re-expression of the reference's polling/windowing loop
+  * (O2/O10 — the DAG cadence becomes triggers, the 5-min grain becomes
+  * `window()`, the O11 fallback becomes watermark-tolerated lateness).
+  *
+  * The streaming queries execute a REAL MicroBatchExecution against the
+  * fixture data and return the sink table — deterministic, so the
+  * tumbling query shares the batch oracle. Session windows use a
+  * MemoryStream with a far-future sentinel row to advance the watermark
+  * and flush all closed sessions (append mode emits only finalized
+  * session windows); the sentinel is filtered back out. At production
+  * scale the same plans run over Kafka/file sources with checkpointing —
+  * only the source/sink lines change.
+  */
+object StreamingOps extends QueryPack {
+
+  private val GapUs = 1800L * 1000000L // 30-minute session gap, epoch-µs
+
+  // ------------------------------------------------ batch sessionization
+  private val sessionize = QueryDef(
+    "q_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val ordered = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          $"value".cast("decimal(18,2)").as("v"))
+        // new session iff the gap since the previous event is >= GapUs
+        // (matches session_window: an event extends a session only while
+        // it starts strictly inside [prev, prev + gap))
+        .withColumn("new_s",
+          when(lag($"ts_us", 1).over(ordered).isNull ||
+            $"ts_us" - lag($"ts_us", 1).over(ordered) >= GapUs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum($"new_s").over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(count("*").as("n_events"),
+          min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+          sum($"v").cast("decimal(38,2)").as("sum_value"))
+        .orderBy($"user_id", $"session_idx")
+    },
+    Some(s"""WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CAST(value AS DECIMAL(18,2)) AS v,
+          CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w >= $GapUs
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      s AS (
+        SELECT user_id, v, ts_us,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM e)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        count(*) AS n_events,
+        min(ts_us) AS start_us, max(ts_us) AS end_us,
+        CAST(sum(v) AS DECIMAL(38,2)) AS sum_value
+      FROM s GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""),
+    "Batch sessionization: 30-min-gap sessions via lag + cumulative sum")
+
+  // -------------------------------------------- streaming tumbling window
+  // Same semantics (and same DuckDB oracle) as the batch q_agg_avg_window5m:
+  // the streaming plan must converge to the batch answer.
+  private val streamTumbling = QueryDef(
+    "q_stream_tumbling",
+    (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      // file stream source requires a directory: stream the sf dir with a
+      // glob filter so only the events table is picked up
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "5 minutes"), $"event_type")
+        .agg(count("*").as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        .writeStream.format("memory").queryName("graft_stream_tumbling")
+        .outputMode("complete")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table("graft_stream_tumbling")
+        .select(unix_timestamp($"window.start").as("win_start"),
+          $"event_type", $"n_events", $"sum_value",
+          round($"sum_value" / $"n_events", 6).cast("decimal(38,6)").as("avg_value"))
+        .orderBy($"win_start", $"event_type")
+    },
+    Some("""SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS win_start, event_type,
+      count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+      CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) / count(*), 6) AS DECIMAL(38,6)) AS avg_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+    "O10 as Structured Streaming: watermark + tumbling window, " +
+      "memory sink, verified against the batch oracle")
+
+  // --------------------------------------------- streaming session window
+  /** Driver-side row for the MemoryStream test source (test-scale only;
+    * production uses Kafka/file sources — plan unchanged). */
+  case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
+
+  private val streamSession = QueryDef(
+    "q_stream_session",
+    (s, d) => {
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select($"ts", $"user_id", $"value").as[Ev].collect().toSeq
+      val maxTs = rows.map(_.ts.getTime).max
+      implicit val sq = s.sqlContext
+      val ms = MemoryStream[Ev]
+      val q = ms.toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count("*").as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        .writeStream.format("memory").queryName("graft_stream_session")
+        .outputMode("append")
+        .start()
+      ms.addData(rows)
+      q.processAllAvailable()
+      // sentinel a day past the data: advances the watermark so every real
+      // session is closed and emitted; filtered out of the result below
+      ms.addData(Ev(new java.sql.Timestamp(maxTs + 86400L * 1000L), -1L, 0.0))
+      q.processAllAvailable()
+      q.stop()
+      s.table("graft_stream_session")
+        .filter($"user_id" >= 0)
+        .select($"user_id",
+          unix_micros($"session_window.start").as("start_us"),
+          unix_micros($"session_window.end").as("end_us"),
+          $"n_events", $"sum_value")
+        .orderBy($"user_id", $"start_us")
+    },
+    None,
+    "Stateful session windows (30-min gap) over a real micro-batch run; " +
+      "spec-verified against q_sessionize")
+
+  override def defs: Seq[QueryDef] =
+    Seq(sessionize, streamTumbling, streamSession)
+}

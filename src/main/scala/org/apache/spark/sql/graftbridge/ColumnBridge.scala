@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 moved `Column` onto ColumnNode and made the catalyst bridge
+  * (`ExpressionUtils`) private[sql]; this package-located shim re-exports
+  * the two conversions the engine's custom expressions need. Public Spark
+  * API surface only — no internal behavior is modified.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

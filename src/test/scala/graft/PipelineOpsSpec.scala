@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline tier: text analysis, dedup, similarity search,
+  * multimodal, streaming. Non-oracle queries are verified here against
+  * independent recomputation (brute force / batch equivalents). */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- text
+  test("q_text_tokens: count invariants hold") {
+    val bad = q("q_text_tokens").filter(
+      $"n_distinct" > $"n_ws_tokens" || $"n_bpe_tokens" < $"n_ws_tokens")
+    assert(bad.count() === 0)
+  }
+
+  test("q_text_quality: ratios within [0,1], score = ttr - stopword floor 0") {
+    val bad = q("q_text_quality").filter(
+      $"type_token_ratio" < 0 || $"type_token_ratio" > 1 ||
+      $"stopword_ratio" < 0 || $"stopword_ratio" > 1)
+    assert(bad.count() === 0)
+  }
+
+  test("q_text_langid: argmax with db > stream > misc priority") {
+    q("q_text_langid").collect().foreach { r =>
+      val (db, st, mi) = (r.getAs[Long]("s_db"), r.getAs[Long]("s_stream"), r.getAs[Long]("s_misc"))
+      val expected =
+        if (db >= st && db >= mi) "db" else if (st >= mi) "stream" else "misc"
+      assert(r.getAs[String]("pred") === expected)
+    }
+  }
+
+  test("q_text_fingerprint: identical token sets share fingerprints") {
+    val df = q("q_text_fingerprint")
+    // group_size is consistent with actual fingerprint multiplicity
+    val bad = df.groupBy($"fingerprint")
+      .agg(count("*").as("n"), max($"group_size").as("gs"), min($"group_size").as("gs2"))
+      .filter($"n" =!= $"gs" || $"n" =!= $"gs2")
+    assert(bad.count() === 0)
+  }
+
+  // ---------------------------------------------------------- dedup
+  private lazy val exactPairs: Set[(Long, Long)] =
+    q("q_dedup_ngram_jaccard").select($"doc1", $"doc2")
+      .as[(Long, Long)].collect().toSet
+
+  test("q_dedup_exact: copies partition the corpus") {
+    assert(q("q_dedup_exact").agg(sum($"n_copies")).as[Long].head() ===
+      Tables.documents(spark, sf).count())
+  }
+
+  test("q_dedup_ngram_jaccard finds the planted near-dup pairs (28 at sf0.001)") {
+    assert(exactPairs.size === 28)
+    val jac = q("q_dedup_ngram_jaccard")
+      .select($"jaccard".cast("double")).as[Double].collect()
+    assert(jac.forall(j => j >= 0.5 && j <= 1.0))
+    assert(jac.count(_ >= 0.9) >= 25, "planted near-dups cluster at >= 0.9")
+  }
+
+  test("prefix-filtered ngram strategy returns identical pairs to direct") {
+    val pf = operators.DedupOps.ngramJaccardPairs(spark, sf, prefixFilter = true)
+      .select($"doc1", $"doc2", $"jaccard".cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    val direct = q("q_dedup_ngram_jaccard")
+      .select($"doc1", $"doc2", $"jaccard".cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(pf === direct)
+  }
+
+  test("q_dedup_minhash: sound (subset of exact pairs) with high recall") {
+    val mh = q("q_dedup_minhash").select($"doc1", $"doc2")
+      .as[(Long, Long)].collect().toSet
+    assert(mh.subsetOf(exactPairs), "LSH must never invent pairs after verification")
+    assert(mh.size >= (exactPairs.size * 0.8).toInt,
+      s"recall too low: ${mh.size}/${exactPairs.size}")
+  }
+
+  test("q_dedup_simhash: hamming bound holds and catches the planted pairs") {
+    val sh = q("q_dedup_simhash")
+    assert(sh.filter($"hamming" > 8).count() === 0)
+    val pairs = sh.select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    val recall = exactPairs.count(pairs.contains).toDouble / exactPairs.size
+    assert(recall >= 0.8,
+      s"most high-Jaccard pairs must land in a shared simhash band: $recall")
+  }
+
+  // ------------------------------------------------------ similarity
+  test("q_simsearch_cosine matches local decimal-dot brute force") {
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def dot(a: Seq[Float], b: Seq[Float]): BigDecimal =
+      a.zip(b).map { case (x, y) =>
+        BigDecimal(x.toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP) *
+          BigDecimal(y.toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val got = q("q_simsearch_cosine")
+      .select($"qid", $"rank", $"cid").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0L until 10L).foreach { qid =>
+      val expect = emb.keys.filter(_ != qid).toSeq
+        .map(c => (dot(emb(qid), emb(c)), c))
+        .sortBy { case (s, c) => (-s, c) }.take(5).map(_._2)
+      assert(got(qid) === expect, s"query $qid top-5 mismatch")
+    }
+  }
+
+  test("q_simsearch_ann_srp: at most K rows per query, all queries present") {
+    val df = q("q_simsearch_ann_srp")
+    val perQ = df.groupBy($"qid").count().as[(Long, Long)].collect().toMap
+    assert(perQ.keySet === (0L until 10L).toSet)
+    assert(perQ.values.forall(_ <= 5))
+    // soundness: reported neighbors share the query's bucket signature
+    val bad = df.filter($"cid".isNotNull)
+      .join(q("q_simsearch_ann_srp").select($"qid".as("q2"), $"qsig".as("s2")).distinct(),
+        $"qid" === $"q2")
+      .filter($"qsig" =!= $"s2")
+    assert(bad.count() === 0)
+  }
+
+  // ------------------------------------------------------ multimodal
+  test("q_multimodal_features: stub decode matches local recomputation") {
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    q("q_multimodal_features").limit(20).collect().foreach { r =>
+      val bytes = texts(r.getAs[Long]("media_id")).getBytes("UTF-8")
+      assert(r.getAs[Long]("n_bytes") === bytes.length.toLong)
+      val mean = bytes.map(_ & 0xff).map(_.toLong).sum.toDouble / bytes.length
+      assert(math.abs(r.getAs[Double]("mean_byte") - mean) < 1e-4)
+    }
+  }
+
+  // ------------------------------------------------------- streaming
+  test("q_stream_session equals batch q_sessionize (end shifted by gap)") {
+    val stream = q("q_stream_session")
+      .select($"user_id", $"start_us", $"end_us", $"n_events",
+        $"sum_value".cast("string"))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val batch = q("q_sessionize")
+      .select($"user_id", $"start_us", $"end_us", $"n_events",
+        $"sum_value".cast("string"))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(stream.length === batch.length)
+    stream.zip(batch).foreach { case (s, b) =>
+      assert(s._1 === b._1 && s._2 === b._2 && s._4 === b._4 && s._5 === b._5)
+      assert(s._3 === b._3 + 1800L * 1000000L,
+        "session_window end = last event + gap")
+    }
+  }
+
+  test("q_custom_decimal_avg equals built-in decimal formula") {
+    val expect = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_extendedprice".cast("decimal(18,2)")) / count("*"), 6)
+        .cast("decimal(38,6)").as("e"))
+      .select($"l_returnflag", $"e".cast("string"))
+      .as[(String, String)].collect().toMap
+    q("q_custom_decimal_avg")
+      .select($"l_returnflag", $"avg_price".cast("string"))
+      .as[(String, String)].collect()
+      .foreach { case (k, v) => assert(BigDecimal(v) === BigDecimal(expect(k))) }
+  }
+}
