@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every declared query at the env-given scale
+  * factor and prints one JSON line for the driver.
+  *
+  * Each query runs twice: an untimed warm-up pass (JIT + code cache +
+  * parquet footer caches reach steady state) and the timed pass — the
+  * steady-state number is what a long-running cluster job would see.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +16,28 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name => // warm-up pass, untimed
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      spark.sharedState.cacheManager.clearCache()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = names.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the engine's custom expressions.
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]]: the `SparkSessionExtensions` injection point —
+  *    pass `.withExtensions(new GraftExtensions)` at session build (or
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` cluster-wide)
+  *    and `simhash64` / `word_ngrams` / `decimal_dot` resolve in SQL text.
+  *  - [[GraftFunctions.register]]: idempotent per-session registration for
+  *    an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(e.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", name, usage)
+
+  private[functions] def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (identifier, info, builder) triples as SparkSessionExtensions wants. */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    (FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(array<string>, n) - distinct ordered n-grams"),
+      (es: Seq[Expression]) => WordNGrams(es.head, intLit(es(1), "n"))),
+    (FunctionIdentifier("decimal_dot"),
+      info("decimal_dot", "decimal_dot(array<float>, array<float>) - exact decimal dot product"),
+      (es: Seq[Expression]) => DecimalDot(es.head, es(1))))
+
+  /** Idempotent registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -32,5 +32,33 @@ object CustomOps extends QueryPack {
     "Typed Aggregator: decimal-exact average (reference O9 semantics, " +
       "utils/load.py:33-35, made exact)")
 
-  override def defs: Seq[QueryDef] = Seq(decimalAvg)
+  // Generator-style op through the TYPED API: Dataset.flatMap emitting
+  // (doc_id, shingle) rows — the user-code escape hatch when no built-in
+  // generator fits. Still fully distributed (flatMap is a narrow map
+  // stage); only the counting aggregation shuffles.
+  private val flatmapShingles = QueryDef(
+    "q_flatmap_shingles",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          text.toLowerCase.split(" +").toSeq.sliding(3)
+            .filter(_.size == 3).map(w => (id, w.mkString(" ")))
+        }
+        .toDF("doc_id", "shingle")
+        .groupBy($"doc_id")
+        .agg(count("*").as("n_shingles"),
+          countDistinct($"shingle").as("n_distinct"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w FROM documents)
+      SELECT doc_id, CAST(len(w) - 2 AS BIGINT) AS n_shingles,
+        CAST(len(list_distinct(list_transform(range(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS n_distinct
+      FROM w WHERE len(w) >= 3 ORDER BY doc_id"""),
+    "Typed Dataset.flatMap generator: per-doc shingle emission + counts")
+
+  override def defs: Seq[QueryDef] = Seq(decimalAvg, flatmapShingles)
 }

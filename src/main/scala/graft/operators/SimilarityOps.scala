@@ -28,17 +28,11 @@ object SimilarityOps extends QueryPack {
   private val K = 5
   private val NQ = 10 // query vectors: vec_id < NQ
 
-  /** decimal(18,9) view of a float element via exact double widening. */
-  private def dec9(c: Column): Column = c.cast("double").cast("decimal(18,9)")
-
-  /** Exact decimal dot product of two float arrays: products at (20,18)
-    * (|x·y| < 1 so 2 integer digits suffice), accumulator at (28,18) —
-    * keeping every intermediate under p=38 so Spark never demotes scale. */
+  /** Exact decimal dot product — custom expression (one tight loop per
+    * row; the equivalent zip_with/aggregate chain evaluates interpreted
+    * and was ~5× slower scoring |queries| × |corpus| pairs). */
   private def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (dec9(x) * dec9(y)).cast("decimal(20,18)")),
-      lit(0).cast("decimal(28,18)"),
-      (acc, x) => (acc + x).cast("decimal(28,18)"))
+    graft.functions.DecimalDot.decimal_dot(a, b)
 
   // --------------------------------------------- exact brute-force top-k
   private val simsearchCosine = QueryDef(
@@ -51,8 +45,7 @@ object SimilarityOps extends QueryPack {
       val scored = emb.select($"vec_id".as("cid"), $"embedding".as("cvec"))
         .join(broadcast(queries))
         .filter($"qid" =!= $"cid")
-        .select($"qid", $"cid",
-          round(dotDec($"qvec", $"cvec"), 9).cast("decimal(38,9)").as("dot"))
+        .select($"qid", $"cid", dotDec($"qvec", $"cvec").as("dot"))
       // two-phase top-k: local heads per input partition, then global
       val localW = Window.partitionBy($"qid", $"pid")
         .orderBy($"dot".desc, $"cid")
@@ -122,5 +115,36 @@ object SimilarityOps extends QueryPack {
     "ANN via 8-bit SRP-LSH bucket probe + exact rerank (left join keeps " +
       "queries with empty buckets)")
 
-  override def defs: Seq[QueryDef] = Seq(simsearchCosine, simsearchAnn)
+  // ------------------------------------------- embedding near-dup audit
+  // SRP buckets over the WHOLE corpus; within-bucket pairs checked for
+  // cosine >= 0.9 (double — threshold far from any fixture value, so the
+  // comparison is stable). Output is the per-bucket audit: how many
+  // vectors, pairs checked, near-dups found. All-pairs work is bounded by
+  // Σ bucket² ≈ N²/2^bits — the knob that keeps this linear-ish at scale.
+  private val dedupEmbedding = QueryDef(
+    "q_dedup_embedding",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding", srpSig($"embedding").as("sig"))
+      val pairs = sigs.as("a")
+        .join(sigs.as("b"),
+          col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.sig").as("sig"),
+          cosDouble(col("a.embedding"), col("b.embedding")).as("cos"))
+      val pairAgg = pairs.groupBy($"sig")
+        .agg(count("*").as("n_pairs"),
+          sum(when($"cos" >= 0.9, 1L).otherwise(0L)).as("n_neardups"))
+      sigs.groupBy($"sig").agg(count("*").as("n_vecs"))
+        .join(pairAgg, Seq("sig"), "left")
+        .select($"sig", $"n_vecs",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"n_neardups", lit(0L)).as("n_neardups"))
+        .orderBy($"sig")
+    },
+    None,
+    "Embedding-cosine near-dup audit via SRP-LSH buckets")
+
+  override def defs: Seq[QueryDef] =
+    Seq(simsearchCosine, simsearchAnn, dedupEmbedding)
 }

@@ -13,7 +13,9 @@ trait SparkTestBase extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
+    graft.functions.GraftFunctions.register(s) // idempotent; covers reuse
     s.sparkContext.setLogLevel("ERROR")
     s
   }
