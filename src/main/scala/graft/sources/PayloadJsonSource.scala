@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the reference's API payload shape — the O1
+  * HTTP JSON source (reference: src/mining/utils/extract.py:6-20) recast
+  * as a first-class Spark source over a directory of payload files (the
+  * HTTP hop is environment, not semantics; in production the same parse
+  * sits behind a streaming source).
+  *
+  * Each file holds one JSON payload in either of the two reference shapes
+  * (FIXTURES.md §A.1; tests/test_transform.py:8-14,30-36):
+  *   {"spider_ts": ..., "price_data": {"USD": ..., "time": ...}}
+  *   {"spider_ts": ..., "hash_rate_data": {"currentHashrate": ...,
+  *                                         "currentDifficulty": ...}}
+  * and maps to one unified typed row; the O3/O4 projection downstream
+  * selects per-kind columns. Malformed payloads yield a row with
+  * kind='error' rather than failing the scan (the reference logs and
+  * returns None, extract.py:14-19).
+  *
+  * Usage: spark.read.format("graft.sources.PayloadJsonSource")
+  *   .option("path", dir).load()
+  *
+  * Scale: one input partition per chunk of files; each partition parses
+  * independently (no driver I/O beyond listing).
+  */
+class PayloadJsonSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PayloadJsonSource.schema
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new PayloadTable(properties.get("path"))
+}
+
+object PayloadJsonSource {
+  val schema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("spider_ts", LongType),
+    StructField("usd", LongType),
+    StructField("server_ts", LongType),
+    StructField("hashrate", LongType),
+    StructField("difficulty", LongType)))
+
+  /** Files per input partition. */
+  val FilesPerSplit = 64
+}
+
+private class PayloadTable(path: String) extends Table with SupportsRead {
+  require(path != null, "PayloadJsonSource requires option 'path'")
+  override def name(): String = s"payload_json($path)"
+  override def schema(): StructType = PayloadJsonSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new PayloadScan(path)
+    }
+}
+
+private class PayloadScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = PayloadJsonSource.schema
+  override def toBatch: Batch = this
+  override def description(): String = s"PayloadJsonScan $path"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = Paths.get(path)
+    val files =
+      if (!Files.isDirectory(dir)) Array.empty[String]
+      else Files.list(dir).iterator().asScala
+        .filter(p => p.toString.endsWith(".json"))
+        .map(_.toString).toArray.sorted
+    files.grouped(PayloadJsonSource.FilesPerSplit)
+      .map(fs => PayloadPartition(fs): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PayloadReader(p.asInstanceOf[PayloadPartition].files)
+    }
+}
+
+private case class PayloadPartition(files: Array[String]) extends InputPartition
+
+private class PayloadReader(files: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper
+  private var i = -1
+  private var row: InternalRow = _
+
+  private def optLong(n: JsonNode, field: String): Any =
+    if (n != null && n.hasNonNull(field)) java.lang.Long.valueOf(n.get(field).asLong)
+    else null
+
+  private def parse(p: Path): InternalRow = {
+    try {
+      val root = mapper.readTree(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      val spider = optLong(root, "spider_ts")
+      val price = root.get("price_data")
+      val hash = root.get("hash_rate_data")
+      if (price != null)
+        InternalRow(UTF8String.fromString("price"), spider,
+          optLong(price, "USD"), optLong(price, "time"), null, null)
+      else if (hash != null)
+        InternalRow(UTF8String.fromString("hashrate"), spider,
+          null, spider, // reference: hashrate server_ts := spider_ts (transform.py:25)
+          optLong(hash, "currentHashrate"), optLong(hash, "currentDifficulty"))
+      else InternalRow(UTF8String.fromString("error"), spider, null, null, null, null)
+    } catch {
+      case _: Exception =>
+        InternalRow(UTF8String.fromString("error"), null, null, null, null, null)
+    }
+  }
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= files.length) false
+    else { row = parse(Paths.get(files(i))); true }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}

@@ -150,6 +150,56 @@ object StreamingOps extends QueryPack {
     "Stateful session windows (30-min gap) over a real micro-batch run; " +
       "spec-verified against q_sessionize")
 
+  // --------------------------------- custom state: flatMapGroupsWithState
+  /** Per-user accumulator state for the stateful streaming query. */
+  case class UserState(n: Long, sumCents: Long)
+
+  // The fully-custom stateful path (reference O2's shared mutable
+  // last-run state, generalized): per-key state lives in the state store,
+  // updated per micro-batch; emissions are append-mode. Fed in ONE batch
+  // here, the emitted rows equal the batch group-by — which is exactly
+  // the SQL oracle.
+  private val streamStateful = QueryDef(
+    "q_stream_stateful",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val rows = Tables.events(s, d)
+        .select($"user_id", $"value").as[(Long, Double)].collect().toSeq
+      implicit val sq = s.sqlContext
+      val ms = MemoryStream[(Long, Double)]
+      val flat = (uid: Long, it: Iterator[(Long, Double)],
+          state: GroupState[UserState]) => {
+        val prev = state.getOption.getOrElse(UserState(0L, 0L))
+        var n = prev.n
+        var cents = prev.sumCents
+        it.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+        state.update(UserState(n, cents))
+        Iterator.single((uid, n, cents))
+      }
+      val q = ms.toDS()
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(flat)
+        .toDF("user_id", "n_events", "sum_cents")
+        .writeStream.format("memory").queryName("graft_stream_stateful")
+        .outputMode("append")
+        .start()
+      ms.addData(rows)
+      q.processAllAvailable()
+      q.stop()
+      s.table("graft_stream_stateful")
+        .select($"user_id", $"n_events",
+          ($"sum_cents".cast("decimal(28,2)") / 100).cast("decimal(38,2)")
+            .as("sum_value"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    "flatMapGroupsWithState: custom per-key state store logic, " +
+      "single-batch emission equals the batch group-by oracle")
+
   override def defs: Seq[QueryDef] =
-    Seq(sessionize, streamTumbling, streamSession)
+    Seq(sessionize, streamTumbling, streamSession, streamStateful)
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface: DSv2 payload source behavior and append-sink
+  * round trips (the reference's O6/O14 MySQL append sinks map to
+  * parquet/csv/json appends — SURVEY §1.4). */
+class SourceSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("payload DSv2 source: typed rows, error path, reference quirks") {
+    val df = q("q_source_payload_json")
+    val byKind = df.groupBy($"kind").count().as[(String, Long)].collect().toMap
+    assert(byKind("price") === 150 && byKind("hashrate") === 150)
+    assert(byKind("error") === 1, "malformed payload becomes an error row, not a crash")
+    // reference quirk preserved at the source: hashrate server_ts := spider_ts
+    assert(df.filter($"kind" === "hashrate" && $"server_ts" =!= $"spider_ts").count() === 0)
+    // price rows carry the API's own time field
+    assert(df.filter($"kind" === "price" && $"usd".isNull).count() === 0)
+  }
+
+  test("parquet append sink round trip, partitioned by event_type") {
+    val out = "target/test-sink/events_agg"
+    val agg = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count("*").as("n"), sum($"value".cast("decimal(18,2)")).as("s"))
+    agg.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === agg.count())
+    val a = agg.select($"event_type", $"n").as[(String, Long)].collect().toMap
+    val b = back.select($"event_type", $"n").as[(String, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("csv and json sink/source round trips preserve values") {
+    val df = Tables.nation(spark, sf)
+    for ((fmt, path) <- Seq("csv" -> "target/test-sink/nation_csv",
+                            "json" -> "target/test-sink/nation_json")) {
+      val w = df.write.mode("overwrite")
+      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(path)
+      val r = spark.read
+      val back = (if (fmt == "csv")
+        r.option("header", "true").option("inferSchema", "true") else r)
+        .format(fmt).load(path)
+      assert(back.count() === df.count(), fmt)
+      assert(back.select($"n_name").as[String].collect().sorted
+        === df.select($"n_name").as[String].collect().sorted, fmt)
+    }
+  }
+
+  test("q_pivot_wide row sums equal total events per window") {
+    val df = q("q_pivot_wide")
+    val totalFromPivot = df.select(
+      ($"n_click" + $"n_error" + $"n_purchase" + $"n_signup" + $"n_view").as("t"))
+      .agg(sum($"t")).as[Long].head()
+    assert(totalFromPivot === Tables.events(spark, sf).count())
+  }
+
+  test("q_grouped_map equals untyped groupBy") {
+    val typed = q("q_grouped_map")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toMap
+    val untyped = Tables.events(spark, sf).groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(typed === untyped)
+  }
+
+  test("q_stream_stateful state store results equal batch group-by") {
+    val got = q("q_stream_stateful")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toMap
+    val expect = Tables.events(spark, sf).groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got === expect)
+  }
+}
