@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on one JVM: 8g starved GC under 32 executor threads and
+  // made bench timings swing 5x run-to-run; the box has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // ~50 queries x 2 bench passes of whole-stage-codegen classes overflow
+  // the default 240m code cache; once full the JIT turns off and timings
+  // collapse erratically
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -15,8 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(e.injectFunction)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftFunctions {

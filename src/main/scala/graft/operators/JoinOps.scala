@@ -106,6 +106,33 @@ object JoinOps extends QueryPack {
       FROM orders ORDER BY o_orderkey"""),
     "As-of join via broadcast sorted date-domain probe (no non-equi shuffle)")
 
+  // ----------------------------------- as-of join, custom physical op
+  // Same semantics and SAME DuckDB oracle as q_join_range_asof, but
+  // planned through the engine's own operator stack (AsOfJoinNode →
+  // AsOfJoinStrategy → AsOfJoinExec): broadcast sorted dimension +
+  // O(log m) binary-search probe per fact row instead of the O(m)
+  // array-filter probe. See graft/plans/AsOfJoin.scala.
+  private val joinAsofExec = QueryDef(
+    "q_join_asof_exec",
+    (s, d) => {
+      import s.implicits._
+      val shipDates = Tables.lineitem(s, d)
+        .select($"l_shipdate".cast("date").cast("timestamp").as("sd")).distinct()
+      val joined = graft.plans.AsOfJoin.asof(
+        Tables.orders(s, d), shipDates, "o_orderdate", "sd")
+      joined.select(
+          $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+          date_format($"sd", "yyyy-MM-dd").as("asof_ship_date"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      (SELECT strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE)) AS asof_ship_date
+      FROM orders ORDER BY o_orderkey"""),
+    "As-of join via custom LogicalPlan/Strategy/SparkPlan (binary-search probe)")
+
   override def defs: Seq[QueryDef] =
-    Seq(joinBroadcast, joinSmj, joinSemiAnti, joinRangeAsof)
+    Seq(joinBroadcast, joinSmj, joinSemiAnti, joinRangeAsof, joinAsofExec)
 }

@@ -115,6 +115,74 @@ object ScalarOps extends QueryPack {
       FROM embeddings ORDER BY vec_id"""),
     "Array battery: size/element_at/transform/aggregate over embeddings")
 
+  // -------------------------------------------------- explode/generator
+  private val explodeArray = QueryDef(
+    "q_explode",
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .filter($"vec_id" < 20)
+        .select($"vec_id",
+          posexplode(slice($"embedding", 1, 8)))
+        .select($"vec_id", ($"pos" + 1).cast("int").as("dim"),
+          $"col".cast("double").cast("decimal(18,9)").as("val"))
+        .orderBy($"vec_id", $"dim")
+    },
+    Some("""SELECT vec_id, CAST(i AS INT) AS dim,
+      CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS val
+      FROM embeddings, unnest(generate_series(1, 8)) AS t(i)
+      WHERE vec_id < 20 ORDER BY vec_id, dim"""),
+    "posexplode generator over array slices")
+
+  // ------------------------------------------------ null-handling ops
+  // The fixtures are null-free, so nulls are introduced deterministically
+  // (nullif) and then handled — coalesce / isNull / na-style defaults.
+  private val nullHandling = QueryDef(
+    "q_null_handling",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          nullif($"o_orderstatus", lit("O")).as("status_or_null"))
+        .select($"o_orderkey", $"status_or_null",
+          coalesce($"status_or_null", lit("OPEN")).as("status_filled"),
+          $"status_or_null".isNull.cast("int").as("was_null"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      nullif(o_orderstatus, 'O') AS status_or_null,
+      coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+      CAST(nullif(o_orderstatus, 'O') IS NULL AS INT) AS was_null
+      FROM orders ORDER BY o_orderkey"""),
+    "null introduction + propagation + defaulting (nullif/coalesce/isNull)")
+
+  // ------------------------------------------------ SQL front door
+  // The same engine through spark.sql text — views + correlated scalar
+  // subqueries (decorrelated by Catalyst into outer joins + aggregates).
+  private val sqlSubquery = QueryDef(
+    "q_sql_subquery",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_custkey,
+          (SELECT count(*) FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          CAST((SELECT max(CAST(o_totalprice AS DECIMAL(18,2))) FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey) AS DECIMAL(38,2)) AS max_price
+        FROM v_customer c
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey,
+      (SELECT count(*) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      CAST((SELECT max(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS DECIMAL(38,2)) AS max_price
+      FROM customer c
+      ORDER BY c_custkey"""),
+    "spark.sql text front door: correlated scalar subqueries, decorrelated")
+
   override def defs: Seq[QueryDef] =
-    Seq(scalarString, scalarDate, scalarJson, arrayMap)
+    Seq(scalarString, scalarDate, scalarJson, arrayMap,
+      explodeArray, nullHandling, sqlSubquery)
 }
