@@ -126,6 +126,62 @@ object AggOps extends QueryPack {
       ORDER BY gid, region, nation"""),
     "Grouping sets via rollup + grouping_id over the dim hierarchy")
 
+  // -------------------------------------------- salted two-phase agg
+  // The skew lever, demonstrated with a correctness proof: phase 1
+  // aggregates on (key, salt) — a hot key's rows spread over 16 reducers —
+  // phase 2 merges the partials on the key alone. Identical result to the
+  // direct group-by (the oracle is the direct formulation), ~2x the
+  // exchanges; flip it on per-key when AQE's skew stats flag a hot key.
+  private val saltedAgg = QueryDef(
+    "q_salted_agg",
+    (s, d) => {
+      import s.implicits._
+      val salted = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(16)))
+        .groupBy($"l_returnflag", $"salt")
+        .agg(count("*").as("pn"),
+          sum(dec("l_quantity")).as("ps"))
+      salted.groupBy($"l_returnflag")
+        .agg(sum($"pn").as("n_rows"),
+          sum($"ps").cast("decimal(38,2)").as("sum_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_rows,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    "Skew-salted two-phase aggregation, provably equal to the direct form")
+
+  // ------------------------------------------ percentiles + arg-extremes
+  private val aggPercentile = QueryDef(
+    "q_agg_percentile",
+    (s, d) => {
+      import s.implicits._
+      // unique sortable value makes min_by/max_by tie-free across engines
+      val ordv = datediff($"l_shipdate".cast("date"), lit("1990-01-01").cast("date"))
+        .cast("long") * 10000000L + $"l_orderkey" * 10L + $"l_linenumber"
+      Tables.lineitem(s, d)
+        .withColumn("ordv", ordv)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).cast("decimal(38,6)").as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).cast("decimal(38,6)").as("p90_qty"),
+          min_by($"l_orderkey", $"ordv").as("first_ship_order"),
+          max_by($"l_orderkey", $"ordv").as("last_ship_order"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH t AS (
+        SELECT *, CAST(datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+          * 10000000 + l_orderkey * 10 + l_linenumber AS ordv
+        FROM lineitem)
+      SELECT l_returnflag,
+        CAST(round(quantile_cont(l_quantity, 0.5), 6) AS DECIMAL(38,6)) AS p50_qty,
+        CAST(round(quantile_cont(l_quantity, 0.9), 6) AS DECIMAL(38,6)) AS p90_qty,
+        min_by(l_orderkey, ordv) AS first_ship_order,
+        max_by(l_orderkey, ordv) AS last_ship_order
+      FROM t GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    "Exact interpolated percentiles + tie-free min_by/max_by")
+
   override def defs: Seq[QueryDef] =
-    Seq(aggGroupBy, aggDistinct, aggDropDup, aggHll, rollupCube)
+    Seq(aggGroupBy, aggDistinct, aggDropDup, aggHll, rollupCube,
+      saltedAgg, aggPercentile)
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale techniques that need explicit verification: bucketed
+  * co-located joins (shuffle elimination) and watermark late-data
+  * semantics. */
+class ScaleTechniquesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // dirs persist — clear both or CTAS fails with LOCATION_ALREADY_EXISTS
+    for (t <- Seq("orders_bucketed", "customer_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    Tables.orders(spark, sf).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_bucketed")
+    Tables.customer(spark, sf).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_bucketed")
+        .join(spark.table("customer_bucketed"),
+          $"o_custkey" === $"c_custkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed co-located join must not shuffle either side:\n" + plan)
+      // and it is still correct
+      val expected = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey").count()
+      assert(j.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("watermark drops late events from finalized windows") {
+    import graft.streaming.StreamingOps.Ev
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.time.Instant.parse("2024-06-01T10:00:00Z").toEpochMilli + min * 60000L)
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"user_id")
+      .agg(count("*").as("n"))
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(Ev(ts(0), 1L, 1.0), Ev(ts(2), 1L, 1.0), Ev(ts(7), 1L, 1.0))
+      q.processAllAvailable() // watermark -> 10:02; nothing finalized
+      ms.addData(Ev(ts(20), 1L, 1.0))
+      q.processAllAvailable() // watermark -> 10:15; [10:00,10:05) + [10:05,10:10) finalized
+      ms.addData(Ev(ts(1), 1L, 1.0)) // LATE: behind the 10:15 watermark -> dropped
+      ms.addData(Ev(ts(40), 1L, 1.0))
+      q.processAllAvailable() // flush remaining
+      val rows = spark.table("late_test")
+        .select(unix_timestamp($"window.start").as("w"), $"n")
+        .as[(Long, Long)].collect().toMap
+      val base = java.time.Instant.parse("2024-06-01T10:00:00Z").getEpochSecond
+      assert(rows(base) === 2L,
+        "the late event must NOT be added to the already-finalized first window")
+      assert(rows(base + 300) === 1L)
+    } finally q.stop()
+  }
+}
