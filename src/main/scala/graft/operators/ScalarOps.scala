@@ -182,7 +182,32 @@ object ScalarOps extends QueryPack {
       ORDER BY c_custkey"""),
     "spark.sql text front door: correlated scalar subqueries, decorrelated")
 
+  // ------------------------------------------------------- map type
+  // MapType through the runtime: build, look up, enumerate sorted keys —
+  // outputs are plain columns so the oracle recomputes them directly.
+  private val mapOps = QueryDef(
+    "q_map_ops",
+    (s, d) => {
+      import s.implicits._
+      val m = map_from_arrays(
+        array(lit("etype"), lit("uid")),
+        array($"event_type", $"user_id".cast("string")))
+      Tables.events(s, d)
+        .select($"event_id", m.as("m"))
+        .select($"event_id",
+          element_at($"m", "etype").as("etype"),
+          element_at($"m", "uid").as("uid_str"),
+          size($"m").cast("int").as("n_keys"),
+          array_join(array_sort(map_keys($"m")), ",").as("keys_sorted"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, event_type AS etype,
+      CAST(user_id AS VARCHAR) AS uid_str,
+      2 AS n_keys, 'etype,uid' AS keys_sorted
+      FROM events ORDER BY event_id"""),
+    "MapType runtime: map_from_arrays, element_at, map_keys")
+
   override def defs: Seq[QueryDef] =
     Seq(scalarString, scalarDate, scalarJson, arrayMap,
-      explodeArray, nullHandling, sqlSubquery)
+      explodeArray, nullHandling, sqlSubquery, mapOps)
 }

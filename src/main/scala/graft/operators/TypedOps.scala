@@ -75,5 +75,30 @@ object TypedOps extends QueryPack {
       FROM events GROUP BY user_id ORDER BY user_id"""),
     "KeyValueGroupedDataset.mapGroups: typed per-group computation")
 
-  override def defs: Seq[QueryDef] = Seq(pivotWide, groupedMap)
+  // --------------------------------------------------------- unpivot
+  // pivot's inverse (melt): wide customer metrics to long (metric, value)
+  // rows — a narrow per-row generator, no shuffle besides the sort.
+  private val unpivotLong = QueryDef(
+    "q_unpivot",
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .select($"c_custkey",
+          $"c_acctbal".cast("decimal(18,2)").as("acctbal"),
+          $"c_nationkey".cast("decimal(18,2)").as("nationkey"))
+        .unpivot(Array($"c_custkey"), Array($"acctbal", $"nationkey"),
+          "metric", "value")
+        .select($"c_custkey", $"metric",
+          $"value".cast("decimal(38,2)").as("value"))
+        .orderBy($"c_custkey", $"metric")
+    },
+    Some("""SELECT c_custkey, 'acctbal' AS metric,
+        CAST(c_acctbal AS DECIMAL(38,2)) AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric,
+        CAST(c_nationkey AS DECIMAL(38,2)) AS value FROM customer
+      ORDER BY c_custkey, metric"""),
+    "unpivot/melt: wide metrics to long rows")
+
+  override def defs: Seq[QueryDef] = Seq(pivotWide, groupedMap, unpivotLong)
 }

@@ -110,20 +110,48 @@ object StreamingOps extends QueryPack {
       "memory sink, verified against the batch oracle")
 
   // --------------------------------------------- streaming session window
-  /** Driver-side row for the MemoryStream test source (test-scale only;
-    * production uses Kafka/file sources — plan unchanged). */
+  /** Typed event row (also used by specs driving MemoryStream). */
   case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
 
+  /** Materialize a two-file streaming input under target/: file 1 = the
+    * whole events table (µs timestamps, so the stream source needs no
+    * ns workaround), file 2 = a single far-future sentinel row that
+    * advances the watermark past every real session. Idempotent per sf. */
+  private def streamInputDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = java.nio.file.Paths.get("target", "stream_in",
+      new java.io.File(d).getName)
+    val marker = dir.resolve("_complete")
+    if (java.nio.file.Files.exists(marker)) return dir.toString
+    val ev = Tables.events(s, d).select($"ts", $"user_id", $"value")
+    ev.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+    Seq(Ev(new java.sql.Timestamp(maxTs.getTime + 86400L * 1000L), -1L, 0.0))
+      .toDF().coalesce(1).write.mode("append").parquet(dir.toString)
+    java.nio.file.Files.write(marker, Array.empty[Byte])
+    dir.toString
+  }
+
+  // No driver materialization: a REAL file-source stream, one file per
+  // micro-batch (events, then the sentinel), so append mode emits every
+  // closed session once the sentinel batch advances the watermark. The
+  // production form is identical with a Kafka/file landing zone.
   private val streamSession = QueryDef(
     "q_stream_session",
     (s, d) => {
       import s.implicits._
-      val rows = Tables.events(s, d)
-        .select($"ts", $"user_id", $"value").as[Ev].collect().toSeq
-      val maxTs = rows.map(_.ts.getTime).max
-      implicit val sq = s.sqlContext
-      val ms = MemoryStream[Ev]
-      val q = ms.toDF()
+      val dir = streamInputDir(s, d)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(dir)
         .withWatermark("ts", "10 minutes")
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
         .agg(count("*").as("n_events"),
@@ -131,11 +159,6 @@ object StreamingOps extends QueryPack {
         .writeStream.format("memory").queryName("graft_stream_session")
         .outputMode("append")
         .start()
-      ms.addData(rows)
-      q.processAllAvailable()
-      // sentinel a day past the data: advances the watermark so every real
-      // session is closed and emitted; filtered out of the result below
-      ms.addData(Ev(new java.sql.Timestamp(maxTs + 86400L * 1000L), -1L, 0.0))
       q.processAllAvailable()
       q.stop()
       s.table("graft_stream_session")
@@ -147,8 +170,8 @@ object StreamingOps extends QueryPack {
         .orderBy($"user_id", $"start_us")
     },
     None,
-    "Stateful session windows (30-min gap) over a real micro-batch run; " +
-      "spec-verified against q_sessionize")
+    "Stateful session windows (30-min gap) over a real two-batch file " +
+      "stream; spec-verified against q_sessionize")
 
   // --------------------------------- custom state: flatMapGroupsWithState
   /** Per-user accumulator state for the stateful streaming query. */
@@ -200,6 +223,46 @@ object StreamingOps extends QueryPack {
     "flatMapGroupsWithState: custom per-key state store logic, " +
       "single-batch emission equals the batch group-by oracle")
 
+  // ------------------------------------- native batch session windows
+  // session_window also works in plain batch — same gap semantics as the
+  // manual lag+cumsum sessionization, which supplies the SQL oracle
+  // (end = last event + gap).
+  private val sessionWindowBatch = QueryDef(
+    "q_session_window_batch",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count("*").as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        .select($"user_id",
+          unix_micros($"session_window.start").as("start_us"),
+          unix_micros($"session_window.end").as("end_us"),
+          $"n_events", $"sum_value")
+        .orderBy($"user_id", $"start_us")
+    },
+    Some(s"""WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CAST(value AS DECIMAL(18,2)) AS v,
+          CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w >= $GapUs
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      s AS (
+        SELECT user_id, v, ts_us,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM e)
+      SELECT user_id, min(ts_us) AS start_us,
+        max(ts_us) + $GapUs AS end_us,
+        count(*) AS n_events,
+        CAST(sum(v) AS DECIMAL(38,2)) AS sum_value
+      FROM s GROUP BY user_id, session_idx
+      ORDER BY user_id, start_us"""),
+    "Native session_window in batch mode, oracle'd via manual gap sessions")
+
   override def defs: Seq[QueryDef] =
-    Seq(sessionize, streamTumbling, streamSession, streamStateful)
+    Seq(sessionize, streamTumbling, streamSession, streamStateful,
+      sessionWindowBatch)
 }
