@@ -145,6 +145,90 @@ object SimilarityOps extends QueryPack {
     None,
     "Embedding-cosine near-dup audit via SRP-LSH buckets")
 
+  // ---------------------------------------------------------- IVF ANN
+  /** Deterministic k-means coarse quantizer: init = first k sample
+    * vectors (no RNG), fixed Lloyd iterations, trained driver-side on a
+    * small sample — the standard IVF pattern (the quantizer is tiny and
+    * trained offline; only assignment is distributed). */
+  private[graft] def kmeansFit(
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    var cents = sample.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(cents, v)
+        cnts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (cnts(c) == 0) cents(c)
+        else { val s = sums(c); var i = 0
+          while (i < dim) { s(i) /= cnts(c); i += 1 }; s }
+      }
+    }
+    cents
+  }
+
+  private[graft] def nearestCentroid(
+      cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      val cent = cents(c)
+      while (i < v.length) { val t = v(i) - cent(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private[graft] def probeLists(
+      cents: Array[Array[Double]], v: Array[Double], nprobe: Int): Seq[Int] = {
+    cents.indices.map { c =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+      (d, c)
+    }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+  }
+
+  /** IVF index parameters: 16 lists, probe 2, train on vec_id % 7 == 0. */
+  private val IvfK = 16
+  private val IvfIters = 5
+  private val IvfNProbe = 2
+
+  private val simsearchIvf = QueryDef(
+    "q_simsearch_ivf",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      val sample = emb.filter(_._1 % 7 == 0)
+        .map(_._2.map(_.toDouble).toArray).collect()
+      val cents = kmeansFit(sample, IvfK, IvfIters)
+      // distributed assignment: tight JVM loop per row, quantizer shipped
+      // in the closure (k*dim doubles — kilobytes)
+      val assigned = emb.map { case (id, v) =>
+        (id, v, nearestCentroid(cents, v.map(_.toDouble).toArray))
+      }.toDF("cid", "cvec", "list")
+      val queries = emb.filter(_._1 < NQ).collect().toSeq.map { case (id, v) =>
+        (id, v, probeLists(cents, v.map(_.toDouble).toArray, IvfNProbe))
+      }.toDF("qid", "qvec", "probes")
+      val w = Window.partitionBy($"qid").orderBy($"dot".desc, $"cid")
+      broadcast(queries)
+        .join(assigned, array_contains($"probes", $"list") && $"qid" =!= $"cid")
+        .select($"qid", $"cid", $"list",
+          graft.functions.DecimalDot.decimal_dot($"qvec", $"cvec").as("dot"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= K)
+        .orderBy($"qid", $"rank")
+    },
+    None,
+    "IVF ANN: deterministic k-means coarse quantizer (16 lists), " +
+      "nprobe=2 probe, exact decimal rerank")
+
   override def defs: Seq[QueryDef] =
-    Seq(simsearchCosine, simsearchAnn, dedupEmbedding)
+    Seq(simsearchCosine, simsearchAnn, dedupEmbedding, simsearchIvf)
 }

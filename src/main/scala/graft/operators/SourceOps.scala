@@ -26,7 +26,7 @@ object SourceOps extends QueryPack {
   /** Deterministic payload corpus for one sf; idempotent. */
   def materializePayloads(s: SparkSession, d: String): String = {
     import s.implicits._
-    val dir = Paths.get("target", "payloads", new java.io.File(d).getName)
+    val dir = Paths.get("/root/repo/target", "payloads", new java.io.File(d).getName)
     val marker = dir.resolve("_complete")
     if (Files.exists(marker)) return dir.toString
     Files.createDirectories(dir)

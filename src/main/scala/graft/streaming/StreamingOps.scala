@@ -119,7 +119,7 @@ object StreamingOps extends QueryPack {
     * advances the watermark past every real session. Idempotent per sf. */
   private def streamInputDir(s: SparkSession, d: String): String = {
     import s.implicits._
-    val dir = java.nio.file.Paths.get("target", "stream_in",
+    val dir = java.nio.file.Paths.get("/root/repo/target", "stream_in",
       new java.io.File(d).getName)
     val marker = dir.resolve("_complete")
     if (java.nio.file.Files.exists(marker)) return dir.toString

