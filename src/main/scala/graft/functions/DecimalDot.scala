@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   * |queries| × |corpus| pairs.
   */
 case class DecimalDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DecimalType(38, 9)
   override def prettyName: String = "decimal_dot"
@@ -33,9 +33,23 @@ case class DecimalDot(left: Expression, right: Expression)
         s"decimal_dot requires two array<float>, got ${l.catalogString}, ${r.catalogString}")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecimalDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Generated code calls the static kernel, keeping the surrounding
+    * operators inside whole-stage codegen. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.DecimalDot.dot($l, $r);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecimalDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object DecimalDot {
+  /** The kernel — static so generated code can call it directly. */
+  def dot(x: ArrayData, y: ArrayData): org.apache.spark.sql.types.Decimal = {
     val n = math.min(x.numElements(), y.numElements())
     var acc = java.math.BigDecimal.ZERO
     var i = 0
@@ -53,12 +67,6 @@ case class DecimalDot(left: Expression, right: Expression)
       acc.setScale(9, java.math.RoundingMode.HALF_UP), 38, 9)
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): DecimalDot =
-    copy(left = newLeft, right = newRight)
-}
-
-object DecimalDot {
   /** Column-API entry point. */
   def decimal_dot(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -19,8 +19,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * expression is itself a tight per-row loop; the surrounding plan stays
   * whole-stage-codegen'd.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -31,8 +30,24 @@ case class SimHash64(child: Expression)
       s"simhash64 requires array<string>, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.hashArray(input.asInstanceOf[ArrayData]))
+
+  /** Generated code calls the static kernel — one virtual call per row,
+    * but the surrounding operators stay inside whole-stage codegen
+    * (CodegenFallback would demote the entire stage to interpreted
+    * projection). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.hashArray($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** The kernel — static so generated code can call it directly. */
+  def hashArray(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -52,14 +67,9 @@ case class SimHash64(child: Expression)
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
-
-object SimHash64 {
   /** Column-API entry point (Spark 4: Column wraps a ColumnNode, so the
     * catalyst bridge goes through ExpressionUtils). */
   def simhash64(c: Column): Column =

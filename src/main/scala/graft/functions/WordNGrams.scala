@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -20,8 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `UTF8String`s — the row-at-a-time cost every shingling-heavy operator
   * (n-gram dedup, MinHash) sits on.
   */
-case class WordNGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
 
   require(n >= 1, s"n-gram size must be >= 1, got $n")
 
@@ -34,18 +33,32 @@ case class WordNGrams(child: Expression, n: Int)
       s"word_ngrams requires array<string>, got ${other.catalogString}")
   }
 
+  override def nullSafeEval(input: Any): Any =
+    WordNGrams.ngrams(input.asInstanceOf[ArrayData], this.n)
+
+  /** Generated code calls the static kernel, keeping the surrounding
+    * operators inside whole-stage codegen. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNGrams.ngrams($c, ${this.n});")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+object WordNGrams {
   private val sep = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val total = arr.numElements() - this.n + 1
+  /** The kernel — static so generated code can call it directly. */
+  def ngrams(arr: ArrayData, n: Int): GenericArrayData = {
+    val total = arr.numElements() - n + 1
     if (total <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String](total * 2)
-    val parts = new Array[UTF8String](this.n)
+    val parts = new Array[UTF8String](n)
     var i = 0
     while (i < total) {
       var k = 0
-      while (k < this.n) {
+      while (k < n) {
         val e = arr.getUTF8String(i + k)
         parts(k) = if (e == null) UTF8String.EMPTY_UTF8 else e
         k += 1
@@ -56,11 +69,6 @@ case class WordNGrams(child: Expression, n: Int)
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
-    copy(child = newChild)
-}
-
-object WordNGrams {
   /** Column-API entry point: distinct ordered n-grams of a token array. */
   def word_ngrams(c: Column, n: Int): Column =
     ColumnBridge.column(WordNGrams(ColumnBridge.expression(c), n))
