@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }
 

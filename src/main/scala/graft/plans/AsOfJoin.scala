@@ -43,6 +43,32 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: Catalyst's PushDownPredicates cannot see through an
+  * unknown node, so a Filter sitting on an [[AsOfJoinNode]] would block
+  * pushdown all the way to the scan. This rule moves every conjunct that
+  * references only left-side attributes below the join (the left side is
+  * row-preserved by as-of semantics, so this is always sound); from
+  * there the stock rules push it into the parquet scan. Registered via
+  * GraftExtensions.injectOptimizerRule.
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoinNode) =>
+      val (pushable, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(a.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val newJoin = a.copy(left = Filter(pushable.reduce(And), a.left))
+        keep.reduceOption(And).map(Filter(_, newJoin)).getOrElse(newJoin)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lt, rt) =>

@@ -262,7 +262,44 @@ object StreamingOps extends QueryPack {
       ORDER BY user_id, start_us"""),
     "Native session_window in batch mode, oracle'd via manual gap sessions")
 
+  // ------------------------------------------- streaming exact dedup
+  // The reference's throttle (O2, main.py:79-98) in streaming form:
+  // dropDuplicatesWithinWatermark keeps the first event per
+  // (user_id, minute bucket) with state expiring at the watermark —
+  // bounded state at any scale. Which row arrives first per key is
+  // partition-order dependent, so the declared output is the deduped
+  // KEY SET (deterministic); the oracle is SELECT DISTINCT.
+  private val streamDedup = QueryDef(
+    "q_stream_dedup",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamInputDir(s, d)
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withColumn("minute_bucket",
+          (floor(unix_timestamp($"ts") / 60) * 60).cast("long"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "minute_bucket")
+        .writeStream.format("memory").queryName("graft_stream_dedup")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table("graft_stream_dedup")
+        .filter($"user_id" >= 0)
+        .select($"user_id", $"minute_bucket")
+        .orderBy($"user_id", $"minute_bucket")
+    },
+    Some("""SELECT DISTINCT user_id,
+      CAST(floor(epoch(ts) / 60) AS BIGINT) * 60 AS minute_bucket
+      FROM events ORDER BY user_id, minute_bucket"""),
+    "Streaming first-per-(key,bucket) via dropDuplicatesWithinWatermark; " +
+      "key set equals the batch DISTINCT oracle")
+
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamStateful,
-      sessionWindowBatch)
+      sessionWindowBatch, streamDedup)
 }

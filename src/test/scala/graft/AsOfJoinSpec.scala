@@ -45,6 +45,26 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got(4L) === Some("c"))
   }
 
+  test("optimizer rule pushes left-side filters through the as-of node into the scan") {
+    import org.apache.spark.sql.functions._
+    val shipDates = Tables.lineitem(spark, sf)
+      .select($"l_shipdate".cast("date").cast("timestamp").as("sd")).distinct()
+    val joined = AsOfJoin.asof(Tables.orders(spark, sf), shipDates,
+      "o_orderdate", "sd")
+      .filter($"o_orderkey" < 100) // references only the left side
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    // the Filter must sit BELOW the AsOfJoinNode after optimization
+    val lines = optimized.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("AsOfJoinNode"))
+    val filterIdx = lines.indexWhere(_.contains("o_orderkey"), joinIdx)
+    assert(joinIdx >= 0)
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]"),
+      "filter must reach the parquet scan:\n" + physical)
+    assert(joined.count() === Tables.orders(spark, sf)
+      .filter($"o_orderkey" < 100).count())
+  }
+
   test("asof join validates the time column name") {
     val df = Seq((1L, "2020-01-01 00:00:00")).toDF("id", "t")
     val e = intercept[IllegalArgumentException] {
