@@ -170,6 +170,46 @@ object TextOps extends QueryPack {
       FROM f ORDER BY doc_id"""),
     "Order-invariant document fingerprint (md5 of sorted token set)")
 
+  // ------------------------------------- rolling-hash winnow fingerprint
+  // Schleimer et al. 2003 winnowing (the MOSS fingerprint): Rabin-Karp
+  // rolling hash over k=24-byte windows, winnow window w=8 — any shared
+  // substring of >= 31 bytes guarantees a shared fingerprint. (k is
+  // sized to ~4 words: the fixture's 31-word vocabulary makes shorter
+  // byte windows collide across unrelated docs, exploding the
+  // fingerprint join the same way hot shingles would.) Custom
+  // expression (graft.functions.RollingWinnow); no SQL oracle (the spec
+  // recomputes the kernel independently), but the derived near-dup
+  // pairing below is cross-checked against the exact n-gram Jaccard
+  // pairs. The pair join is an inverted index on fingerprints — same
+  // scale shape as the shingle join.
+  private val textWinnow = QueryDef(
+    "q_text_fingerprint_winnow",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.RollingWinnow.rolling_winnow
+      val fps = Tables.documents(s, d)
+        .select($"doc_id", rolling_winnow(lower($"text"), 24, 8).as("fp"))
+        .filter(size($"fp") > 0).cache()
+      val posting = fps.select($"doc_id", explode($"fp").as("h"))
+      val shared = posting.as("a")
+        .join(posting.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count("*").as("shared"))
+      val counts = fps.select($"doc_id", size($"fp").cast("long").as("n_fp"))
+      shared
+        .join(counts.toDF("doc1", "n1"), "doc1")
+        .join(counts.toDF("doc2", "n2"), "doc2")
+        .select($"doc1", $"doc2",
+          round($"shared".cast("decimal(18,2)") / least($"n1", $"n2"), 6)
+            .cast("decimal(38,6)").as("containment"))
+        .filter($"containment" >= lit("0.5").cast("decimal(38,6)"))
+        .orderBy($"doc1", $"doc2")
+    },
+    None,
+    "Winnowed rolling-hash fingerprint near-dup pairs (MOSS-style)")
+
   override def defs: Seq[QueryDef] =
-    Seq(textAnalysis, textTokens, textQuality, textLangId, textFingerprint)
+    Seq(textAnalysis, textTokens, textQuality, textLangId, textFingerprint,
+      textWinnow)
 }

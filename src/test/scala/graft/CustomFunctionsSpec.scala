@@ -58,6 +58,49 @@ class CustomFunctionsSpec extends SparkTestBase {
     got.zip(ref).foreach { case (g, r) => assert(BigDecimal(g) === BigDecimal(r)) }
   }
 
+  test("rolling_winnow matches an independent JVM recomputation") {
+    import graft.functions.RollingWinnow.rolling_winnow
+    // independent reference implementation: brute-force k-gram hashes +
+    // naive per-window minimum with rightmost-min tie-break
+    def ref(s: String, k: Int, w: Int): Seq[Long] = {
+      val b = s.getBytes("UTF-8")
+      val n = b.length - k + 1
+      if (n <= 0) return Seq.empty
+      val hs = (0 until n).map { i =>
+        var h = 0L
+        (i until i + k).foreach(j => h = h * 257L + (b(j) & 0xff))
+        h
+      }
+      val sel = scala.collection.mutable.TreeSet[Long]()
+      if (n < w) sel += hs.min
+      else (0 to n - w).foreach { s0 =>
+        val win = hs.slice(s0, s0 + w)
+        val m = win.min
+        sel += m
+      }
+      sel.toSeq
+    }
+    val texts = Tables.documents(spark, sf).limit(30)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    val got = texts.map(_._1).zip(
+      texts.map(t => Seq(t._2).toDF("t")
+        .select(rolling_winnow($"t", 12, 6)).as[Seq[Long]].head())).toMap
+    texts.foreach { case (id, txt) =>
+      assert(got(id) === ref(txt, 12, 6), s"doc $id")
+    }
+  }
+
+  test("winnow fingerprints: near-identical docs share most fingerprints") {
+    val pairs = q("q_text_fingerprint_winnow")
+    import org.apache.spark.sql.functions.col
+    val found = pairs.select(col("doc1"), col("doc2"))
+      .as[(Long, Long)].collect().toSet
+    val exact = q("q_dedup_ngram_jaccard").select(col("doc1"), col("doc2"))
+      .as[(Long, Long)].collect().toSet
+    val recall = exact.count(found.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"winnow should catch the planted near-dups: $recall")
+  }
+
   test("custom functions resolve in SQL via extensions/registration") {
     Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_tmp")
     val r = spark.sql(
