@@ -213,12 +213,18 @@ object SimilarityOps extends QueryPack {
       val assigned = emb.map { case (id, v) =>
         (id, v, nearestCentroid(cents, v.map(_.toDouble).toArray))
       }.toDF("cid", "cvec", "list")
-      val queries = emb.filter(_._1 < NQ).collect().toSeq.map { case (id, v) =>
-        (id, v, probeLists(cents, v.map(_.toDouble).toArray, IvfNProbe))
-      }.toDF("qid", "qvec", "probes")
+      // one row per (query, probed list): the probe becomes an EQUI join
+      // key — a broadcast hash join on `list`, not a nested-loop scan of
+      // every query per candidate (matters once |queries| grows)
+      val queries = emb.filter(_._1 < NQ).collect().toSeq.flatMap {
+        case (id, v) =>
+          probeLists(cents, v.map(_.toDouble).toArray, IvfNProbe)
+            .map(p => (id, v, p))
+      }.toDF("qid", "qvec", "list")
       val w = Window.partitionBy($"qid").orderBy($"dot".desc, $"cid")
       broadcast(queries)
-        .join(assigned, array_contains($"probes", $"list") && $"qid" =!= $"cid")
+        .join(assigned, Seq("list"))
+        .filter($"qid" =!= $"cid")
         .select($"qid", $"cid", $"list",
           graft.functions.DecimalDot.decimal_dot($"qvec", $"cvec").as("dot"))
         .withColumn("rank", row_number().over(w).cast("long"))
