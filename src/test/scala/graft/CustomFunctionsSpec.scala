@@ -48,12 +48,12 @@ class CustomFunctionsSpec extends SparkTestBase {
   test("decimal_dot equals the declarative decimal chain") {
     val df = Tables.embeddings(spark, sf).limit(100)
       .select($"embedding".as("a"), $"embedding".as("b"))
-    def dec9(c: org.apache.spark.sql.Column) =
-      c.cast("double").cast("decimal(18,9)")
+    def dec6(c: org.apache.spark.sql.Column) =
+      c.cast("double").cast("decimal(18,6)")
     val ref = df.select(round(
-      aggregate(zip_with($"a", $"b", (x, y) => (dec9(x) * dec9(y)).cast("decimal(20,18)")),
-        lit(0).cast("decimal(28,18)"), (acc, x) => (acc + x).cast("decimal(28,18)")),
-      9).cast("decimal(38,9)").cast("string")).as[String].collect()
+      aggregate(zip_with($"a", $"b", (x, y) => (dec6(x) * dec6(y)).cast("decimal(20,12)")),
+        lit(0).cast("decimal(28,12)"), (acc, x) => (acc + x).cast("decimal(28,12)")),
+      6).cast("decimal(38,6)").cast("string")).as[String].collect()
     val got = df.select(decimal_dot($"a", $"b").cast("string")).as[String].collect()
     got.zip(ref).foreach { case (g, r) => assert(BigDecimal(g) === BigDecimal(r)) }
   }

@@ -91,9 +91,9 @@ class PipelineOpsSpec extends SparkTestBase {
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
     def dot(a: Seq[Float], b: Seq[Float]): BigDecimal =
       a.zip(b).map { case (x, y) =>
-        BigDecimal(x.toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP) *
-          BigDecimal(y.toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-      }.sum.setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        BigDecimal(x.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+          BigDecimal(y.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP)
     val got = q("q_simsearch_cosine")
       .select($"qid", $"rank", $"cid").as[(Long, Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
