@@ -35,10 +35,14 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only the last ~2000 chars of output; the full-
+    // precision JSON line overflowed that window in round 1 (parsed:null).
+    // 3-decimal values keep the whole line comfortably inside the buffer.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

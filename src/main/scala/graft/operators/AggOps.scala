@@ -25,21 +25,21 @@ object AggOps extends QueryPack {
         .filter($"l_shipdate" <= lit("1998-09-02"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
-          sum(dec("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
+          sum(dec("l_quantity")).cast("decimal(38,2)").cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("decimal(38,2)").cast("double").as("sum_base_price"),
           sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-            .cast("decimal(38,4)").as("sum_disc_price"),
+            .cast("decimal(38,4)").cast("double").as("sum_disc_price"),
           count("*").as("count_order"),
           round(sum(dec("l_quantity")) / count("*"), 6)
-            .cast("decimal(38,6)").as("avg_qty"))
+            .cast("decimal(38,6)").cast("double").as("avg_qty"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
       count(*) AS count_order,
-      CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) / count(*), 6) AS DECIMAL(38,6)) AS avg_qty
+      CAST(CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) / count(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS avg_qty
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""),
@@ -106,7 +106,7 @@ object AggOps extends QueryPack {
         .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
         .rollup($"r_name", $"n_name")
         .agg(count("*").as("n_cust"),
-          sum(dec("c_acctbal")).cast("decimal(38,2)").as("sum_bal"),
+          sum(dec("c_acctbal")).cast("decimal(38,2)").cast("double").as("sum_bal"),
           grouping_id().as("gid"))
         .select(
           coalesce($"r_name", lit("ALL")).as("region"),
@@ -117,7 +117,7 @@ object AggOps extends QueryPack {
     Some("""SELECT coalesce(r_name, 'ALL') AS region,
       coalesce(n_name, 'ALL') AS nation,
       count(*) AS n_cust,
-      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal,
+      CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_bal,
       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
@@ -143,11 +143,11 @@ object AggOps extends QueryPack {
           sum(dec("l_quantity")).as("ps"))
       salted.groupBy($"l_returnflag")
         .agg(sum($"pn").as("n_rows"),
-          sum($"ps").cast("decimal(38,2)").as("sum_qty"))
+          sum($"ps").cast("decimal(38,2)").cast("double").as("sum_qty"))
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag, count(*) AS n_rows,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     "Skew-salted two-phase aggregation, provably equal to the direct form")
 
@@ -163,8 +163,10 @@ object AggOps extends QueryPack {
         .withColumn("ordv", ordv)
         .groupBy($"l_returnflag")
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).cast("decimal(38,6)").as("p50_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 6).cast("decimal(38,6)").as("p90_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).cast("decimal(38,6)")
+            .cast("double").as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).cast("decimal(38,6)")
+            .cast("double").as("p90_qty"),
           min_by($"l_orderkey", $"ordv").as("first_ship_order"),
           max_by($"l_orderkey", $"ordv").as("last_ship_order"))
         .orderBy($"l_returnflag")
@@ -174,8 +176,8 @@ object AggOps extends QueryPack {
           * 10000000 + l_orderkey * 10 + l_linenumber AS ordv
         FROM lineitem)
       SELECT l_returnflag,
-        CAST(round(quantile_cont(l_quantity, 0.5), 6) AS DECIMAL(38,6)) AS p50_qty,
-        CAST(round(quantile_cont(l_quantity, 0.9), 6) AS DECIMAL(38,6)) AS p90_qty,
+        CAST(CAST(round(quantile_cont(l_quantity, 0.5), 6) AS DECIMAL(38,6)) AS DOUBLE) AS p50_qty,
+        CAST(CAST(round(quantile_cont(l_quantity, 0.9), 6) AS DECIMAL(38,6)) AS DOUBLE) AS p90_qty,
         min_by(l_orderkey, ordv) AS first_ship_order,
         max_by(l_orderkey, ordv) AS last_ship_order
       FROM t GROUP BY l_returnflag ORDER BY l_returnflag"""),

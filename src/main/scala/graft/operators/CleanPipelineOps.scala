@@ -49,7 +49,7 @@ object CleanPipelineOps extends QueryPack {
         .agg(count("*").as("n_docs"),
           sum($"n_chars").as("total_chars"),
           round(sum($"ttr").cast("decimal(38,6)") / count("*"), 6)
-            .cast("decimal(38,6)").as("avg_ttr"))
+            .cast("decimal(38,6)").cast("double").as("avg_ttr"))
         .orderBy($"lang")
     },
     Some("""WITH gated AS (
@@ -84,7 +84,7 @@ object CleanPipelineOps extends QueryPack {
         WHERE CAST(round(CAST(i AS DECIMAL(18,2)) / (c1.n_sh + c2.n_sh - i), 6) AS DECIMAL(38,6)) >= 0.5)
       SELECT lang, count(*) AS n_docs,
         CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        CAST(round(CAST(sum(ttr) AS DECIMAL(38,6)) / count(*), 6) AS DECIMAL(38,6)) AS avg_ttr
+        CAST(CAST(round(CAST(sum(ttr) AS DECIMAL(38,6)) / count(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS avg_ttr
       FROM exact_kept
       WHERE doc_id NOT IN (SELECT doc_id FROM losers)
       GROUP BY lang ORDER BY lang"""),

@@ -20,7 +20,18 @@ object CoreOps extends QueryPack {
 
   /** Exact 2-dec decimal view of the double `value` column — both engines
     * round the same IEEE double to the same 2-dec decimal, making sums
-    * bit-stable (SURVEY §2.2 determinism rule). */
+    * bit-stable (SURVEY §2.2 determinism rule).
+    *
+    * Output convention (round-2 fix): all arithmetic stays decimal-exact
+    * INTERNALLY, but every decimal column leaves the query as DOUBLE.
+    * The driver reads our parquet through pandas (DECIMAL -> Decimal
+    * objects, str keeps trailing zeros: '138014.00', NULL -> 'None') but
+    * fetches the DuckDB oracle via fetchdf (DECIMAL -> float64:
+    * '138014.0', NULL -> 'nan'), so identical values hash-differ unless
+    * both sides ship float64. Decimal->double is correctly rounded in
+    * both engines and our unscaled values stay < 2^53, so the doubles are
+    * bit-identical. Oracle SQL wraps the same decimal expression in
+    * CAST(... AS DOUBLE). */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   /** Epoch-seconds start of the 5-minute tumbling window (reference O10:
@@ -44,11 +55,11 @@ object CoreOps extends QueryPack {
           count("*").as("n_rows"),
           min($"l_orderkey").as("min_key"),
           max($"l_orderkey").as("max_key"),
-          sum(dec($"l_quantity")).cast("decimal(38,2)").as("sum_qty"))
+          sum(dec($"l_quantity")).cast("decimal(38,2)").cast("double").as("sum_qty"))
     },
     Some("""SELECT count(*) AS n_rows, min(l_orderkey) AS min_key,
       max(l_orderkey) AS max_key,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
       FROM lineitem"""),
     "Parquet scan + projection + scalar agg; reference O1 source analog")
 
@@ -62,13 +73,13 @@ object CoreOps extends QueryPack {
           $"event_id".as("id"),
           $"user_id".cast("int").as("uid"),
           upper($"event_type").as("etype"),
-          dec($"value").cast("decimal(38,2)").as("value_dec"),
+          dec($"value").cast("double").as("value_dec"),
           unix_timestamp($"ts").as("server_ts"))
         .orderBy($"id")
     },
     Some("""SELECT event_id AS id, CAST(user_id AS INT) AS uid,
       upper(event_type) AS etype,
-      CAST(value AS DECIMAL(38,2)) AS value_dec,
+      CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec,
       CAST(floor(epoch(ts)) AS BIGINT) AS server_ts
       FROM events ORDER BY id"""),
     "Reference O3/O4 projection+rename+cast (utils/transform.py:12-27)")
@@ -104,13 +115,13 @@ object CoreOps extends QueryPack {
           $"l_shipdate".isNotNull &&
           !($"l_discount" > 0.08))
         .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
-          dec($"l_quantity").cast("decimal(38,2)").as("qty"))
+          dec($"l_quantity").cast("double").as("qty"))
         // (l_orderkey, l_linenumber) is NOT unique in the fixture — order by
         // every output column for a total order (dup rows compare equal).
         .orderBy($"l_orderkey", $"l_linenumber", $"l_returnflag", $"qty")
     },
     Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
-      CAST(l_quantity AS DECIMAL(38,2)) AS qty
+      CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
       FROM lineitem
       WHERE (l_returnflag = 'A' OR l_returnflag = 'R')
         AND l_quantity BETWEEN 10 AND 40
@@ -127,11 +138,13 @@ object CoreOps extends QueryPack {
       .groupBy(window($"ts", "5 minutes"), $"event_type")
       .agg(
         count("*").as("n_events"),
-        sum(dec($"value")).cast("decimal(38,2)").as("sum_value"))
+        sum(dec($"value")).cast("decimal(38,2)").as("sum_dec"))
       .select(
         unix_timestamp($"window.start").as("win_start"),
-        $"event_type", $"n_events", $"sum_value",
-        round($"sum_value" / $"n_events", 6).cast("decimal(38,6)").as("avg_value"))
+        $"event_type", $"n_events",
+        $"sum_dec".cast("double").as("sum_value"),
+        round($"sum_dec" / $"n_events", 6).cast("decimal(38,6)")
+          .cast("double").as("avg_value"))
       .orderBy($"win_start", $"event_type")
   }
 
@@ -140,8 +153,8 @@ object CoreOps extends QueryPack {
     (s, d) => windowAvg(s, d),
     Some(s"""SELECT $duckWin5m AS win_start, event_type,
       count(*) AS n_events,
-      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
-      CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) / count(*), 6) AS DECIMAL(38,6)) AS avg_value
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value,
+      CAST(CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) / count(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS avg_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
     "Reference O8-O10: 5-min tumbling avg (utils/load.py:8-42)")
 
@@ -173,7 +186,9 @@ object CoreOps extends QueryPack {
         .withColumn("avg_filled",
           coalesce($"avg_v", last($"avg_v", ignoreNulls = true).over(prevW))
             .cast("decimal(38,6)"))
-        .select($"win_start", $"avg_v", $"avg_filled")
+        .select($"win_start",
+          $"avg_v".cast("double").as("avg_v"),
+          $"avg_filled".cast("double").as("avg_filled"))
         .orderBy($"win_start")
     },
     Some(s"""WITH agg AS (
@@ -182,11 +197,11 @@ object CoreOps extends QueryPack {
         FROM events WHERE event_type = 'purchase' GROUP BY 1),
       bounds AS (SELECT min($duckWin5m) AS mn, max($duckWin5m) AS mx FROM events),
       spine AS (SELECT unnest(generate_series(mn, mx, 300)) AS win_start FROM bounds)
-      SELECT s.win_start, a.avg_v,
-        CAST(coalesce(a.avg_v,
+      SELECT s.win_start, CAST(a.avg_v AS DOUBLE) AS avg_v,
+        CAST(CAST(coalesce(a.avg_v,
           last_value(a.avg_v IGNORE NULLS) OVER
             (ORDER BY s.win_start ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-          AS DECIMAL(38,6)) AS avg_filled
+          AS DECIMAL(38,6)) AS DOUBLE) AS avg_filled
       FROM spine s LEFT JOIN agg a USING (win_start)
       ORDER BY s.win_start"""),
     "Reference O11 previous-window fallback (utils/load.py:16-25)")
@@ -237,6 +252,9 @@ object CoreOps extends QueryPack {
           round($"sv" / $"nv", 6).cast("decimal(38,6)").as(alias))
     side("purchase", "avg_purchase")
       .join(side("view", "avg_view"), Seq("win_start"), "inner")
+      .select($"win_start",
+        $"avg_purchase".cast("double").as("avg_purchase"),
+        $"avg_view".cast("double").as("avg_view"))
       .orderBy($"win_start")
   }
 
@@ -251,7 +269,8 @@ object CoreOps extends QueryPack {
         SELECT $duckWin5m AS win_start,
           CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) / count(*), 6) AS DECIMAL(38,6)) AS avg_view
         FROM events WHERE event_type = 'view' GROUP BY 1)
-      SELECT win_start, avg_purchase, avg_view
+      SELECT win_start, CAST(avg_purchase AS DOUBLE) AS avg_purchase,
+        CAST(avg_view AS DOUBLE) AS avg_view
       FROM p JOIN v USING (win_start) ORDER BY win_start"""),
     "Reference O12 window-grain stream combine (utils/load.py:37-42)")
 
@@ -266,12 +285,13 @@ object CoreOps extends QueryPack {
              count("*").as("n_v"))
         .select(
           $"event_type",
-          round($"sum_v" / $"n_v", 2).cast("decimal(38,2)").as("avg_rounded"),
+          round($"sum_v" / $"n_v", 2).cast("decimal(38,2)")
+            .cast("double").as("avg_rounded"),
           format_string("%.2f", ($"sum_v" / $"n_v").cast("double")).as("avg_str"))
         .orderBy($"event_type")
     },
     Some("""SELECT event_type,
-      CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) / count(*), 2) AS DECIMAL(38,2)) AS avg_rounded,
+      CAST(CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) / count(*), 2) AS DECIMAL(38,2)) AS DOUBLE) AS avg_rounded,
       printf('%.2f', CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) / count(*) AS DOUBLE)) AS avg_str
       FROM events GROUP BY event_type ORDER BY event_type"""),
     "Reference O13 fixed-point formatting (utils/load.py:52-53)")

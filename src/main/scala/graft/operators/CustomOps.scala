@@ -21,12 +21,12 @@ object CustomOps extends QueryPack {
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(
-          avgUdaf($"l_extendedprice").cast("decimal(38,6)").as("avg_price"),
+          avgUdaf($"l_extendedprice").cast("decimal(38,6)").cast("double").as("avg_price"),
           count("*").as("n_rows"))
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / count(*), 6) AS DECIMAL(38,6)) AS avg_price,
+      CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / count(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS avg_price,
       count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     "Typed Aggregator: decimal-exact average (reference O9 semantics, " +

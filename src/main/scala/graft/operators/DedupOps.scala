@@ -122,6 +122,8 @@ object DedupOps extends QueryPack {
     pairs
       .filter($"jaccard" >= lit("0.5").cast("decimal(38,6)"))
       .orderBy($"doc1", $"doc2")
+      // threshold + order decided on the exact decimal; ship as double
+      .withColumn("jaccard", $"jaccard".cast("double"))
   }
 
   private val dedupNgram = QueryDef(
@@ -141,7 +143,7 @@ object DedupOps extends QueryPack {
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT doc1, doc2,
-        CAST(round(CAST(i AS DECIMAL(18,2)) / (c1.n_sh + c2.n_sh - i), 6) AS DECIMAL(38,6)) AS jaccard
+        CAST(CAST(round(CAST(i AS DECIMAL(18,2)) / (c1.n_sh + c2.n_sh - i), 6) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
       FROM inter
       JOIN counts c1 ON doc1 = c1.doc_id
       JOIN counts c2 ON doc2 = c2.doc_id
@@ -186,6 +188,7 @@ object DedupOps extends QueryPack {
             6).cast("decimal(38,6)").as("jaccard"))
         .filter($"jaccard" >= lit("0.5").cast("decimal(38,6)"))
         .orderBy($"doc1", $"doc2")
+        .withColumn("jaccard", $"jaccard".cast("double"))
     },
     None,
     "MinHash(16) + LSH(4x4) candidate buckets, exact-Jaccard verified")

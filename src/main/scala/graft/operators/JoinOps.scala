@@ -27,11 +27,11 @@ object JoinOps extends QueryPack {
         .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(count("*").as("n_orders"),
-          sum(dec("o_totalprice")).cast("decimal(38,2)").as("revenue"))
+          sum(dec("o_totalprice")).cast("decimal(38,2)").cast("double").as("revenue"))
         .orderBy($"c_mktsegment")
     },
     Some("""SELECT c_mktsegment, count(*) AS n_orders,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
     "Fact ⋈ broadcast dim: no shuffle of the orders side")
@@ -45,11 +45,11 @@ object JoinOps extends QueryPack {
         .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority")
         .agg(count("*").as("n_items"),
-          sum(dec("l_extendedprice")).cast("decimal(38,2)").as("sum_price"))
+          sum(dec("l_extendedprice")).cast("decimal(38,2)").cast("double").as("sum_price"))
         .orderBy($"o_orderpriority")
     },
     Some("""SELECT o_orderpriority, count(*) AS n_items,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
     "Big-big equi join, forced sort-merge (both sides shuffle on key)")

@@ -95,8 +95,10 @@ object ScalarOps extends QueryPack {
         .select(
           $"vec_id",
           size($"embedding").as("dim"),
-          element_at($"embedding", 1).cast("double").cast("decimal(18,6)").as("e1"),
-          element_at($"embedding", 64).cast("double").cast("decimal(18,6)").as("e64"),
+          element_at($"embedding", 1).cast("double").cast("decimal(18,6)")
+            .cast("double").as("e1"),
+          element_at($"embedding", 64).cast("double").cast("decimal(18,6)")
+            .cast("double").as("e64"),
           aggregate(
             transform($"embedding", x => x.cast("double").cast("decimal(18,6)")),
             lit(0).cast("decimal(28,6)"),
@@ -105,14 +107,14 @@ object ScalarOps extends QueryPack {
             // every fold step. aggregate() needs merge type == zero type,
             // hence the explicit down-cast (exact while |sum| < 1e22).
             (acc, x) => (acc + x).cast("decimal(28,6)"))
-            .cast("decimal(38,6)").as("sum_e"))
+            .cast("decimal(38,6)").cast("double").as("sum_e"))
         .orderBy($"vec_id")
     },
     Some("""SELECT vec_id,
       CAST(len(embedding) AS INT) AS dim,
-      CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)) AS e1,
-      CAST(CAST(embedding[64] AS DOUBLE) AS DECIMAL(18,6)) AS e64,
-      CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS sum_e
+      CAST(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS e1,
+      CAST(CAST(CAST(embedding[64] AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS e64,
+      CAST(CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_e
       FROM embeddings ORDER BY vec_id"""),
     "Array battery: size/element_at/transform/aggregate over embeddings")
 
@@ -126,11 +128,11 @@ object ScalarOps extends QueryPack {
         .select($"vec_id",
           posexplode(slice($"embedding", 1, 8)))
         .select($"vec_id", ($"pos" + 1).cast("int").as("dim"),
-          $"col".cast("double").cast("decimal(18,6)").as("val"))
+          $"col".cast("double").cast("decimal(18,6)").cast("double").as("val"))
         .orderBy($"vec_id", $"dim")
     },
     Some("""SELECT vec_id, CAST(i AS INT) AS dim,
-      CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS val
+      CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS val
       FROM embeddings, unnest(generate_series(1, 8)) AS t(i)
       WHERE vec_id < 20 ORDER BY vec_id, dim"""),
     "posexplode generator over array slices")
@@ -169,16 +171,16 @@ object ScalarOps extends QueryPack {
         SELECT c_custkey,
           (SELECT count(*) FROM v_orders o
             WHERE o.o_custkey = c.c_custkey) AS n_orders,
-          CAST((SELECT max(CAST(o_totalprice AS DECIMAL(18,2))) FROM v_orders o
-            WHERE o.o_custkey = c.c_custkey) AS DECIMAL(38,2)) AS max_price
+          CAST(CAST((SELECT max(CAST(o_totalprice AS DECIMAL(18,2))) FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey) AS DECIMAL(38,2)) AS DOUBLE) AS max_price
         FROM v_customer c
         ORDER BY c_custkey""")
     },
     Some("""SELECT c_custkey,
       (SELECT count(*) FROM orders o
         WHERE o.o_custkey = c.c_custkey) AS n_orders,
-      CAST((SELECT max(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders o
-        WHERE o.o_custkey = c.c_custkey) AS DECIMAL(38,2)) AS max_price
+      CAST(CAST((SELECT max(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS DECIMAL(38,2)) AS DOUBLE) AS max_price
       FROM customer c
       ORDER BY c_custkey"""),
     "spark.sql text front door: correlated scalar subqueries, decorrelated")

@@ -57,12 +57,14 @@ object SimilarityOps extends QueryPack {
         .withColumn("rank", row_number().over(globalW).cast("long"))
         .filter($"rank" <= K)
         .orderBy($"qid", $"rank")
+        // ranking decided on the exact decimal dot; ship as double
+        .withColumn("dot", $"dot".cast("double"))
     },
     Some(s"""SELECT q.vec_id AS qid, c.vec_id AS cid,
-      CAST(round(list_sum(list_transform(range(1, 65),
+      CAST(CAST(round(list_sum(list_transform(range(1, 65),
         i -> CAST(CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,6))
            * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(20,12)))), 6)
-        AS DECIMAL(38,6)) AS dot,
+        AS DECIMAL(38,6)) AS DOUBLE) AS dot,
       row_number() OVER (PARTITION BY q.vec_id ORDER BY
         CAST(round(list_sum(list_transform(range(1, 65),
           i -> CAST(CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,6))
@@ -230,6 +232,7 @@ object SimilarityOps extends QueryPack {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= K)
         .orderBy($"qid", $"rank")
+        .withColumn("dot", $"dot".cast("double"))
     },
     None,
     "IVF ANN: deterministic k-means coarse quantizer (16 lists), " +

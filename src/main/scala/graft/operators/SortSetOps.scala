@@ -20,13 +20,18 @@ object SortSetOps extends QueryPack {
       import s.implicits._
       Tables.orders(s, d)
         .select($"o_orderkey", $"o_custkey",
-          $"o_totalprice".cast("decimal(18,2)").cast("decimal(38,2)").as("price"))
-        .orderBy($"price".desc, $"o_orderkey")
+          $"o_totalprice".cast("decimal(18,2)").as("price_dec"))
+        .orderBy($"price_dec".desc, $"o_orderkey")
         .limit(100)
+        // top-k decided on the exact decimal; the cents-granular decimals
+        // stay distinct in double, so the emitted order is unchanged
+        .select($"o_orderkey", $"o_custkey", $"price_dec".cast("double").as("price"))
     },
-    Some("""SELECT o_orderkey, o_custkey,
-      CAST(o_totalprice AS DECIMAL(38,2)) AS price
-      FROM orders ORDER BY price DESC, o_orderkey LIMIT 100"""),
+    Some("""SELECT o_orderkey, o_custkey, CAST(price_dec AS DOUBLE) AS price
+      FROM (SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+        FROM orders ORDER BY price_dec DESC, o_orderkey LIMIT 100)
+      ORDER BY price_dec DESC, o_orderkey"""),
     "Top-k via TakeOrderedAndProject (per-partition heaps, no global sort)")
 
   // ------------------------------------------------------ set ops

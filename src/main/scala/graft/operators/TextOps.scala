@@ -78,11 +78,12 @@ object TextOps extends QueryPack {
       Tables.documents(s, d)
         .select(
           $"doc_id", nTok.as("n_tokens"),
-          ttr.as("type_token_ratio"),
-          stopRatio.as("stopword_ratio"),
+          ttr.cast("double").as("type_token_ratio"),
+          stopRatio.cast("double").as("stopword_ratio"),
           // composite score: diversity minus stopword dominance, floor 0
           greatest(lit(0).cast("decimal(38,6)"),
-            (ttr - stopRatio).cast("decimal(38,6)")).as("quality_score"))
+            (ttr - stopRatio).cast("decimal(38,6)"))
+            .cast("double").as("quality_score"))
         .orderBy($"doc_id")
     },
     Some("""WITH t AS (
@@ -93,11 +94,11 @@ object TextOps extends QueryPack {
             x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
         FROM documents)
       SELECT doc_id, n_tokens,
-        CAST(round(CAST(n_distinct AS DECIMAL(18,2)) / n_tokens, 6) AS DECIMAL(38,6)) AS type_token_ratio,
-        CAST(round(CAST(n_stop AS DECIMAL(18,2)) / n_tokens, 6) AS DECIMAL(38,6)) AS stopword_ratio,
-        greatest(CAST(0 AS DECIMAL(38,6)),
+        CAST(CAST(round(CAST(n_distinct AS DECIMAL(18,2)) / n_tokens, 6) AS DECIMAL(38,6)) AS DOUBLE) AS type_token_ratio,
+        CAST(CAST(round(CAST(n_stop AS DECIMAL(18,2)) / n_tokens, 6) AS DECIMAL(38,6)) AS DOUBLE) AS stopword_ratio,
+        CAST(greatest(CAST(0 AS DECIMAL(38,6)),
           CAST(CAST(round(CAST(n_distinct AS DECIMAL(18,2)) / n_tokens, 6) AS DECIMAL(38,6))
-             - CAST(round(CAST(n_stop AS DECIMAL(18,2)) / n_tokens, 6) AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS quality_score
+             - CAST(round(CAST(n_stop AS DECIMAL(18,2)) / n_tokens, 6) AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS DOUBLE) AS quality_score
       FROM t ORDER BY doc_id"""),
     "Per-doc quality heuristics: type-token ratio, stopword ratio, score")
 
@@ -205,6 +206,7 @@ object TextOps extends QueryPack {
             .cast("decimal(38,6)").as("containment"))
         .filter($"containment" >= lit("0.5").cast("decimal(38,6)"))
         .orderBy($"doc1", $"doc2")
+        .withColumn("containment", $"containment".cast("double"))
     },
     None,
     "Winnowed rolling-hash fingerprint near-dup pairs (MOSS-style)")

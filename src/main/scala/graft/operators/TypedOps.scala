@@ -67,11 +67,11 @@ object TypedOps extends QueryPack {
         }
         .toDF()
         .select($"user_id", $"n_events",
-          $"sum_value".cast("decimal(38,2)").as("sum_value"))
+          $"sum_value".cast("decimal(38,2)").cast("double").as("sum_value"))
         .orderBy($"user_id")
     },
     Some("""SELECT user_id, count(*) AS n_events,
-      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM events GROUP BY user_id ORDER BY user_id"""),
     "KeyValueGroupedDataset.mapGroups: typed per-group computation")
 
@@ -89,14 +89,14 @@ object TypedOps extends QueryPack {
         .unpivot(Array($"c_custkey"), Array($"acctbal", $"nationkey"),
           "metric", "value")
         .select($"c_custkey", $"metric",
-          $"value".cast("decimal(38,2)").as("value"))
+          $"value".cast("decimal(38,2)").cast("double").as("value"))
         .orderBy($"c_custkey", $"metric")
     },
     Some("""SELECT c_custkey, 'acctbal' AS metric,
-        CAST(c_acctbal AS DECIMAL(38,2)) AS value FROM customer
+        CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS value FROM customer
       UNION ALL
       SELECT c_custkey, 'nationkey' AS metric,
-        CAST(c_nationkey AS DECIMAL(38,2)) AS value FROM customer
+        CAST(CAST(c_nationkey AS DECIMAL(18,2)) AS DOUBLE) AS value FROM customer
       ORDER BY c_custkey, metric"""),
     "unpivot/melt: wide metrics to long rows")
 

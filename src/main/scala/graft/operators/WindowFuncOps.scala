@@ -27,22 +27,22 @@ object WindowFuncOps extends QueryPack {
       Tables.orders(s, d)
         .select(
           $"o_custkey", $"o_orderkey",
-          dec("o_totalprice").cast("decimal(38,2)").as("price"),
+          dec("o_totalprice").cast("double").as("price"),
           rank().over(w).cast("long").as("rnk"),      // bigint: match DuckDB rank()
           row_number().over(w).cast("long").as("rn"),
-          lag(dec("o_totalprice").cast("decimal(38,2)"), 1).over(w).as("prev_price"),
-          lead(dec("o_totalprice").cast("decimal(38,2)"), 1).over(w).as("next_price"))
+          lag(dec("o_totalprice"), 1).over(w).cast("double").as("prev_price"),
+          lead(dec("o_totalprice"), 1).over(w).cast("double").as("next_price"))
         .filter($"rn" <= 3)
         .orderBy($"o_custkey", $"rn")
     },
     Some("""SELECT o_custkey, o_orderkey, price, rnk, rn, prev_price, next_price
       FROM (
         SELECT o_custkey, o_orderkey,
-          CAST(o_totalprice AS DECIMAL(38,2)) AS price,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
           rank() OVER w AS rnk,
           row_number() OVER w AS rn,
-          lag(CAST(o_totalprice AS DECIMAL(38,2)), 1) OVER w AS prev_price,
-          lead(CAST(o_totalprice AS DECIMAL(38,2)), 1) OVER w AS next_price
+          CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_price,
+          CAST(lead(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS next_price
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
       WHERE rn <= 3 ORDER BY o_custkey, rn"""),
@@ -59,12 +59,13 @@ object WindowFuncOps extends QueryPack {
       Tables.orders(s, d)
         .select(
           $"o_custkey", $"o_orderkey",
-          sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").as("running_spend"),
+          sum(dec("o_totalprice")).over(w).cast("decimal(38,2)")
+            .cast("double").as("running_spend"),
           count("*").over(w).as("running_orders"))
         .orderBy($"o_custkey", $"o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS running_spend,
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS running_spend,
       count(*) OVER w AS running_orders
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

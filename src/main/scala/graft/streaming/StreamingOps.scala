@@ -45,7 +45,7 @@ object StreamingOps extends QueryPack {
         .groupBy($"user_id", $"session_idx")
         .agg(count("*").as("n_events"),
           min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
-          sum($"v").cast("decimal(38,2)").as("sum_value"))
+          sum($"v").cast("decimal(38,2)").cast("double").as("sum_value"))
         .orderBy($"user_id", $"session_idx")
     },
     Some(s"""WITH e AS (
@@ -64,7 +64,7 @@ object StreamingOps extends QueryPack {
       SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
         count(*) AS n_events,
         min(ts_us) AS start_us, max(ts_us) AS end_us,
-        CAST(sum(v) AS DECIMAL(38,2)) AS sum_value
+        CAST(CAST(sum(v) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM s GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx"""),
     "Batch sessionization: 30-min-gap sessions via lag + cumulative sum")
@@ -97,14 +97,16 @@ object StreamingOps extends QueryPack {
       q.stop()
       s.table("graft_stream_tumbling")
         .select(unix_timestamp($"window.start").as("win_start"),
-          $"event_type", $"n_events", $"sum_value",
-          round($"sum_value" / $"n_events", 6).cast("decimal(38,6)").as("avg_value"))
+          $"event_type", $"n_events",
+          $"sum_value".cast("double").as("sum_value"),
+          round($"sum_value" / $"n_events", 6).cast("decimal(38,6)")
+            .cast("double").as("avg_value"))
         .orderBy($"win_start", $"event_type")
     },
     Some("""SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS win_start, event_type,
       count(*) AS n_events,
-      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
-      CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) / count(*), 6) AS DECIMAL(38,6)) AS avg_value
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value,
+      CAST(CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) / count(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS avg_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
     "O10 as Structured Streaming: watermark + tumbling window, " +
       "memory sink, verified against the batch oracle")
@@ -166,7 +168,7 @@ object StreamingOps extends QueryPack {
         .select($"user_id",
           unix_micros($"session_window.start").as("start_us"),
           unix_micros($"session_window.end").as("end_us"),
-          $"n_events", $"sum_value")
+          $"n_events", $"sum_value".cast("double").as("sum_value"))
         .orderBy($"user_id", $"start_us")
     },
     None,
@@ -214,11 +216,11 @@ object StreamingOps extends QueryPack {
       s.table("graft_stream_stateful")
         .select($"user_id", $"n_events",
           ($"sum_cents".cast("decimal(28,2)") / 100).cast("decimal(38,2)")
-            .as("sum_value"))
+            .cast("double").as("sum_value"))
         .orderBy($"user_id")
     },
     Some("""SELECT user_id, count(*) AS n_events,
-      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM events GROUP BY user_id ORDER BY user_id"""),
     "flatMapGroupsWithState: custom per-key state store logic, " +
       "single-batch emission equals the batch group-by oracle")
@@ -238,7 +240,7 @@ object StreamingOps extends QueryPack {
         .select($"user_id",
           unix_micros($"session_window.start").as("start_us"),
           unix_micros($"session_window.end").as("end_us"),
-          $"n_events", $"sum_value")
+          $"n_events", $"sum_value".cast("double").as("sum_value"))
         .orderBy($"user_id", $"start_us")
     },
     Some(s"""WITH e AS (
@@ -257,7 +259,7 @@ object StreamingOps extends QueryPack {
       SELECT user_id, min(ts_us) AS start_us,
         max(ts_us) + $GapUs AS end_us,
         count(*) AS n_events,
-        CAST(sum(v) AS DECIMAL(38,2)) AS sum_value
+        CAST(CAST(sum(v) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM s GROUP BY user_id, session_idx
       ORDER BY user_id, start_us"""),
     "Native session_window in batch mode, oracle'd via manual gap sessions")

@@ -51,10 +51,10 @@ class CoreOpsSpec extends SparkTestBase {
 
   test("q_window_fallback: filled value equals current avg or previous non-null") {
     val rows = q("q_window_fallback").orderBy("win_start").collect()
-    var lastSeen: java.math.BigDecimal = null
+    var lastSeen: java.lang.Double = null
     rows.foreach { r =>
-      val cur = r.getAs[java.math.BigDecimal]("avg_v")
-      val filled = r.getAs[java.math.BigDecimal]("avg_filled")
+      val cur = r.getAs[java.lang.Double]("avg_v")
+      val filled = r.getAs[java.lang.Double]("avg_filled")
       if (cur != null) assert(filled === cur)
       else if (lastSeen != null) assert(filled === lastSeen)
       else assert(filled == null)
@@ -72,8 +72,9 @@ class CoreOpsSpec extends SparkTestBase {
     val rows = q("q_round_format").collect()
     assert(rows.length === 5)
     rows.foreach { r =>
-      val decVal = r.getAs[java.math.BigDecimal]("avg_rounded")
-      assert(BigDecimal(r.getAs[String]("avg_str")) === BigDecimal(decVal))
+      val decVal = r.getAs[Double]("avg_rounded")
+      assert(r.getAs[String]("avg_str") ===
+        "%.2f".formatLocal(java.util.Locale.ROOT, decVal))
     }
   }
 }
