@@ -87,11 +87,20 @@ object DedupOps extends QueryPack {
         .cast("decimal(38,6)")
     val pairs =
       if (!prefixFilter) {
-        posting.as("a")
-          .join(posting.as("b"),
-            col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        // Pair generation WITHOUT a posting-list self-join: one shuffle
+        // groups the inverted index by shingle; the ordered pairs then
+        // stream out of two narrow explodes (doc1 = element i, doc2 =
+        // every later element of the same sorted list). Same Σ df² output
+        // as the classic self-join but one fewer shuffle and no join
+        // build side; per-shingle memory stays O(df), not O(df²).
+        val byShingle = posting.groupBy($"shingle")
+          .agg(sort_array(collect_list($"doc_id")).as("docs"))
+        byShingle
+          .select(posexplode($"docs").as(Seq("i", "doc1")), $"docs")
+          .select($"doc1",
+            explode(slice($"docs", $"i" + lit(2),
+              greatest(size($"docs") - $"i" - 1, lit(0)))).as("doc2"))
+          .groupBy($"doc1", $"doc2")
           .agg(count("*").as("inter"))
           .join(counts.toDF("doc1", "n1"), "doc1")
           .join(counts.toDF("doc2", "n2"), "doc2")

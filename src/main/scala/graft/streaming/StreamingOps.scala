@@ -25,6 +25,18 @@ object StreamingOps extends QueryPack {
 
   private val GapUs = 1800L * 1000000L // 30-minute session gap, epoch-µs
 
+  /** Run a streaming query with a bounded shuffle-partition count, then
+    * restore the session default. Stateful operators pay a per-partition
+    * state-store open/commit on EVERY micro-batch; at test scale (and in
+    * any deployment where state is modest) fewer, fatter state partitions
+    * are strictly faster. At 100 TB the same knob simply moves up — it is
+    * per-query, not engine-global. */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ------------------------------------------------ batch sessionization
   private val sessionize = QueryDef(
     "q_sessionize",
@@ -83,18 +95,20 @@ object StreamingOps extends QueryPack {
         StructField("value", DoubleType), StructField("props", StringType)))
       // file stream source requires a directory: stream the sf dir with a
       // glob filter so only the events table is picked up
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window($"ts", "5 minutes"), $"event_type")
-        .agg(count("*").as("n_events"),
-          sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
-        .writeStream.format("memory").queryName("graft_stream_tumbling")
-        .outputMode("complete")
-        .start()
-      q.processAllAvailable()
-      q.stop()
+      withStreamPartitions(s, 8) {
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window($"ts", "5 minutes"), $"event_type")
+          .agg(count("*").as("n_events"),
+            sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+          .writeStream.format("memory").queryName("graft_stream_tumbling")
+          .outputMode("complete")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.table("graft_stream_tumbling")
         .select(unix_timestamp($"window.start").as("win_start"),
           $"event_type", $"n_events",
@@ -150,19 +164,21 @@ object StreamingOps extends QueryPack {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.DoubleType)))
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(dir)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
-        .agg(count("*").as("n_events"),
-          sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
-        .writeStream.format("memory").queryName("graft_stream_session")
-        .outputMode("append")
-        .start()
-      q.processAllAvailable()
-      q.stop()
+      withStreamPartitions(s, 8) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .parquet(dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count("*").as("n_events"),
+            sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+          .writeStream.format("memory").queryName("graft_stream_session")
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.table("graft_stream_session")
         .filter($"user_id" >= 0)
         .select($"user_id",
@@ -202,17 +218,19 @@ object StreamingOps extends QueryPack {
         state.update(UserState(n, cents))
         Iterator.single((uid, n, cents))
       }
-      val q = ms.toDS()
-        .groupByKey(_._1)
-        .flatMapGroupsWithState(
-          OutputMode.Append, GroupStateTimeout.NoTimeout)(flat)
-        .toDF("user_id", "n_events", "sum_cents")
-        .writeStream.format("memory").queryName("graft_stream_stateful")
-        .outputMode("append")
-        .start()
-      ms.addData(rows)
-      q.processAllAvailable()
-      q.stop()
+      withStreamPartitions(s, 8) {
+        val q = ms.toDS()
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout)(flat)
+          .toDF("user_id", "n_events", "sum_cents")
+          .writeStream.format("memory").queryName("graft_stream_stateful")
+          .outputMode("append")
+          .start()
+        ms.addData(rows)
+        q.processAllAvailable()
+        q.stop()
+      }
       s.table("graft_stream_stateful")
         .select($"user_id", $"n_events",
           ($"sum_cents".cast("decimal(28,2)") / 100).cast("decimal(38,2)")
@@ -279,17 +297,19 @@ object StreamingOps extends QueryPack {
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("value", DoubleType)))
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-        .withColumn("minute_bucket",
-          (floor(unix_timestamp($"ts") / 60) * 60).cast("long"))
-        .withWatermark("ts", "10 minutes")
-        .dropDuplicatesWithinWatermark("user_id", "minute_bucket")
-        .writeStream.format("memory").queryName("graft_stream_dedup")
-        .outputMode("append")
-        .start()
-      q.processAllAvailable()
-      q.stop()
+      withStreamPartitions(s, 8) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .withColumn("minute_bucket",
+            (floor(unix_timestamp($"ts") / 60) * 60).cast("long"))
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("user_id", "minute_bucket")
+          .writeStream.format("memory").queryName("graft_stream_dedup")
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.table("graft_stream_dedup")
         .filter($"user_id" >= 0)
         .select($"user_id", $"minute_bucket")
