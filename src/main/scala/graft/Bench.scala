@@ -37,12 +37,15 @@ object Bench {
     }
     // The driver captures only the last ~2000 chars of output; the full-
     // precision JSON line overflowed that window in round 1 (parsed:null).
-    // 3-decimal values keep the whole line comfortably inside the buffer.
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    // Rounded values + the sf basename keep the whole line ~1750 chars —
+    // inside the buffer even after sbt's trailing [success] line.
+    def f(v: Double, dec: Int): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v, 2) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -183,7 +183,33 @@ object AggOps extends QueryPack {
       FROM t GROUP BY l_returnflag ORDER BY l_returnflag"""),
     "Exact interpolated percentiles + tie-free min_by/max_by")
 
+  // ----------------------------------------- collection aggregates
+  // collect_set / collect_list surface. Collection order is engine- and
+  // partition-dependent, so both sides sort before rendering (sort_array
+  // + array_join) — the canonical way to make a collection aggregate
+  // deterministic enough to compare across engines.
+  private val aggCollect = QueryDef(
+    "q_agg_collect",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(
+          array_join(array_sort(collect_set($"o_orderstatus")), ",")
+            .as("statuses"),
+          count("*").as("n"),
+          array_join(array_sort(collect_set(year($"o_orderdate").cast("string"))), ",")
+            .as("years"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+      array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+      count(*) AS n,
+      array_to_string(list_sort(list_distinct(list(CAST(year(o_orderdate) AS VARCHAR)))), ',') AS years
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    "collect_set aggregates rendered order-stably (sort + join)")
+
   override def defs: Seq[QueryDef] =
     Seq(aggGroupBy, aggDistinct, aggDropDup, aggHll, rollupCube,
-      saltedAgg, aggPercentile)
+      saltedAgg, aggPercentile, aggCollect)
 }

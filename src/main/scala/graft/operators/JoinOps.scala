@@ -133,6 +133,34 @@ object JoinOps extends QueryPack {
       FROM orders ORDER BY o_orderkey"""),
     "As-of join via custom LogicalPlan/Strategy/SparkPlan (binary-search probe)")
 
+  // --------------------------------------------------- outer joins
+  // Full outer of two per-year order-count keyed aggregates: customers
+  // active in only one year surface with NULL on the other side (shipped
+  // as nullable BIGINT — both harness readers render int-with-null as
+  // float64, so the representations agree). Same shuffle-on-key shape as
+  // the inner joins; outer-ness only changes row emission.
+  private val joinOuter = QueryDef(
+    "q_join_outer",
+    (s, d) => {
+      import s.implicits._
+      def yearAgg(y: Int, alias: String) =
+        Tables.orders(s, d).filter(year($"o_orderdate") === y)
+          .groupBy($"o_custkey").agg(count("*").as(alias))
+      yearAgg(1995, "n_1995")
+        .join(yearAgg(1996, "n_1996"), Seq("o_custkey"), "full_outer")
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey, n_1995, n_1996 FROM
+      (SELECT o_custkey, count(*) AS n_1995 FROM orders
+        WHERE year(o_orderdate) = 1995 GROUP BY o_custkey) a
+      FULL JOIN
+      (SELECT o_custkey, count(*) AS n_1996 FROM orders
+        WHERE year(o_orderdate) = 1996 GROUP BY o_custkey) b
+      USING (o_custkey)
+      ORDER BY o_custkey"""),
+    "Full outer join of keyed aggregates; NULL sides for one-year customers")
+
   override def defs: Seq[QueryDef] =
-    Seq(joinBroadcast, joinSmj, joinSemiAnti, joinRangeAsof, joinAsofExec)
+    Seq(joinBroadcast, joinSmj, joinSemiAnti, joinRangeAsof, joinAsofExec,
+      joinOuter)
 }

@@ -13,11 +13,13 @@ case class MediaRow(
     height: Int,
     fmt: String)
 
-/** Decoded features produced by the (stubbed) decoder. */
+/** Decoded features produced by the (stubbed) decoder. The byte sum is
+  * kept exact (Long) so the mean can be derived decimal-exactly in the
+  * plan — no float accumulation inside user code. */
 case class MediaFeatures(
     media_id: Long,
     n_bytes: Long,
-    mean_byte: Double,
+    sum_bytes: Long,
     hist_q1: Long, hist_q2: Long, hist_q3: Long, hist_q4: Long)
 
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
@@ -89,11 +91,14 @@ object MultimodalOps extends QueryPack {
         i += 1
       }
       MediaFeatures(
-        r.media_id, bytes.length.toLong,
-        if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
+        r.media_id, bytes.length.toLong, sum,
         hist(0), hist(1), hist(2), hist(3))
     }
 
+  // The fixture text is pure ASCII (verified: octet_length == length for
+  // every doc), so DuckDB can recompute the byte statistics with ord()
+  // over characters — which upgrades this from a rows-only check to a
+  // full hash oracle.
   private val multimodalFeatures = QueryDef(
     "q_multimodal_features",
     (s, d) => {
@@ -102,11 +107,25 @@ object MultimodalOps extends QueryPack {
         .mapPartitions(fakeDecode)
         .toDF()
         .select($"media_id", $"n_bytes",
-          round($"mean_byte", 6).as("mean_byte"),
+          round($"sum_bytes".cast("decimal(38,6)") / $"n_bytes", 6)
+            .cast("decimal(38,6)").cast("double").as("mean_byte"),
           $"hist_q1", $"hist_q2", $"hist_q3", $"hist_q4")
         .orderBy($"media_id")
     },
-    None,
+    Some("""WITH b AS (
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          list_transform(range(1, length(text) + 1),
+            i -> ord(substring(text, i, 1))) AS bytes
+        FROM documents)
+      SELECT doc_id AS media_id, n_bytes,
+        CAST(CAST(round(CAST(list_sum(bytes) AS DECIMAL(38,6)) / n_bytes, 6)
+          AS DECIMAL(38,6)) AS DOUBLE) AS mean_byte,
+        CAST(len(list_filter(bytes, x -> x // 64 = 0)) AS BIGINT) AS hist_q1,
+        CAST(len(list_filter(bytes, x -> x // 64 = 1)) AS BIGINT) AS hist_q2,
+        CAST(len(list_filter(bytes, x -> x // 64 = 2)) AS BIGINT) AS hist_q3,
+        CAST(len(list_filter(bytes, x -> x // 64 = 3)) AS BIGINT) AS hist_q4
+      FROM b ORDER BY media_id"""),
     "Per-partition batch decode (STUBBED) → typed feature rows")
 
   override def defs: Seq[QueryDef] = Seq(multimodalMeta, multimodalFeatures)

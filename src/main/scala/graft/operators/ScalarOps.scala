@@ -210,7 +210,42 @@ object ScalarOps extends QueryPack {
       FROM events ORDER BY event_id"""),
     "MapType runtime: map_from_arrays, element_at, map_keys")
 
+  // ---------------------------------------------------------- math
+  // Exact-arithmetic math battery: abs/sign/floor/ceil on decimals,
+  // integer modulo and bit ops, greatest/least. Transcendentals (sqrt,
+  // log, exp) are deliberately excluded from oracle queries — their
+  // last-ulp behavior is libm-dependent and differs across engines.
+  private val scalarMath = QueryDef(
+    "q_scalar_math",
+    (s, d) => {
+      import s.implicits._
+      val bal = $"c_acctbal".cast("decimal(18,2)")
+      Tables.customer(s, d)
+        .select(
+          $"c_custkey",
+          abs(bal).cast("double").as("abs_bal"),
+          signum(bal).cast("int").as("sign_bal"),
+          floor(bal).cast("long").as("floor_bal"),
+          ceil(bal).cast("long").as("ceil_bal"),
+          pmod($"c_custkey", lit(7)).cast("long").as("mod7"),
+          $"c_custkey".bitwiseAND(lit(255L)).as("and255"),
+          shiftleft($"c_custkey", 2).as("shl2"),
+          greatest(bal, lit(0).cast("decimal(18,2)")).cast("double").as("bal_floor0"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey,
+      CAST(abs(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS abs_bal,
+      CAST(sign(CAST(c_acctbal AS DECIMAL(18,2))) AS INT) AS sign_bal,
+      CAST(floor(CAST(c_acctbal AS DECIMAL(18,2))) AS BIGINT) AS floor_bal,
+      CAST(ceil(CAST(c_acctbal AS DECIMAL(18,2))) AS BIGINT) AS ceil_bal,
+      CAST(c_custkey % 7 AS BIGINT) AS mod7,
+      c_custkey & 255 AS and255,
+      c_custkey << 2 AS shl2,
+      CAST(greatest(CAST(c_acctbal AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS bal_floor0
+      FROM customer ORDER BY c_custkey"""),
+    "Exact math battery: abs/sign/floor/ceil/mod/bit-ops/greatest")
+
   override def defs: Seq[QueryDef] =
     Seq(scalarString, scalarDate, scalarJson, arrayMap,
-      explodeArray, nullHandling, sqlSubquery, mapOps)
+      explodeArray, nullHandling, sqlSubquery, mapOps, scalarMath)
 }

@@ -80,5 +80,100 @@ object SourceOps extends QueryPack {
     // which the CASE maps to kind='error' — same as the DSv2 reader)
     "DataSource V2 scan of reference-shaped JSON payloads + O3/O4 typing")
 
-  override def defs: Seq[QueryDef] = Seq(sourcePayload)
+  private def sinkDir(kind: String, d: String): String =
+    s"/root/repo/target/$kind/${new java.io.File(d).getName}"
+
+  /** Exact cents view of the double value column (decimal*100 as long) —
+    * survives any text format without float round-trip concerns. */
+  private def cents(s: SparkSession) = {
+    import s.implicits._
+    ($"value".cast("decimal(18,2)") * 100).cast("long")
+  }
+
+  // ---------------------------------------------- CSV sink + source
+  // The append-sink analog of the reference's MySQL INSERT path (O6/O14,
+  // utils/transform.py:34-46) over a text format: write the typed rows,
+  // read them back with an explicit schema, aggregate. The oracle is the
+  // direct aggregation — equality proves the round trip is lossless.
+  private val sinkCsv = QueryDef(
+    "q_sink_csv_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val dir = sinkDir("sink_csv", d)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type",
+          unix_timestamp($"ts").as("ts_s"), cents(s).as("value_cents"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.option("header", "true")
+        .schema("event_id LONG, user_id LONG, event_type STRING, ts_s LONG, value_cents LONG")
+        .csv(dir)
+        .groupBy($"event_type")
+        .agg(count("*").as("n"),
+          min($"event_id").as("min_id"), max($"ts_s").as("max_ts"),
+          (sum($"value_cents").cast("decimal(38,2)") / 100)
+            .cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      min(event_id) AS min_id,
+      max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts,
+      CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,2)) / 100 AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    "CSV sink + schema'd source round trip; oracle = direct aggregation")
+
+  // --------------------------------------------- JSON sink + source
+  private val sinkJson = QueryDef(
+    "q_sink_json_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val dir = sinkDir("sink_json", d)
+      Tables.events(s, d)
+        .select($"event_id", $"event_type",
+          unix_timestamp($"ts").as("ts_s"), cents(s).as("value_cents"))
+        .write.mode("overwrite").json(dir)
+      s.read
+        .schema("event_id LONG, event_type STRING, ts_s LONG, value_cents LONG")
+        .json(dir)
+        .groupBy($"event_type")
+        .agg(count("*").as("n"),
+          sum($"value_cents").as("sum_cents"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    "JSON-lines sink + source round trip; oracle = direct aggregation")
+
+  // ------------------------------- partitioned parquet sink + pruning
+  // Hive-style partitioned layout: the write shards by event_type, the
+  // read-back filter prunes to ONE partition directory before any I/O —
+  // the physical plan's PartitionFilters list carries the predicate
+  // (asserted in SourceSinkSpec). At 100 TB this is the difference
+  // between scanning a shard and scanning the lake.
+  private val sinkPartitioned = QueryDef(
+    "q_sink_partitioned",
+    (s, d) => {
+      import s.implicits._
+      val dir = sinkDir("sink_part", d)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type",
+          unix_timestamp($"ts").as("ts_s"), cents(s).as("value_cents"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir)
+        .filter($"event_type" === "purchase") // → PartitionFilters, zero non-purchase I/O
+        .groupBy((floor($"ts_s" / 3600) * 3600).cast("long").as("hour_start"))
+        .agg(count("*").as("n"),
+          (sum($"value_cents").cast("decimal(38,2)") / 100)
+            .cast("double").as("sum_value"))
+        .orderBy($"hour_start")
+    },
+    Some("""SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) * 3600 AS hour_start,
+      count(*) AS n,
+      CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,2)) / 100 AS DOUBLE) AS sum_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1"""),
+    "Partitioned parquet sink; read-back prunes to one partition dir")
+
+  override def defs: Seq[QueryDef] =
+    Seq(sourcePayload, sinkCsv, sinkJson, sinkPartitioned)
 }

@@ -73,5 +73,41 @@ object WindowFuncOps extends QueryPack {
       ORDER BY o_custkey, o_orderkey"""),
     "Explicit rowsBetween frame: per-customer running totals")
 
-  override def defs: Seq[QueryDef] = Seq(winRank, winFrame)
+  // -------------------------------------- distribution window functions
+  // ntile / percent_rank / cume_dist / first_value / last_value. The
+  // ratio functions divide exact ints ((rank-1)/(n-1), k/n) — the same
+  // IEEE division in both engines, so the doubles are bit-identical.
+  // Window ordered by the unique o_orderkey: tie-free by construction.
+  private val winDist = QueryDef(
+    "q_winfunc_dist",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first($"o_orderkey").over(wFull).as("first_key"),
+          last($"o_orderkey").over(wFull).as("last_key"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume,
+      first_value(o_orderkey) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+      last_value(o_orderkey) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""),
+    "ntile/percent_rank/cume_dist/first/last distribution window battery")
+
+  override def defs: Seq[QueryDef] = Seq(winRank, winFrame, winDist)
 }

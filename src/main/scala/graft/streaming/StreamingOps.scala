@@ -187,9 +187,30 @@ object StreamingOps extends QueryPack {
           $"n_events", $"sum_value".cast("double").as("sum_value"))
         .orderBy($"user_id", $"start_us")
     },
-    None,
+    // Same semantics as the batch session_window query: the sentinel batch
+    // advances the watermark past every real session, so append mode emits
+    // every closed session exactly once — the batch oracle applies as-is.
+    Some(s"""WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CAST(value AS DECIMAL(18,2)) AS v,
+          CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w >= $GapUs
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      s AS (
+        SELECT user_id, v, ts_us,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM e)
+      SELECT user_id, min(ts_us) AS start_us,
+        max(ts_us) + $GapUs AS end_us,
+        count(*) AS n_events,
+        CAST(CAST(sum(v) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      FROM s GROUP BY user_id, session_idx
+      ORDER BY user_id, start_us"""),
     "Stateful session windows (30-min gap) over a real two-batch file " +
-      "stream; spec-verified against q_sessionize")
+      "stream; emits the batch session_window answer (shared oracle)")
 
   // --------------------------------- custom state: flatMapGroupsWithState
   /** Per-user accumulator state for the stateful streaming query. */
@@ -321,7 +342,78 @@ object StreamingOps extends QueryPack {
     "Streaming first-per-(key,bucket) via dropDuplicatesWithinWatermark; " +
       "key set equals the batch DISTINCT oracle")
 
+  // ------------------------------------------- stream-stream interval join
+  /** Typed event row for the two-sided stream input. */
+  case class Ev2(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String)
+
+  /** Stream input carrying event identity + type: file 1 = the events
+    * table, file 2 = one far-future sentinel per join side (user_id < 0,
+    * filtered back out) so both sides' watermarks advance past every
+    * real event and the join state fully drains. Idempotent per sf. */
+  private def streamInputDir2(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = java.nio.file.Paths.get("/root/repo/target", "stream_in2",
+      new java.io.File(d).getName)
+    val marker = dir.resolve("_complete")
+    if (java.nio.file.Files.exists(marker)) return dir.toString
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    ev.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 86400L * 1000L)
+    Seq(Ev2(-1L, far, -1L, "purchase"), Ev2(-2L, far, -1L, "view"))
+      .toDF().coalesce(1).write.mode("append").parquet(dir.toString)
+    java.nio.file.Files.write(marker, Array.empty[Byte])
+    dir.toString
+  }
+
+  // The O12 combine generalized to a REAL stream-stream join: each
+  // purchase matched to the same user's views from the preceding 10
+  // minutes. Both sides carry watermarks; the event-time range condition
+  // bounds join state (rows age out once the other side's watermark
+  // passes p_ts) — the only join shape that runs indefinitely at scale.
+  // Inner-join matches emit as soon as both rows arrive, so the result
+  // equals the batch self-join, which is the oracle.
+  private val streamJoin = QueryDef(
+    "q_stream_join",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamInputDir2(s, d)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      withStreamPartitions(s, 8) {
+        def side(et: String, p: String): DataFrame =
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(dir)
+            .filter(col("event_type") === et)
+            .select(col("event_id").as(s"${p}_id"),
+              col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"))
+            .withWatermark(s"${p}_ts", "10 minutes")
+        val q = side("purchase", "p")
+          .join(side("view", "v"),
+            expr("p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 10 MINUTES AND p_ts"))
+          .writeStream.format("memory").queryName("graft_stream_join")
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table("graft_stream_join")
+        .filter($"p_user" >= 0)
+        .select($"p_id", $"v_id")
+        .orderBy($"p_id", $"v_id")
+    },
+    Some("""SELECT p.event_id AS p_id, v.event_id AS v_id
+      FROM events p JOIN events v ON p.user_id = v.user_id
+       AND p.event_type = 'purchase' AND v.event_type = 'view'
+       AND v.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+      ORDER BY p_id, v_id"""),
+    "Stream-stream interval join (watermarked both sides, bounded state); " +
+      "equals the batch self-join oracle")
+
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamStateful,
-      sessionWindowBatch, streamDedup)
+      sessionWindowBatch, streamDedup, streamJoin)
 }

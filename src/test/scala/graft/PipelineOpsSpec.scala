@@ -150,6 +150,8 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_bytes") === bytes.length.toLong)
       val mean = bytes.map(_ & 0xff).map(_.toLong).sum.toDouble / bytes.length
       assert(math.abs(r.getAs[Double]("mean_byte") - mean) < 1e-4)
+      assert(r.getAs[Long]("hist_q1") === bytes.count(b => (b & 0xff) >> 6 == 0))
+      assert(r.getAs[Long]("hist_q2") === bytes.count(b => (b & 0xff) >> 6 == 1))
     }
   }
 

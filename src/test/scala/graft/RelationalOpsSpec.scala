@@ -115,4 +115,39 @@ class RelationalOpsSpec extends SparkTestBase {
     val r = q("q_array_map").limit(10).collect()
     r.foreach(row => assert(row.getAs[Int]("dim") === 64))
   }
+
+  test("q_join_outer covers both year key sets with NULL off-sides") {
+    import org.apache.spark.sql.functions.year
+    val df = q("q_join_outer")
+    def keys(y: Int) = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate") === y)
+      .select($"o_custkey").distinct().as[Long].collect().toSet
+    val (k95, k96) = (keys(1995), keys(1996))
+    assert(df.count().toInt === (k95 ++ k96).size)
+    assert(df.filter($"n_1995".isNull).count().toInt === (k96 -- k95).size)
+    assert(df.filter($"n_1996".isNull).count().toInt === (k95 -- k96).size)
+  }
+
+  test("q_winfunc_dist: ratio functions within bounds, first <= last") {
+    val bad = q("q_winfunc_dist").filter(
+      $"pct_rank" < 0 || $"pct_rank" > 1 ||
+      $"cume" <= 0 || $"cume" > 1 ||
+      $"quartile" < 1 || $"quartile" > 4 ||
+      $"first_key" > $"last_key")
+    assert(bad.count() === 0)
+  }
+
+  test("q_agg_collect: statuses are sorted distinct renderings") {
+    q("q_agg_collect").collect().foreach { r =>
+      val parts = r.getAs[String]("statuses").split(",").toSeq
+      assert(parts === parts.distinct.sorted)
+    }
+  }
+
+  test("q_scalar_math: floor <= ceil, mod in range, abs consistent") {
+    val bad = q("q_scalar_math").filter(
+      $"floor_bal" > $"ceil_bal" || $"mod7" < 0 || $"mod7" > 6 ||
+      $"abs_bal" < 0 || ($"sign_bal" === -1 && $"bal_floor0" =!= 0.0))
+    assert(bad.count() === 0)
+  }
 }

@@ -64,6 +64,39 @@ class SourceSinkSpec extends SparkTestBase {
     assert(typed === untyped)
   }
 
+  test("q_sink_partitioned plan prunes to the purchase partition") {
+    val plan = q("q_sink_partitioned").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "scan must expose partition filters")
+    assert(plan.contains("event_type"),
+      "the event_type predicate must reach the partitioned scan")
+    // value correctness: counts equal the direct filtered aggregation
+    val n = q("q_sink_partitioned").agg(sum($"n")).as[Long].head()
+    assert(n === Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count())
+  }
+
+  test("q_sink_csv_roundtrip equals direct aggregation") {
+    val got = q("q_sink_csv_roundtrip")
+      .select($"event_type", $"n").as[(String, Long)].collect().toMap
+    val expect = Tables.events(spark, sf).groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(got === expect)
+  }
+
+  test("q_stream_join equals the batch interval self-join") {
+    val got = q("q_stream_join").as[(Long, Long)].collect().toSet
+    val e = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    val expect = e.as("p").filter($"p.event_type" === "purchase")
+      .join(e.as("v").filter(col("v.event_type") === "view"),
+        col("p.user_id") === col("v.user_id") &&
+        col("v.ts") >= col("p.ts") - expr("INTERVAL 10 MINUTES") &&
+        col("v.ts") <= col("p.ts"))
+      .select(col("p.event_id"), col("v.event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+
   test("q_stream_stateful state store results equal batch group-by") {
     val got = q("q_stream_stateful")
       .select($"user_id", $"n_events").as[(Long, Long)].collect().toMap
