@@ -60,5 +60,27 @@ object CustomOps extends QueryPack {
       FROM w WHERE len(w) >= 3 ORDER BY doc_id"""),
     "Typed Dataset.flatMap generator: per-doc shingle emission + counts")
 
-  override def defs: Seq[QueryDef] = Seq(decimalAvg, flatmapShingles)
+  // Plain registered Scala UDF — completing the user-extension surface
+  // (Expression > Aggregator > flatMap > UDF, in preference order; a UDF
+  // is a codegen black box, used here only to DEMONSTRATE the API).
+  // Deterministic slugify, so a DuckDB regexp oracle reproduces it.
+  private val udfScala = QueryDef(
+    "q_udf_scala",
+    (s, d) => {
+      import s.implicits._
+      val slug = udf((x: String) =>
+        if (x == null) null
+        else x.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+      Tables.part(s, d)
+        .select($"p_partkey", slug($"p_name").as("name_slug"))
+        .withColumn("slug_len", length($"name_slug"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+      regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g') AS name_slug,
+      CAST(length(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g')) AS INT) AS slug_len
+      FROM part ORDER BY p_partkey"""),
+    "Registered Scala UDF (slugify) — the user-code extension surface")
+
+  override def defs: Seq[QueryDef] = Seq(decimalAvg, flatmapShingles, udfScala)
 }

@@ -160,7 +160,69 @@ object JoinOps extends QueryPack {
       ORDER BY o_custkey"""),
     "Full outer join of keyed aggregates; NULL sides for one-year customers")
 
+  // ------------------------------------------------------ cross join
+  // Explicit cartesian of the two tiny dims (25 × 5 rows) — the one
+  // place a cross join is legitimate. At scale: only ever dim × dim;
+  // Spark plans the broadcast nested loop on the 5-row side.
+  private val joinCross = QueryDef(
+    "q_join_cross",
+    (s, d) => {
+      import s.implicits._
+      Tables.nation(s, d).crossJoin(broadcast(Tables.region(s, d)))
+        .select($"n_name", $"r_name",
+          ($"n_regionkey" === $"r_regionkey").cast("int").as("is_home"))
+        .orderBy($"n_name", $"r_name")
+    },
+    Some("""SELECT n_name, r_name,
+      CAST(n_regionkey = r_regionkey AS INT) AS is_home
+      FROM nation CROSS JOIN region ORDER BY n_name, r_name"""),
+    "Explicit dim × dim cross join (the only sane cartesian)")
+
+  // ----------------------------------------------------- bucketed join
+  // Physical-layout co-location as a first-class query: both sides are
+  // written bucketed by the join key (8 buckets, sorted), so the
+  // sort-merge join consumes bucket files directly — NO exchange on
+  // either side (asserted in ScaleTechniquesSpec). This is THE shuffle
+  // eliminator for repeated fact-fact joins at 100 TB: pay the
+  // partitioning once at write time, never at query time.
+  private def bucketedTable(s: SparkSession, d: String, name: String,
+      write: => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val dir = new java.io.File(s"spark-warehouse/$name")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    write.saveAsTable(name)
+  }
+
+  private val joinBucketed = QueryDef(
+    "q_join_bucketed",
+    (s, d) => {
+      import s.implicits._
+      bucketedTable(s, d, "graft_orders_b",
+        Tables.orders(s, d).write
+          .bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite"))
+      bucketedTable(s, d, "graft_customer_b",
+        Tables.customer(s, d).write
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite"))
+      s.table("graft_orders_b").hint("merge")
+        .join(s.table("graft_customer_b"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count("*").as("n_orders"),
+          sum(dec("o_totalprice")).cast("decimal(38,2)").cast("double").as("revenue"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    "Bucketed co-located sort-merge join: zero exchanges at query time")
+
   override def defs: Seq[QueryDef] =
     Seq(joinBroadcast, joinSmj, joinSemiAnti, joinRangeAsof, joinAsofExec,
-      joinOuter)
+      joinOuter, joinCross, joinBucketed)
 }

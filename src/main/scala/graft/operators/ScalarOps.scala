@@ -245,7 +245,37 @@ object ScalarOps extends QueryPack {
       FROM customer ORDER BY c_custkey"""),
     "Exact math battery: abs/sign/floor/ceil/mod/bit-ops/greatest")
 
+  // -------------------------------------------------- strings, part 2
+  // Padding / translation / reversal / edit distance / position — the
+  // rest of the deterministic string surface (initcap excluded: DuckDB
+  // has no equivalent to oracle it against).
+  private val scalarString2 = QueryDef(
+    "q_scalar_string2",
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .select(
+          $"p_partkey",
+          lpad($"p_brand", 12, "*").as("brand_pad"),
+          translate($"p_type", "aeiou", "_____").as("type_tr"),
+          reverse($"p_name").as("name_rev"),
+          levenshtein($"p_brand", lit("Brand#11")).cast("int").as("lev_brand"),
+          instr($"p_name", "a").cast("int").as("pos_a"),
+          repeat($"p_brand", 2).as("brand2"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+      lpad(p_brand, 12, '*') AS brand_pad,
+      translate(p_type, 'aeiou', '_____') AS type_tr,
+      reverse(p_name) AS name_rev,
+      CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS lev_brand,
+      CAST(strpos(p_name, 'a') AS INT) AS pos_a,
+      repeat(p_brand, 2) AS brand2
+      FROM part ORDER BY p_partkey"""),
+    "String battery 2: lpad/translate/reverse/levenshtein/instr/repeat")
+
   override def defs: Seq[QueryDef] =
     Seq(scalarString, scalarDate, scalarJson, arrayMap,
-      explodeArray, nullHandling, sqlSubquery, mapOps, scalarMath)
+      explodeArray, nullHandling, sqlSubquery, mapOps, scalarMath,
+      scalarString2)
 }

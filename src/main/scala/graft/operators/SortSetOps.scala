@@ -65,5 +65,33 @@ object SortSetOps extends QueryPack {
       ORDER BY tag, o_custkey"""),
     "union / intersect / except with distinct semantics on key sets")
 
-  override def defs: Seq[QueryDef] = Seq(sortTopK, setOps)
+  // ------------------------------------------------ multiset set ops
+  // INTERSECT ALL / EXCEPT ALL (bag semantics: min / difference of
+  // per-value multiplicities) over supplier keys from two quantity
+  // bands. Ordering by (tag, value) makes the multiset deterministic —
+  // equal rows are interchangeable.
+  private val setOpsAll = QueryDef(
+    "q_setops_all",
+    (s, d) => {
+      import s.implicits._
+      val a = Tables.lineitem(s, d).filter($"l_quantity" < 25).select($"l_suppkey")
+      val b = Tables.lineitem(s, d).filter($"l_quantity" >= 25).select($"l_suppkey")
+      a.intersectAll(b).withColumn("tag", lit("inter_all"))
+        .unionAll(a.exceptAll(b).withColumn("tag", lit("except_all")))
+        .orderBy($"tag", $"l_suppkey")
+    },
+    Some("""SELECT l_suppkey, tag FROM (
+        SELECT l_suppkey, 'inter_all' AS tag FROM (
+          SELECT l_suppkey FROM lineitem WHERE l_quantity < 25
+          INTERSECT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_quantity >= 25)
+        UNION ALL
+        SELECT l_suppkey, 'except_all' AS tag FROM (
+          SELECT l_suppkey FROM lineitem WHERE l_quantity < 25
+          EXCEPT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_quantity >= 25))
+      ORDER BY tag, l_suppkey"""),
+    "intersectAll / exceptAll multiset semantics on key bags")
+
+  override def defs: Seq[QueryDef] = Seq(sortTopK, setOps, setOpsAll)
 }

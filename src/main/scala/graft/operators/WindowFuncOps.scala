@@ -109,5 +109,37 @@ object WindowFuncOps extends QueryPack {
       ORDER BY o_custkey, o_orderkey"""),
     "ntile/percent_rank/cume_dist/first/last distribution window battery")
 
-  override def defs: Seq[QueryDef] = Seq(winRank, winFrame, winDist)
+  // ------------------------------------------------ RANGE-based frame
+  // Value-based frame: per-customer spend over the trailing 30 DAYS
+  // (not 30 rows) — RANGE BETWEEN over an integer day ordinal. Ties
+  // (same-day orders) all enter the frame together, so the result is
+  // tie-order independent by construction.
+  private val winRange = QueryDef(
+    "q_winfunc_range",
+    (s, d) => {
+      import s.implicits._
+      val dayOrd = datediff($"o_orderdate".cast("date"),
+        lit("1990-01-01").cast("date"))
+      val w = Window.partitionBy($"o_custkey").orderBy(dayOrd)
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d)
+        .select(
+          $"o_custkey", $"o_orderkey", dayOrd.as("day_ord"),
+          sum(dec("o_totalprice")).over(w).cast("decimal(38,2)")
+            .cast("double").as("spend_30d"),
+          count("*").over(w).as("n_30d"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_ord,
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS spend_30d,
+      count(*) OVER w AS n_30d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+        ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""),
+    "RANGE frame: trailing-30-day per-customer spend (value-based window)")
+
+  override def defs: Seq[QueryDef] = Seq(winRank, winFrame, winDist, winRange)
 }
