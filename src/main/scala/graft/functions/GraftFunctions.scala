@@ -44,7 +44,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => WordNGrams(es.head, intLit(es(1), "n"))),
     (FunctionIdentifier("decimal_dot"),
       info("decimal_dot", "decimal_dot(array<float>, array<float>) - exact decimal dot product"),
-      (es: Seq[Expression]) => DecimalDot(es.head, es(1))))
+      (es: Seq[Expression]) => DecimalDot(es.head, es(1))),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(array<string>, k) - k-permutation MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es.head, intLit(es(1), "k"))))
 
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit =

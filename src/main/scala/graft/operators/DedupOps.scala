@@ -161,10 +161,11 @@ object DedupOps extends QueryPack {
     "Exact 3-gram Jaccard near-dup pairs via inverted shingle index")
 
   // ----------------------------------------------- MinHash + LSH pairs
-  // 16 MinHash permutations (xxhash64 salted by k) → 4 bands × 4 rows →
-  // bucket self-join on (band, bandhash) → exact-Jaccard verification of
-  // candidates only. Deterministic given the fixed hash family, so the
-  // spec cross-checks it against q_dedup_ngram_jaccard's exact pairs.
+  // 16 MinHash permutations (one-pass custom expression
+  // graft.functions.MinHashSig) → 4 bands × 4 rows → bucket self-join on
+  // (band, bandhash) → exact-Jaccard verification of candidates only.
+  // Deterministic given the fixed hash family, so the spec cross-checks
+  // it against q_dedup_ngram_jaccard's exact pairs.
   private val dedupMinhash = QueryDef(
     "q_dedup_minhash",
     (s, d) => {
@@ -172,8 +173,7 @@ object DedupOps extends QueryPack {
       val docs = shingled(s, d).cache()
       val sigs = docs.select(
         $"doc_id", $"sh",
-        transform(sequence(lit(0), lit(15)),
-          k => array_min(transform($"sh", sh => xxhash64(k, sh)))).as("sig"))
+        graft.functions.MinHashSig.minhash_sig($"sh", 16).as("sig"))
       val bands = sigs.select(
         $"doc_id",
         posexplode(transform(sequence(lit(0), lit(3)),

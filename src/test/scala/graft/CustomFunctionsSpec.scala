@@ -101,13 +101,37 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"winnow should catch the planted near-dups: $recall")
   }
 
+  test("minhash_sig equals per-seed min of XXH64 over the set") {
+    import graft.functions.MinHashSig.minhash_sig
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val sets = Seq(Seq("a", "bb", "ccc"), Seq("spark", "scan"))
+    val got = sets.toDF("sh")
+      .select(minhash_sig($"sh", 4)).as[Seq[Long]].collect()
+    val expect = sets.map { set =>
+      (0 until 4).map { k =>
+        set.map { s =>
+          val u = UTF8String.fromString(s)
+          XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, k.toLong)
+        }.min
+      }
+    }
+    got.zip(expect).foreach { case (g, e) => assert(g === e) }
+    // signature of a superset is element-wise <= (min can only decrease)
+    val sup = Seq(Seq("a", "bb", "ccc", "dddd")).toDF("sh")
+      .select(minhash_sig($"sh", 4)).as[Seq[Long]].head()
+    got.head.zip(sup).foreach { case (sub, s) => assert(s <= sub) }
+  }
+
   test("custom functions resolve in SQL via extensions/registration") {
     Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_tmp")
     val r = spark.sql(
       """SELECT doc_id, simhash64(split(lower(text), ' +')) AS h,
-         size(word_ngrams(split(lower(text), ' +'), 3)) AS n
+         size(word_ngrams(split(lower(text), ' +'), 3)) AS n,
+         size(minhash_sig(word_ngrams(split(lower(text), ' +'), 3), 16)) AS m
          FROM docs_tmp ORDER BY doc_id""").collect()
     assert(r.length === 5)
     assert(r.forall(_.getAs[Int]("n") >= 0))
+    assert(r.forall(_.getAs[Int]("m") === 16))
   }
 }
