@@ -41,7 +41,7 @@ object Bench {
     // inside the buffer even after sbt's trailing [success] line.
     def f(v: Double, dec: Int): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v, 2) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v, 1) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName

@@ -238,6 +238,28 @@ object SimilarityOps extends QueryPack {
     "IVF ANN: deterministic k-means coarse quantizer (16 lists), " +
       "nprobe=2 probe, exact decimal rerank")
 
+  // --------------------------------------------- embedding norms
+  // Vector hygiene op every embedding pipeline needs: exact squared L2
+  // norm per vector (decimal self-dot — the corpus is unit-norm, so this
+  // doubles as the normalization audit). Pure map stage.
+  private val embedNorm = QueryDef(
+    "q_embed_norm",
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"vec_id",
+          dotDec($"embedding", $"embedding").cast("double").as("norm2"))
+        .orderBy($"vec_id")
+    },
+    Some("""SELECT vec_id,
+      CAST(CAST(round(list_sum(list_transform(range(1, 65),
+        i -> CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+           * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(20,12)))), 6)
+        AS DECIMAL(38,6)) AS DOUBLE) AS norm2
+      FROM embeddings ORDER BY vec_id"""),
+    "Exact squared-L2 norm audit over the embedding corpus")
+
   override def defs: Seq[QueryDef] =
-    Seq(simsearchCosine, simsearchAnn, dedupEmbedding, simsearchIvf)
+    Seq(simsearchCosine, simsearchAnn, dedupEmbedding, simsearchIvf,
+      embedNorm)
 }

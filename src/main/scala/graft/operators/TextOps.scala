@@ -211,7 +211,53 @@ object TextOps extends QueryPack {
     None,
     "Winnowed rolling-hash fingerprint near-dup pairs (MOSS-style)")
 
+  // ------------------------------------------- dictionary encoding
+  // The canonical LLM-pipeline step: corpus vocabulary (top-N terms by
+  // frequency, ties broken lexically) → token-id lookup via a BROADCAST
+  // join (the vocab is bounded, the corpus is not) → per-doc id sequence
+  // reassembled in token order. The single-partition vocab window is
+  // bounded by vocabulary size, never corpus size; everything touching
+  // the corpus is map-side or one grouped shuffle on doc_id.
+  private val textTokenIds = QueryDef(
+    "q_text_token_ids",
+    (s, d) => {
+      import s.implicits._
+      val tokens = Tables.documents(s, d)
+        .select($"doc_id", posexplode(toks($"text")))
+        .toDF("doc_id", "pos", "term")
+        .filter($"term" =!= "")
+      val vocab = tokens.groupBy($"term").agg(count("*").as("cnt"))
+        .withColumn("token_id",
+          row_number().over(Window.orderBy($"cnt".desc, $"term")))
+        .filter($"token_id" <= 1000)
+        .select($"term", $"token_id")
+      tokens.join(broadcast(vocab), Seq("term"), "left")
+        .withColumn("tid", coalesce($"token_id", lit(0)))
+        .groupBy($"doc_id")
+        .agg(
+          count("*").as("n_tokens"),
+          sum(($"tid" === 0).cast("long")).as("n_oov"),
+          array_join(
+            transform(array_sort(collect_list(struct($"pos", $"tid"))),
+              x => x.getField("tid").cast("string")), ",").as("ids_str"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS tk FROM documents),
+      t AS (SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS pos FROM w),
+      tf AS (SELECT * FROM t WHERE term <> ''),
+      v AS (SELECT term, CAST(row_number() OVER (ORDER BY count(*) DESC, term) AS INT) AS token_id
+            FROM tf GROUP BY term QUALIFY token_id <= 1000),
+      j AS (SELECT tf.doc_id, tf.pos, coalesce(v.token_id, 0) AS tid
+            FROM tf LEFT JOIN v USING (term))
+      SELECT doc_id, count(*) AS n_tokens,
+        CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ',') AS ids_str
+      FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    "Dictionary encoding: frequency vocab -> broadcast token-id lookup " +
+      "-> ordered per-doc id sequences")
+
   override def defs: Seq[QueryDef] =
     Seq(textAnalysis, textTokens, textQuality, textLangId, textFingerprint,
-      textWinnow)
+      textWinnow, textTokenIds)
 }
