@@ -209,7 +209,48 @@ object AggOps extends QueryPack {
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
     "collect_set aggregates rendered order-stably (sort + join)")
 
+  // ------------------------------------------- statistical aggregates
+  // Sample variance / stddev from exact decimal moments: sum and sum of
+  // squares accumulate exactly (scale 4 products), the variance formula
+  // (n*sumsq - sum^2) / (n*(n-1)) divides in decimal, and only the final
+  // result ships as double. Both engines evaluate the identical formula —
+  // the built-in var_samp/stddev_samp would compare float accumulations
+  // across engines and is exactly what the determinism rule forbids.
+  // stddev = sqrt is float, but sqrt is correctly rounded in IEEE 754 and
+  // both engines call it on the SAME double, so it stays bit-stable.
+  private val aggStats = QueryDef(
+    "q_agg_stats",
+    (s, d) => {
+      import s.implicits._
+      val q = dec("l_quantity")
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          count("*").as("n"),
+          sum(q).cast("decimal(38,2)").as("s1"),
+          sum((q * q).cast("decimal(18,4)")).cast("decimal(38,4)").as("s2"))
+        .select(
+          $"l_returnflag", $"n",
+          (($"s2" * $"n" - $"s1" * $"s1") /
+            ($"n".cast("decimal(20,0)") * ($"n" - 1)))
+            .cast("decimal(38,6)").cast("double").as("var_qty"),
+          sqrt((($"s2" * $"n" - $"s1" * $"s1") /
+            ($"n".cast("decimal(20,0)") * ($"n" - 1)))
+            .cast("decimal(38,6)").cast("double")).as("stddev_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s1,
+          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS s2
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        CAST(CAST((s2 * n - s1 * s1) / (CAST(n AS DECIMAL(20,0)) * (n - 1)) AS DECIMAL(38,6)) AS DOUBLE) AS var_qty,
+        sqrt(CAST(CAST((s2 * n - s1 * s1) / (CAST(n AS DECIMAL(20,0)) * (n - 1)) AS DECIMAL(38,6)) AS DOUBLE)) AS stddev_qty
+      FROM m ORDER BY l_returnflag"""),
+    "Sample variance/stddev from exact decimal moments")
+
   override def defs: Seq[QueryDef] =
     Seq(aggGroupBy, aggDistinct, aggDropDup, aggHll, rollupCube,
-      saltedAgg, aggPercentile, aggCollect)
+      saltedAgg, aggPercentile, aggCollect, aggStats)
 }
