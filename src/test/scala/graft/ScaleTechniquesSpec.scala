@@ -48,6 +48,39 @@ class ScaleTechniquesSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits skewed join partitions at runtime") {
+    // one hot key (50k rows) among 100 cold keys; thresholds lowered so
+    // test-scale data trips the skew detector. At 100 TB the same
+    // mechanism fires with default thresholds — this pins down that the
+    // engine's join plans leave AQE free to re-plan (no manual
+    // repartitioning that would defeat it).
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(50000).select(lit(1L).as("k"), $"id".as("payload"))
+        .union(spark.range(5000).select(($"id" % 100 + 2).as("k"), $"id".as("payload")))
+      val dim = spark.range(200).select($"id".as("k"), ($"id" * 7).as("v"))
+      val j = fact.join(dim.hint("merge"), "k")
+      // execute THIS DataFrame's plan (count() would plan a separate
+      // QueryExecution and leave this one un-finalized under AQE)
+      assert(j.collect().length === 55000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should mark the hot-key join as skewed:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("watermark drops late events from finalized windows") {
     import graft.streaming.StreamingOps.Ev
     def ts(min: Int) = new java.sql.Timestamp(
