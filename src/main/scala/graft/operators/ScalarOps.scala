@@ -274,8 +274,40 @@ object ScalarOps extends QueryPack {
       FROM part ORDER BY p_partkey"""),
     "String battery 2: lpad/translate/reverse/levenshtein/instr/repeat")
 
+  // ------------------------------------------- DataFrameNaFunctions
+  // The na.* API surface: deterministic nulls in (nullif), then
+  // na.replace on a value map, na.fill defaults, and a na.drop branch
+  // tagged so both retention paths land in one result. Mirrors exactly
+  // in SQL (CASE/coalesce + filter), so the whole battery oracles.
+  private val naOps = QueryDef(
+    "q_na_ops",
+    (s, d) => {
+      import s.implicits._
+      val withNulls = Tables.orders(s, d)
+        .select($"o_orderkey",
+          nullif($"o_orderstatus", lit("P")).as("status"),
+          nullif($"o_orderpriority", lit("3-MEDIUM")).as("prio"))
+      val cleaned = withNulls.na
+        .replace("status", Map("F" -> "FINAL"))
+        .na.fill(Map("status" -> "UNKNOWN", "prio" -> "0-NONE"))
+      val dropped = withNulls.na.drop("any", Seq("status", "prio"))
+        .select($"o_orderkey").withColumn("kept_by_drop", lit(1))
+      cleaned.join(dropped, Seq("o_orderkey"), "left")
+        .select($"o_orderkey", $"status", $"prio",
+          coalesce($"kept_by_drop", lit(0)).as("kept_by_drop"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      coalesce(CASE WHEN nullif(o_orderstatus, 'P') = 'F' THEN 'FINAL'
+                    ELSE nullif(o_orderstatus, 'P') END, 'UNKNOWN') AS status,
+      coalesce(nullif(o_orderpriority, '3-MEDIUM'), '0-NONE') AS prio,
+      CAST(nullif(o_orderstatus, 'P') IS NOT NULL
+        AND nullif(o_orderpriority, '3-MEDIUM') IS NOT NULL AS INT) AS kept_by_drop
+      FROM orders ORDER BY o_orderkey"""),
+    "DataFrameNaFunctions battery: na.replace / na.fill / na.drop")
+
   override def defs: Seq[QueryDef] =
     Seq(scalarString, scalarDate, scalarJson, arrayMap,
       explodeArray, nullHandling, sqlSubquery, mapOps, scalarMath,
-      scalarString2)
+      scalarString2, naOps)
 }
