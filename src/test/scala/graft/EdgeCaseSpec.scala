@@ -48,6 +48,16 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, None)))
   }
 
+  test("minhash_sig: null -> null, empty set -> identity (all Long.MaxValue)") {
+    import graft.functions.MinHashSig.minhash_sig
+    val nul = Seq(Tuple1(Option.empty[Seq[String]])).toDF("t")
+    assert(nul.select(minhash_sig($"t", 8)).head().isNullAt(0))
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("t")
+      .select(minhash_sig($"t", 8)).as[Seq[Long]].head()
+    assert(empty === Seq.fill(8)(Long.MaxValue),
+      "the empty-set signature is the min-identity, so merging it is a no-op")
+  }
+
   test("queries tolerate an all-filtered (empty) input path") {
     // between-filter with an impossible range: plan executes, returns 0 rows
     val empty = Tables.events(spark, sf)
