@@ -227,9 +227,13 @@ object TextOps extends QueryPack {
         .toDF("doc_id", "pos", "term")
         .filter($"term" =!= "")
       val vocab = tokens.groupBy($"term").agg(count("*").as("cnt"))
+        // top-N FIRST via orderBy+limit (TakeOrdered: per-partition heaps,
+        // no global sort of the full vocabulary) — the single-partition
+        // row_number window then runs over at most N rows, never the
+        // whole term domain
+        .orderBy($"cnt".desc, $"term").limit(1000)
         .withColumn("token_id",
           row_number().over(Window.orderBy($"cnt".desc, $"term")))
-        .filter($"token_id" <= 1000)
         .select($"term", $"token_id")
       tokens.join(broadcast(vocab), Seq("term"), "left")
         .withColumn("tid", coalesce($"token_id", lit(0)))
