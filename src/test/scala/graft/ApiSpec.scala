@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.api.BitcoinEtl
+import org.apache.spark.sql.functions._
+
+/** The reference user's end-to-end story through the facade, with the
+  * reference's own golden values (tests/test_transform.py: USD=50000,
+  * ts=1609459200 = 2021-01-01T00:00:00Z). */
+class ApiSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val t0 = 1609459200L // window w0 start (aligned to 5 min)
+  private val dir = {
+    val d = Paths.get("target", "test-api-payloads")
+    if (Files.exists(d)) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(d.toFile)
+    }
+    Files.createDirectories(d)
+    def write(name: String, json: String): Unit =
+      Files.write(d.resolve(name), json.getBytes(StandardCharsets.UTF_8))
+    // w0 [t0, t0+300): two prices (50000, 50010), two hashrate rows
+    write("p1.json", s"""{"spider_ts": ${t0 + 10}, "price_data": {"USD": 50000, "time": ${t0 + 5}}}""")
+    write("p2.json", s"""{"spider_ts": ${t0 + 70}, "price_data": {"USD": 50010, "time": ${t0 + 65}}}""")
+    write("h1.json", s"""{"spider_ts": ${t0 + 20}, "hash_rate_data": {"currentHashrate": 1000, "currentDifficulty": 500}}""")
+    write("h2.json", s"""{"spider_ts": ${t0 + 80}, "hash_rate_data": {"currentHashrate": 3000, "currentDifficulty": 700}}""")
+    // w1 [t0+300, t0+600): hashrate only -> price falls back to w0's avg
+    write("h3.json", s"""{"spider_ts": ${t0 + 310}, "hash_rate_data": {"currentHashrate": 5000, "currentDifficulty": 900}}""")
+    d.toString
+  }
+
+  test("ingest splits payloads into the reference's typed tables") {
+    val t = BitcoinEtl.ingest(spark, dir)
+    val p = t.price.orderBy($"server_ts")
+      .select($"usd", unix_timestamp($"server_ts")).as[(Long, Long)].collect()
+    assert(p.toSeq === Seq((50000L, t0 + 5), (50010L, t0 + 65)))
+    // hashrate quirk preserved: server_ts := spider_ts (transform.py:25)
+    val h = t.hashrate.orderBy($"server_ts")
+      .select($"hashrate", $"difficulty", unix_timestamp($"server_ts"))
+      .as[(Long, Long, Long)].collect()
+    assert(h.toSeq === Seq((1000L, 500L, t0 + 20), (3000L, 700L, t0 + 80),
+      (5000L, 900L, t0 + 310)))
+  }
+
+  test("avgInfo: per-window averages with previous-window price fallback") {
+    val t = BitcoinEtl.ingest(spark, dir)
+    val rows = BitcoinEtl.avgInfo(t.price, t.hashrate)
+      .select($"win_start", $"avg_usd", $"avg_hashrate", $"avg_difficulty")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(rows === Seq(
+      (t0, 50005.0, 2000.0, 600.0),        // both streams present
+      (t0 + 300, 50005.0, 5000.0, 900.0))) // price absent -> previous avg
+  }
+
+  test("raw and avg_info append sinks round-trip") {
+    val t = BitcoinEtl.ingest(spark, dir)
+    val out = "target/test-api-out"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    BitcoinEtl.appendRaw(t.price, s"$out/price")
+    BitcoinEtl.appendRaw(t.price, s"$out/price") // append, not overwrite
+    assert(spark.read.parquet(s"$out/price").count() === 4)
+    BitcoinEtl.appendAvgInfo(BitcoinEtl.avgInfo(t.price, t.hashrate),
+      s"$out/avg_info")
+    val back = spark.read.parquet(s"$out/avg_info")
+    assert(back.count() === 2)
+    assert(back.columns.sorted ===
+      Array("avg_difficulty", "avg_hashrate", "avg_usd", "win_start"))
+  }
+}
