@@ -94,4 +94,52 @@ object BitcoinEtl {
 
   def appendAvgInfo(df: DataFrame, dir: String): Unit =
     df.write.mode("append").parquet(dir)
+
+  /** The continuous form of the whole reference DAG: an UNSTARTED
+    * streaming DataFrame over a payload-JSON landing directory that
+    * emits one avg_info row per closed 5-minute window. The caller picks
+    * the sink/trigger (`df.writeStream...start()`), i.e. the reference's
+    * scheduler cadence becomes a trigger interval.
+    *
+    * Both logical streams flow through ONE windowed aggregation
+    * (conditional aggregates instead of a stream-stream join of
+    * aggregates — a single stateful operator, bounded state at the
+    * watermark). The O11 fallback is deliberately absent in streaming:
+    * the watermark's late-data tolerance replaces it (SURVEY O11's row —
+    * the fallback is the reference's crude stand-in for lateness
+    * handling).
+    */
+  def avgInfoStream(spark: SparkSession, payloadDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("spider_ts", LongType),
+      StructField("price_data", StructType(Seq(
+        StructField("USD", LongType), StructField("time", LongType)))),
+      StructField("hash_rate_data", StructType(Seq(
+        StructField("currentHashrate", LongType),
+        StructField("currentDifficulty", LongType))))))
+    val raw = spark.readStream.schema(schema).json(payloadDir)
+    val typed = raw.select(
+      when(col("price_data").isNotNull,
+        timestamp_seconds(col("price_data.time")))
+        .otherwise(timestamp_seconds(col("spider_ts"))).as("server_ts"),
+      col("price_data.USD").as("usd"),
+      col("hash_rate_data.currentHashrate").as("hashrate"),
+      col("hash_rate_data.currentDifficulty").as("difficulty"))
+    typed
+      .withWatermark("server_ts", "10 minutes")
+      .groupBy(window(col("server_ts"), "5 minutes"))
+      .agg(
+        sum(col("usd").cast("decimal(18,2)")).cast("decimal(38,2)").as("ps"),
+        count(col("usd")).as("pn"),
+        sum(col("hashrate").cast("decimal(28,0)")).cast("decimal(38,0)").as("hs"),
+        sum(col("difficulty").cast("decimal(28,0)")).cast("decimal(38,0)").as("ds"),
+        count(col("hashrate")).as("hn"))
+      .filter(col("hn") > 0)
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        round(col("ps") / col("pn"), 2).cast("double").as("avg_usd"),
+        round(col("hs") / col("hn"), 2).cast("double").as("avg_hashrate"),
+        round(col("ds") / col("hn"), 2).cast("double").as("avg_difficulty"))
+  }
 }

@@ -58,6 +58,23 @@ class ApiSpec extends SparkTestBase {
       (t0 + 300, 50005.0, 5000.0, 900.0))) // price absent -> previous avg
   }
 
+  test("avgInfoStream emits the batch answer for fully-present windows") {
+    val q = BitcoinEtl.avgInfoStream(spark, dir)
+      .writeStream.format("memory").queryName("api_avg_stream")
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("api_avg_stream")
+      .orderBy($"win_start")
+      .select($"win_start", $"avg_usd", $"avg_hashrate", $"avg_difficulty")
+      .as[(Long, Option[Double], Double, Double)].collect().toSeq
+    // streaming has no O11 fallback: w1's price is NULL, not carried over
+    assert(rows === Seq(
+      (t0, Some(50005.0), 2000.0, 600.0),
+      (t0 + 300, None, 5000.0, 900.0)))
+  }
+
   test("raw and avg_info append sinks round-trip") {
     val t = BitcoinEtl.ingest(spark, dir)
     val out = "target/test-api-out"
