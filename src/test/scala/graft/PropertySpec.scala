@@ -110,4 +110,49 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: minhash signature of a superset is element-wise <=") {
+    import graft.functions.MinHashSig.minhash_sig
+    val wordsGen = Gen.listOfN(12, Gen.identifier.map(_.take(6)))
+    forAll(wordsGen) { (words: List[String]) =>
+      whenever(words.nonEmpty) {
+        val sub = words.take(words.size / 2 + 1).distinct
+        val sup = words.distinct
+        val Seq(a, b) = Seq(sub, sup).toDF("sh")
+          .select(minhash_sig($"sh", 8)).as[Seq[Long]].collect().toSeq
+        a.zip(b).foreach { case (x, y) => assert(y <= x) }
+      }
+    }
+  }
+
+  test("property: moment-based variance matches two-pass definition") {
+    val vGen = Gen.listOfN(30, Gen.choose(1, 5000)) // cents
+    forAll(vGen) { (cents: List[Int]) =>
+      whenever(cents.size >= 2) {
+        val df = cents.map(c => BigDecimal(c) / 100).toDF("v")
+          .select($"v".cast("decimal(18,2)").as("v"))
+        val r = df.agg(count("*").as("n"),
+            sum($"v").cast("decimal(38,2)").as("s1"),
+            sum(($"v" * $"v").cast("decimal(18,4)")).cast("decimal(38,4)").as("s2"))
+          .select((($"s2" * $"n" - $"s1" * $"s1") /
+            ($"n".cast("decimal(20,0)") * ($"n" - 1)))
+            .cast("decimal(38,6)").cast("double"))
+          .as[Double].head()
+        val xs = cents.map(_ / 100.0)
+        val m = xs.sum / xs.size
+        val expect = xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+        assert(math.abs(r - expect) < 1e-6,
+          s"moment variance $r vs two-pass $expect")
+      }
+    }
+  }
+
+  test("property: token-id sequences conserve token counts") {
+    // every token gets exactly one id (vocab or OOV); ids_str length
+    // reconstructs n_tokens
+    val q = SparkEntry.queries("q_text_token_ids")(spark, sf)
+    val bad = q.filter(
+      size(split($"ids_str", ",")) =!= $"n_tokens" || $"n_oov" > $"n_tokens")
+    assert(bad.count() === 0)
+  }
 }
