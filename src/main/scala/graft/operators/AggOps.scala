@@ -250,7 +250,62 @@ object AggOps extends QueryPack {
       FROM m ORDER BY l_returnflag"""),
     "Sample variance/stddev from exact decimal moments")
 
+  // ------------------------------------------------------- full cube
+  // True CUBE (all 2^k grouping sets, vs rollup's k+1 prefixes) over the
+  // two independent dims; grouping_id disambiguates the NULL-vs-'ALL'
+  // levels exactly as in q_rollup_cube.
+  private val aggCube = QueryDef(
+    "q_agg_cube",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count("*").as("n"),
+          sum(dec("o_totalprice")).cast("decimal(38,2)").cast("double").as("revenue"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n", $"revenue", $"gid")
+        .orderBy($"gid", $"status", $"priority")
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      count(*) AS n,
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+      CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, status, priority"""),
+    "Full CUBE grouping sets (2^k combinations) + grouping_id")
+
+  // -------------------------------------------------- sliding windows
+  // Overlapping 10-minute windows sliding by 5: every event lands in
+  // exactly two windows. The oracle unions the two shifted bucket
+  // assignments — the generic SQL formulation of a sliding window.
+  private val aggSliding = QueryDef(
+    "q_agg_sliding_window",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+        .agg(count("*").as("n_events"),
+          sum(dec("value")).cast("decimal(38,2)").cast("double").as("sum_value"))
+        .select(unix_timestamp($"window.start").as("win_start"),
+          $"event_type", $"n_events", $"sum_value")
+        .orderBy($"win_start", $"event_type")
+    },
+    Some("""WITH assigned AS (
+        SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - s.shift AS win_start,
+          event_type, value
+        FROM events, (SELECT unnest([0, 300]) AS shift) s)
+      SELECT win_start, event_type, count(*) AS n_events,
+        CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      FROM assigned GROUP BY win_start, event_type
+      ORDER BY win_start, event_type"""),
+    "Sliding (overlapping) windows: 10-min size, 5-min slide")
+
   override def defs: Seq[QueryDef] =
     Seq(aggGroupBy, aggDistinct, aggDropDup, aggHll, rollupCube,
-      saltedAgg, aggPercentile, aggCollect, aggStats)
+      saltedAgg, aggPercentile, aggCollect, aggStats, aggCube, aggSliding)
 }
