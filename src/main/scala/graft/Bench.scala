@@ -41,8 +41,10 @@ object Bench {
     // inside the buffer even after sbt's trailing [success] line.
     def f(v: Double, dec: Int): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v, 1) }
-      .mkString("{", ",", "}")
+    // sub-50ms timings are noise — print "0" (valid JSON) to save space
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0.05) "0" else f(v, 1))
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
