@@ -90,24 +90,26 @@ object WindowFuncOps extends QueryPack {
           ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"),
+          dense_rank().over(w).cast("long").as("drnk"),
           first($"o_orderkey").over(wFull).as("first_key"),
-          last($"o_orderkey").over(wFull).as("last_key"))
+          last($"o_orderkey").over(wFull).as("last_key"),
+          nth_value($"o_orderkey", 2).over(wFull).as("second_key"))
         .orderBy($"o_custkey", $"o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey,
       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
       percent_rank() OVER w AS pct_rank,
       cume_dist() OVER w AS cume,
-      first_value(o_orderkey) OVER
-        (PARTITION BY o_custkey ORDER BY o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
-      last_value(o_orderkey) OVER
-        (PARTITION BY o_custkey ORDER BY o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+      dense_rank() OVER w AS drnk,
+      first_value(o_orderkey) OVER wf AS first_key,
+      last_value(o_orderkey) OVER wf AS last_key,
+      nth_value(o_orderkey, 2) OVER wf AS second_key
       FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_custkey, o_orderkey"""),
-    "ntile/percent_rank/cume_dist/first/last distribution window battery")
+    "ntile/percent_rank/cume_dist/dense_rank/first/last/nth_value battery")
 
   // ------------------------------------------------ RANGE-based frame
   // Value-based frame: per-customer spend over the trailing 30 DAYS
