@@ -144,6 +144,50 @@ class RelationalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_join_cross: |nation| x |region| rows, exactly one home region each") {
+    val df = q("q_join_cross")
+    assert(df.count() === 25L * 5L)
+    assert(df.groupBy($"n_name").agg(sum($"is_home").as("h"))
+      .filter($"h" =!= 1).count() === 0)
+  }
+
+  test("q_agg_cube: grand total row equals table count") {
+    val total = q("q_agg_cube")
+      .filter($"status" === "ALL" && $"priority" === "ALL")
+      .select($"n").as[Long].collect()
+    assert(total.toSeq === Seq(Tables.orders(spark, sf).count()))
+  }
+
+  test("q_agg_sliding_window: every event counted exactly twice") {
+    val counted = q("q_agg_sliding_window").agg(sum($"n_events")).as[Long].head()
+    assert(counted === 2 * Tables.events(spark, sf).count())
+  }
+
+  test("q_setops_all: inter_all + except_all multiplicities = left bag") {
+    val leftBag = Tables.lineitem(spark, sf)
+      .filter($"l_quantity" < 25).count()
+    assert(q("q_setops_all").count() === leftBag)
+  }
+
+  test("q_na_ops: no nulls leave the query, drop flag consistent") {
+    val df = q("q_na_ops")
+    assert(df.filter($"status".isNull || $"prio".isNull).count() === 0)
+    assert(df.filter($"kept_by_drop" === 0 &&
+      $"status" =!= "UNKNOWN" && $"prio" =!= "0-NONE").count() === 0)
+  }
+
+  test("q_udf_scala: slugs are lowercase alnum-dash only") {
+    q("q_udf_scala").limit(20).collect().foreach { r =>
+      assert(r.getAs[String]("name_slug").forall(c =>
+        c.isDigit || (c >= 'a' && c <= 'z') || c == '-'))
+    }
+  }
+
+  test("q_winfunc_range: 30-day spend >= own order price, count >= 1") {
+    val bad = q("q_winfunc_range").filter($"n_30d" < 1 || $"spend_30d" <= 0)
+    assert(bad.count() === 0)
+  }
+
   test("q_scalar_math: floor <= ceil, mod in range, abs consistent") {
     val bad = q("q_scalar_math").filter(
       $"floor_bal" > $"ceil_bal" || $"mod7" < 0 || $"mod7" > 6 ||
