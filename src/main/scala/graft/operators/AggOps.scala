@@ -211,13 +211,14 @@ object AggOps extends QueryPack {
 
   // ------------------------------------------- statistical aggregates
   // Sample variance / stddev from exact decimal moments: sum and sum of
-  // squares accumulate exactly (scale 4 products), the variance formula
-  // (n*sumsq - sum^2) / (n*(n-1)) divides in decimal, and only the final
-  // result ships as double. Both engines evaluate the identical formula —
-  // the built-in var_samp/stddev_samp would compare float accumulations
-  // across engines and is exactly what the determinism rule forbids.
-  // stddev = sqrt is float, but sqrt is correctly rounded in IEEE 754 and
-  // both engines call it on the SAME double, so it stays bit-stable.
+  // squares accumulate exactly (scale 4 products) and stay well inside 38
+  // digits (no decimal×decimal products — DuckDB silently promotes an
+  // over-wide decimal product to DOUBLE, which diverges past 2^53). The
+  // variance formula then runs entirely in DOUBLE with the IDENTICAL
+  // operation tree on both sides: the exact moments convert to the same
+  // doubles, and every subsequent *, -, / is a deterministic IEEE 754 op —
+  // bit-stable at any group size, unlike decimal division whose rounding
+  // rules differ between engines.
   private val aggStats = QueryDef(
     "q_agg_stats",
     (s, d) => {
@@ -231,12 +232,11 @@ object AggOps extends QueryPack {
           sum((q * q).cast("decimal(18,4)")).cast("decimal(38,4)").as("s2"))
         .select(
           $"l_returnflag", $"n",
-          (($"s2" * $"n" - $"s1" * $"s1") /
-            ($"n".cast("decimal(20,0)") * ($"n" - 1)))
-            .cast("decimal(38,6)").cast("double").as("var_qty"),
-          sqrt((($"s2" * $"n" - $"s1" * $"s1") /
-            ($"n".cast("decimal(20,0)") * ($"n" - 1)))
-            .cast("decimal(38,6)").cast("double")).as("stddev_qty"))
+          (($"s2".cast("double") * $"n".cast("double") -
+            $"s1".cast("double") * $"s1".cast("double")) /
+            ($"n".cast("double") * ($"n".cast("double") - lit(1.0))))
+            .as("var_qty"))
+        .withColumn("stddev_qty", sqrt($"var_qty"))
         .orderBy($"l_returnflag")
     },
     Some("""WITH m AS (
@@ -245,10 +245,12 @@ object AggOps extends QueryPack {
           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS s2
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, n,
-        CAST(CAST((s2 * n - s1 * s1) / (CAST(n AS DECIMAL(20,0)) * (n - 1)) AS DECIMAL(38,6)) AS DOUBLE) AS var_qty,
-        sqrt(CAST(CAST((s2 * n - s1 * s1) / (CAST(n AS DECIMAL(20,0)) * (n - 1)) AS DECIMAL(38,6)) AS DOUBLE)) AS stddev_qty
+        (CAST(s2 AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_qty,
+        sqrt((CAST(s2 AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty
       FROM m ORDER BY l_returnflag"""),
-    "Sample variance/stddev from exact decimal moments")
+    "Sample variance/stddev from exact decimal moments, combined in IEEE double")
 
   // ------------------------------------------------------- full cube
   // True CUBE (all 2^k grouping sets, vs rollup's k+1 prefixes) over the

@@ -196,10 +196,27 @@ object SimilarityOps extends QueryPack {
     }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
   }
 
-  /** IVF index parameters: 16 lists, probe 2, train on vec_id % 7 == 0. */
+  /** IVF index parameters: 16 lists, probe 2, train on a BOUNDED sample. */
   private val IvfK = 16
   private val IvfIters = 5
   private val IvfNProbe = 2
+  private[graft] val IvfSampleCap = 4096
+
+  /** Deterministic, bounded k-means training sample: top-IvfSampleCap rows
+    * by (xxhash64(vec_id), vec_id) — a pseudorandom but stable subset,
+    * fetched as a distributed TakeOrdered (no full shuffle) and capped at
+    * a few thousand rows REGARDLESS of corpus size, so the driver-side
+    * collect stays kilobytes-to-megabytes at 100 TB. */
+  private[graft] def ivfTrainingSample(
+      s: SparkSession, d: String): Array[Array[Double]] = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding")
+      .orderBy(xxhash64($"vec_id"), $"vec_id")
+      .limit(IvfSampleCap)
+      .select($"embedding").as[Seq[Float]]
+      .collect().map(_.map(_.toDouble).toArray)
+  }
 
   private val simsearchIvf = QueryDef(
     "q_simsearch_ivf",
@@ -207,9 +224,7 @@ object SimilarityOps extends QueryPack {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
-      val sample = emb.filter(_._1 % 7 == 0)
-        .map(_._2.map(_.toDouble).toArray).collect()
-      val cents = kmeansFit(sample, IvfK, IvfIters)
+      val cents = kmeansFit(ivfTrainingSample(s, d), IvfK, IvfIters)
       // distributed assignment: tight JVM loop per row, quantizer shipped
       // in the closure (k*dim doubles — kilobytes)
       val assigned = emb.map { case (id, v) =>

@@ -26,7 +26,10 @@ object SourceOps extends QueryPack {
   /** Deterministic payload corpus for one sf; idempotent. */
   def materializePayloads(s: SparkSession, d: String): String = {
     import s.implicits._
-    val dir = Paths.get("/root/repo/target", "payloads", new java.io.File(d).getName)
+    // resolved from the working directory (the oracle SQL pins the same
+    // layout for the harness, which always runs from the repo root)
+    val dir = Paths.get("target", "payloads", new java.io.File(d).getName)
+      .toAbsolutePath
     val marker = dir.resolve("_complete")
     if (Files.exists(marker)) return dir.toString
     Files.createDirectories(dir)
@@ -81,7 +84,8 @@ object SourceOps extends QueryPack {
     "DataSource V2 scan of reference-shaped JSON payloads + O3/O4 typing")
 
   private def sinkDir(kind: String, d: String): String =
-    s"/root/repo/target/$kind/${new java.io.File(d).getName}"
+    Paths.get("target", kind, new java.io.File(d).getName)
+      .toAbsolutePath.toString
 
   /** Exact cents view of the double value column (decimal*100 as long) —
     * survives any text format without float round-trip concerns. */

@@ -25,16 +25,19 @@ object StreamingOps extends QueryPack {
 
   private val GapUs = 1800L * 1000000L // 30-minute session gap, epoch-µs
 
-  /** Run a streaming query with a bounded shuffle-partition count, then
-    * restore the session default. Stateful operators pay a per-partition
-    * state-store open/commit on EVERY micro-batch; at test scale (and in
-    * any deployment where state is modest) fewer, fatter state partitions
-    * are strictly faster. At 100 TB the same knob simply moves up — it is
-    * per-query, not engine-global. */
-  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  /** Run a streaming query with a bounded shuffle-partition count in an
+    * ISOLATED session (same SparkContext, own SQLConf + temp views), so
+    * the override never leaks into queries planned concurrently on the
+    * caller's session and nested use is safe. Stateful operators pay a
+    * per-partition state-store open/commit on EVERY micro-batch; at test
+    * scale (and in any deployment where state is modest) fewer, fatter
+    * state partitions are strictly faster. At 100 TB the same knob simply
+    * moves up — it is per-query, not engine-global. */
+  private[graft] def withStreamPartitions[T](s: SparkSession, n: Int)(
+      body: SparkSession => T): T = {
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(scoped)
   }
 
   // ------------------------------------------------ batch sessionization
@@ -88,15 +91,15 @@ object StreamingOps extends QueryPack {
     "q_stream_tumbling",
     (s, d) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       // file stream source requires a directory: stream the sf dir with a
       // glob filter so only the events table is picked up
-      withStreamPartitions(s, 8) {
-        val q = s.readStream.schema(schema)
+      withStreamPartitions(s, 8) { ss =>
+        ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val q = ss.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           .withWatermark("ts", "10 minutes")
@@ -108,8 +111,8 @@ object StreamingOps extends QueryPack {
           .start()
         q.processAllAvailable()
         q.stop()
+        ss.table("graft_stream_tumbling")
       }
-      s.table("graft_stream_tumbling")
         .select(unix_timestamp($"window.start").as("win_start"),
           $"event_type", $"n_events",
           $"sum_value".cast("double").as("sum_value"),
@@ -135,8 +138,8 @@ object StreamingOps extends QueryPack {
     * advances the watermark past every real session. Idempotent per sf. */
   private def streamInputDir(s: SparkSession, d: String): String = {
     import s.implicits._
-    val dir = java.nio.file.Paths.get("/root/repo/target", "stream_in",
-      new java.io.File(d).getName)
+    val dir = java.nio.file.Paths.get("target", "stream_in",
+      new java.io.File(d).getName).toAbsolutePath
     val marker = dir.resolve("_complete")
     if (java.nio.file.Files.exists(marker)) return dir.toString
     val ev = Tables.events(s, d).select($"ts", $"user_id", $"value")
@@ -164,8 +167,8 @@ object StreamingOps extends QueryPack {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.DoubleType)))
-      withStreamPartitions(s, 8) {
-        val q = s.readStream.schema(schema)
+      withStreamPartitions(s, 8) { ss =>
+        val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("latestFirst", "false")
           .parquet(dir)
@@ -178,8 +181,8 @@ object StreamingOps extends QueryPack {
           .start()
         q.processAllAvailable()
         q.stop()
+        ss.table("graft_stream_session")
       }
-      s.table("graft_stream_session")
         .filter($"user_id" >= 0)
         .select($"user_id",
           unix_micros($"session_window.start").as("start_us"),
@@ -228,8 +231,6 @@ object StreamingOps extends QueryPack {
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val rows = Tables.events(s, d)
         .select($"user_id", $"value").as[(Long, Double)].collect().toSeq
-      implicit val sq = s.sqlContext
-      val ms = MemoryStream[(Long, Double)]
       val flat = (uid: Long, it: Iterator[(Long, Double)],
           state: GroupState[UserState]) => {
         val prev = state.getOption.getOrElse(UserState(0L, 0L))
@@ -239,7 +240,9 @@ object StreamingOps extends QueryPack {
         state.update(UserState(n, cents))
         Iterator.single((uid, n, cents))
       }
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 8) { ss =>
+        implicit val sq = ss.sqlContext
+        val ms = MemoryStream[(Long, Double)]
         val q = ms.toDS()
           .groupByKey(_._1)
           .flatMapGroupsWithState(
@@ -251,8 +254,8 @@ object StreamingOps extends QueryPack {
         ms.addData(rows)
         q.processAllAvailable()
         q.stop()
+        ss.table("graft_stream_stateful")
       }
-      s.table("graft_stream_stateful")
         .select($"user_id", $"n_events",
           ($"sum_cents".cast("decimal(28,2)") / 100).cast("decimal(38,2)")
             .cast("double").as("sum_value"))
@@ -318,8 +321,8 @@ object StreamingOps extends QueryPack {
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("value", DoubleType)))
-      withStreamPartitions(s, 8) {
-        val q = s.readStream.schema(schema)
+      withStreamPartitions(s, 8) { ss =>
+        val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
           .withColumn("minute_bucket",
             (floor(unix_timestamp($"ts") / 60) * 60).cast("long"))
@@ -330,8 +333,8 @@ object StreamingOps extends QueryPack {
           .start()
         q.processAllAvailable()
         q.stop()
+        ss.table("graft_stream_dedup")
       }
-      s.table("graft_stream_dedup")
         .filter($"user_id" >= 0)
         .select($"user_id", $"minute_bucket")
         .orderBy($"user_id", $"minute_bucket")
@@ -353,8 +356,8 @@ object StreamingOps extends QueryPack {
     * real event and the join state fully drains. Idempotent per sf. */
   private def streamInputDir2(s: SparkSession, d: String): String = {
     import s.implicits._
-    val dir = java.nio.file.Paths.get("/root/repo/target", "stream_in2",
-      new java.io.File(d).getName)
+    val dir = java.nio.file.Paths.get("target", "stream_in2",
+      new java.io.File(d).getName).toAbsolutePath
     val marker = dir.resolve("_complete")
     if (java.nio.file.Files.exists(marker)) return dir.toString
     val ev = Tables.events(s, d)
@@ -383,9 +386,9 @@ object StreamingOps extends QueryPack {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", TimestampType),
         StructField("user_id", LongType), StructField("event_type", StringType)))
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 8) { ss =>
         def side(et: String, p: String): DataFrame =
-          s.readStream.schema(schema)
+          ss.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(dir)
             .filter(col("event_type") === et)
             .select(col("event_id").as(s"${p}_id"),
@@ -399,8 +402,8 @@ object StreamingOps extends QueryPack {
           .start()
         q.processAllAvailable()
         q.stop()
+        ss.table("graft_stream_join")
       }
-      s.table("graft_stream_join")
         .filter($"p_user" >= 0)
         .select($"p_id", $"v_id")
         .orderBy($"p_id", $"v_id")

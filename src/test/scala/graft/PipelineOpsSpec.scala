@@ -122,7 +122,9 @@ class PipelineOpsSpec extends SparkTestBase {
     import graft.operators.SimilarityOps
     val emb = Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
-    val sample = emb.filter(_._1 % 7 == 0).map(_._2.map(_.toDouble).toArray)
+    val sample = SimilarityOps.ivfTrainingSample(spark, sf)
+    assert(sample.length <= SimilarityOps.IvfSampleCap,
+      "training sample must stay bounded (driver-side collect)")
     val cents = SimilarityOps.kmeansFit(sample, 16, 5)
     val assign = emb.map { case (id, v) =>
       id -> SimilarityOps.nearestCentroid(cents, v.map(_.toDouble).toArray) }.toMap
