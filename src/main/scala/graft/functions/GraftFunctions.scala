@@ -47,7 +47,14 @@ object GraftFunctions {
       (es: Seq[Expression]) => DecimalDot(es.head, es(1))),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(array<string>, k) - k-permutation MinHash signature"),
-      (es: Seq[Expression]) => MinHashSig(es.head, intLit(es(1), "k"))))
+      (es: Seq[Expression]) => MinHashSig(es.head, intLit(es(1), "k"))),
+    (FunctionIdentifier("srp_sig"),
+      info("srp_sig", "srp_sig(array<float>, bands, bits, seed) - multi-band SRP-LSH signature"),
+      (es: Seq[Expression]) => SrpSig(es.head, intLit(es(1), "bands"),
+        intLit(es(2), "bits"), intLit(es(3), "seed").toLong)),
+    (FunctionIdentifier("double_dot"),
+      info("double_dot", "double_dot(array<float>, array<float>) - IEEE-double dot product"),
+      (es: Seq[Expression]) => DoubleDot(es.head, es(1))))
 
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit =

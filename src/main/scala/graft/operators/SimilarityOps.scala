@@ -76,24 +76,19 @@ object SimilarityOps extends QueryPack {
     "Exact top-k neighbor search: broadcast queries, decimal dot, 2-phase top-k")
 
   // ------------------------------------------------------ SRP-LSH ANN
-  /** 8 fixed pseudorandom hyperplanes (deterministic seed). */
-  private val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(20240101L)
-    Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
-  }
+  /** Fixed seed for every SRP hyperplane family in this pack. */
+  private[graft] val SrpSeed = 20240101L
 
-  /** 8-bit SRP signature: bit k set iff dot(v, plane_k) > 0. */
+  /** 8-bit SRP signature (single band): bit k set iff dot(v, plane_k) > 0.
+    * Codegen'd one-pass kernel ([[graft.functions.SrpSig]]); same seed ⇒
+    * same plane stream ⇒ same buckets as the original interpreted
+    * zip_with/aggregate formulation it replaced. */
   private def srpSig(v: Column): Column =
-    planes.zipWithIndex.map { case (p, k) =>
-      val dot = aggregate(
-        zip_with(v, typedlit(p), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1 << k)).otherwise(lit(0))
-    }.reduce(_ + _)
+    graft.functions.SrpSig.srp_sig(v, 1, 8, SrpSeed).getItem(0)
 
+  /** IEEE-double dot (codegen'd kernel) — the ANN rerank scorer. */
   private def cosDouble(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DoubleDot.double_dot(a, b)
 
   private val simsearchAnn = QueryDef(
     "q_simsearch_ann_srp",
@@ -118,34 +113,64 @@ object SimilarityOps extends QueryPack {
       "queries with empty buckets)")
 
   // ------------------------------------------- embedding near-dup audit
-  // SRP buckets over the WHOLE corpus; within-bucket pairs checked for
-  // cosine >= 0.9 (double — threshold far from any fixture value, so the
-  // comparison is stable). Output is the per-bucket audit: how many
-  // vectors, pairs checked, near-dups found. All-pairs work is bounded by
-  // Σ bucket² ≈ N²/2^bits — the knob that keeps this linear-ish at scale.
+  // Multi-band SRP LSH (MinHash-style banding): each vector gets
+  // DedupBands signatures of DedupBits sign bits; candidates are pairs
+  // sharing ANY band's bucket (OR across bands), then exact-cosine
+  // verified at >= 0.9 (double — threshold far from any fixture value, so
+  // the comparison is stable). Unlike a single wide bucket join, pair
+  // work is bounded by BAND-BUCKET population (~N/2^bits per bucket ⇒
+  // Σ bucket² ≈ bands·N²/2^bits with 2^16 buckets per band) and recall is
+  // restored by the band OR — the standard LSH recall/cost dial.
+  private[graft] val DedupBands = 8
+  private[graft] val DedupBits = 16
+  private[graft] val NearDupCos = 0.9
+
+  /** OR-ed LSH candidates + exact cosine verify: the near-dup PAIR set.
+    * Exposed for the spec, which proves it equal to brute-force all-pairs
+    * cosine on a corpus with planted near-dups. `vecs` must carry
+    * (vec_id, embedding). */
+  private[graft] def embeddingNearDupPairs(vecs: DataFrame): DataFrame = {
+    val sigs = vecs.select(col("vec_id"), col("embedding"),
+      posexplode(graft.functions.SrpSig.srp_sig(
+        col("embedding"), DedupBands, DedupBits, SrpSeed)).as(Seq("band", "sig")))
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("va"), col("b.embedding").as("vb"))
+      .dropDuplicates("id_a", "id_b") // OR across bands: verify each pair once
+      .withColumn("cos", round(cosDouble(col("va"), col("vb")), 6))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   private val dedupEmbedding = QueryDef(
     "q_dedup_embedding",
     (s, d) => {
       import s.implicits._
-      val sigs = Tables.embeddings(s, d)
-        .select($"vec_id", $"embedding", srpSig($"embedding").as("sig"))
-      val pairs = sigs.as("a")
-        .join(sigs.as("b"),
-          col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.sig").as("sig"),
-          cosDouble(col("a.embedding"), col("b.embedding")).as("cos"))
-      val pairAgg = pairs.groupBy($"sig")
-        .agg(count("*").as("n_pairs"),
-          sum(when($"cos" >= 0.9, 1L).otherwise(0L)).as("n_neardups"))
-      sigs.groupBy($"sig").agg(count("*").as("n_vecs"))
-        .join(pairAgg, Seq("sig"), "left")
-        .select($"sig", $"n_vecs",
-          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
-          coalesce($"n_neardups", lit(0L)).as("n_neardups"))
-        .orderBy($"sig")
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      val sigs = emb.select($"vec_id",
+        posexplode(graft.functions.SrpSig.srp_sig(
+          $"embedding", DedupBands, DedupBits, SrpSeed)).as(Seq("band", "sig")))
+      // per-band bucket audit: candidate-pair work is computable from
+      // bucket populations alone (Σ c·(c−1)/2), no pair join needed
+      val buckets = sigs.groupBy($"band", $"sig").agg(count("*").as("c"))
+      val audit = buckets.groupBy($"band").agg(
+        count("*").as("n_buckets"),
+        max($"c").as("max_bucket"),
+        sum($"c" * ($"c" - 1) / 2).cast("long").as("n_cand_pairs"))
+      // total verified near-dups (OR-ed across bands), as a constant
+      // column — the audit is 'bands' rows at ANY corpus size
+      val nd = embeddingNearDupPairs(emb).agg(count("*").as("n_neardups"))
+      audit.join(broadcast(nd))
+        .select($"band", $"n_buckets", $"max_bucket", $"n_cand_pairs",
+          $"n_neardups")
+        .orderBy($"band")
     },
     None,
-    "Embedding-cosine near-dup audit via SRP-LSH buckets")
+    "Embedding near-dup audit: multi-band SRP-LSH buckets, OR-ed " +
+      "candidates, exact cosine verify")
 
   // ---------------------------------------------------------- IVF ANN
   /** Deterministic k-means coarse quantizer: init = first k sample

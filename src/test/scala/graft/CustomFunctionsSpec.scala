@@ -123,6 +123,39 @@ class CustomFunctionsSpec extends SparkTestBase {
     got.head.zip(sup).foreach { case (sub, s) => assert(s <= sub) }
   }
 
+  test("srp_sig equals the declarative HOF formulation (single and multi band)") {
+    import graft.functions.SrpSig
+    val df = Tables.embeddings(spark, sf).limit(100).select($"embedding")
+    for ((bands, bits) <- Seq((1, 8), (4, 16))) {
+      val planes = SrpSig.planes(20240101L, bands * bits, 64)
+      // the interpreted formulation the kernel replaced: one
+      // zip_with/aggregate dot per plane, sign bit packed per band
+      val ref = df.select((0 until bands).map { b =>
+        (0 until bits).map { j =>
+          val p = planes(b * bits + j).toSeq
+          val dot = aggregate(
+            zip_with($"embedding", typedlit(p), (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, x) => acc + x)
+          when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"b$b")
+      }: _*).collect().map(r => (0 until bands).map(r.getLong))
+      val got = df.select(SrpSig.srp_sig($"embedding", bands, bits, 20240101L))
+        .as[Seq[Long]].collect()
+      got.zip(ref).foreach { case (g, r) => assert(g === r, s"bands=$bands bits=$bits") }
+    }
+  }
+
+  test("double_dot equals the declarative double chain") {
+    import graft.functions.DoubleDot.double_dot
+    val df = Tables.embeddings(spark, sf).limit(100)
+      .select($"embedding".as("a"), $"embedding".as("b"))
+    val ref = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)).as[Double].collect()
+    val got = df.select(double_dot($"a", $"b")).as[Double].collect()
+    got.zip(ref).foreach { case (g, r) => assert(g === r) } // bit-identical
+  }
+
   test("custom functions resolve in SQL via extensions/registration") {
     Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_tmp")
     val r = spark.sql(
@@ -133,5 +166,12 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(r.length === 5)
     assert(r.forall(_.getAs[Int]("n") >= 0))
     assert(r.forall(_.getAs[Int]("m") === 16))
+    Tables.embeddings(spark, sf).limit(5).createOrReplaceTempView("emb_tmp")
+    val e = spark.sql(
+      """SELECT size(srp_sig(embedding, 8, 16, 20240101)) AS nb,
+         double_dot(embedding, embedding) AS n2
+         FROM emb_tmp""").collect()
+    assert(e.forall(_.getAs[Int]("nb") === 8))
+    assert(e.forall(r => math.abs(r.getAs[Double]("n2") - 1.0) < 1e-3))
   }
 }

@@ -143,6 +143,38 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_dedup_embedding: banded LSH near-dup set equals brute force on planted corpus") {
+    import graft.operators.SimilarityOps
+    // plant 30 near-duplicates: tiny deterministic perturbations of the
+    // first 30 fixture vectors (cos ≈ 0.999), ids offset by 100000
+    val base = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val planted = base.filter(_._1 < 30).map { case (id, v) =>
+      val rnd = new scala.util.Random(9000L + id)
+      val noisy = v.map(x => x + 0.005 * rnd.nextGaussian())
+      val norm = math.sqrt(noisy.map(x => x * x).sum)
+      (id + 100000L, noisy.map(x => (x / norm).toFloat))
+    }
+    val corpus = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val got = SimilarityOps.embeddingNearDupPairs(corpus)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // brute force: exact all-pairs cosine at the same threshold
+    val local = (base ++ planted).map { case (id, v) => id -> v.map(_.toDouble) }
+    val exact = (for {
+      (ia, va) <- local; (ib, vb) <- local if ia < ib
+      cos = va.zip(vb).map { case (x, y) => x * y }.sum
+      if (math.rint(cos * 1e6) / 1e6) >= SimilarityOps.NearDupCos
+    } yield (ia, ib)).toSet
+    assert(exact.size === 30, "planted pairs are the only near-dups")
+    assert(got === exact, "OR-ed banded candidates + exact verify = brute force")
+    // and the declared audit reports exactly this count per band row
+    val audit = q("q_dedup_embedding")
+    assert(audit.count() === SimilarityOps.DedupBands.toLong)
+    assert(audit.select(max($"n_neardups")).as[Long].head() ===
+      SimilarityOps.embeddingNearDupPairs(
+        Tables.embeddings(spark, sf).select($"vec_id", $"embedding")).count())
+  }
+
   // ------------------------------------------------------ multimodal
   test("q_multimodal_features: stub decode matches local recomputation") {
     val texts = Tables.documents(spark, sf)

@@ -155,4 +155,31 @@ class PropertySpec extends SparkTestBase {
       size(split($"ids_str", ",")) =!= $"n_tokens" || $"n_oov" > $"n_tokens")
     assert(bad.count() === 0)
   }
+
+  test("property: banded SRP bucket sizes bound the near-dup pair work") {
+    import graft.operators.SimilarityOps
+    import graft.functions.SrpSig
+    // on corpus prefixes of varying size: per band, bucket populations
+    // sum to n, and candidate-pair work Σ c·(c−1)/2 stays a tiny fraction
+    // of the n·(n−1)/2 all-pairs work the banding exists to avoid
+    forAll(Gen.choose(100, 500)) { (n: Int) =>
+      val vecs = Tables.embeddings(spark, sf)
+        .filter($"vec_id" < n).select($"vec_id", $"embedding")
+      val buckets = vecs.select(posexplode(SrpSig.srp_sig($"embedding",
+          SimilarityOps.DedupBands, SimilarityOps.DedupBits,
+          SimilarityOps.SrpSeed)).as(Seq("band", "sig")))
+        .groupBy($"band", $"sig").count()
+        .groupBy($"band").agg(
+          sum($"count").as("n_vecs"),
+          sum($"count" * ($"count" - 1) / 2).cast("long").as("pair_work"))
+        .as[(Int, Long, Long)].collect()
+      assert(buckets.length === SimilarityOps.DedupBands)
+      val allPairs = n.toLong * (n - 1) / 2
+      buckets.foreach { case (band, nv, work) =>
+        assert(nv === n.toLong, s"band $band partitions the corpus")
+        assert(work <= allPairs / 20,
+          s"band $band pair work $work must be ≪ all-pairs $allPairs")
+      }
+    }
+  }
 }
