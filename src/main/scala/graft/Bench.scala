@@ -37,13 +37,16 @@ object Bench {
     }
     // The driver captures only the last ~2000 chars of output; the full-
     // precision JSON line overflowed that window in round 1 (parsed:null).
-    // Rounded values + the sf basename keep the whole line ~1750 chars —
-    // inside the buffer even after sbt's trailing [success] line.
+    // Rounded values + the sf basename keep the whole line under the
+    // buffer even after sbt's trailing [success] line.
     def f(v: Double, dec: Int): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
-    // sub-50ms timings are noise — print "0" (valid JSON) to save space
+    // sub-quarter-second timings at local[32] are fixed-overhead noise
+    // (session/planning, not operator cost) — print "0" (valid JSON) so
+    // the per-query map stays inside the driver's 2000-char window as the
+    // declared surface grows
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0.05) "0" else f(v, 1))
+      "\"" + k + "\":" + (if (v < 0.25) "0" else f(v, 1))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName

@@ -110,22 +110,16 @@ object BitcoinEtl {
     * handling).
     */
   def avgInfoStream(spark: SparkSession, payloadDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("spider_ts", LongType),
-      StructField("price_data", StructType(Seq(
-        StructField("USD", LongType), StructField("time", LongType)))),
-      StructField("hash_rate_data", StructType(Seq(
-        StructField("currentHashrate", LongType),
-        StructField("currentDifficulty", LongType))))))
-    val raw = spark.readStream.schema(schema).json(payloadDir)
-    val typed = raw.select(
-      when(col("price_data").isNotNull,
-        timestamp_seconds(col("price_data.time")))
-        .otherwise(timestamp_seconds(col("spider_ts"))).as("server_ts"),
-      col("price_data.USD").as("usd"),
-      col("hash_rate_data.currentHashrate").as("hashrate"),
-      col("hash_rate_data.currentDifficulty").as("difficulty"))
+    // the engine's own DSv2 MicroBatchStream over the landing directory —
+    // the O1 poll loop as a streaming source (kind/server_ts typing,
+    // error-row quirks already applied by the reader)
+    val raw = spark.readStream.format("graft.sources.PayloadJsonSource")
+      .option("path", payloadDir).load()
+    val typed = raw
+      .filter(col("kind") =!= "error")
+      .select(
+        timestamp_seconds(col("server_ts")).as("server_ts"),
+        col("usd"), col("hashrate"), col("difficulty"))
     typed
       .withWatermark("server_ts", "10 minutes")
       .groupBy(window(col("server_ts"), "5 minutes"))

@@ -55,18 +55,9 @@ object SourceOps extends QueryPack {
     dir.toString
   }
 
-  private val sourcePayload = QueryDef(
-    "q_source_payload_json",
-    (s, d) => {
-      import s.implicits._
-      val dir = materializePayloads(s, d)
-      s.read.format("graft.sources.PayloadJsonSource")
-        .option("path", dir).load()
-        .select($"kind", $"spider_ts", $"usd", $"server_ts",
-          $"hashrate", $"difficulty")
-        .orderBy($"kind", $"spider_ts")
-    },
-    Some("""SELECT
+  /** Shared by the batch scan and its MicroBatchStream twin — identical
+    * rows, so the identical oracle. */
+  private val payloadOracle = """SELECT
       CASE WHEN price_data IS NOT NULL THEN 'price'
            WHEN hash_rate_data IS NOT NULL THEN 'hashrate'
            ELSE 'error' END AS kind,
@@ -78,10 +69,52 @@ object SourceOps extends QueryPack {
       hash_rate_data.currentDifficulty AS difficulty
       FROM read_json('/root/repo/target/payloads/sf0.01/*.json',
         format = 'auto', union_by_name = true, ignore_errors = true)
-      ORDER BY kind, spider_ts"""),
-    // (ignore_errors turns the malformed payload into an all-NULL row,
-    // which the CASE maps to kind='error' — same as the DSv2 reader)
+      ORDER BY kind, spider_ts"""
+  // (ignore_errors turns the malformed payload into an all-NULL row,
+  // which the CASE maps to kind='error' — same as the DSv2 reader)
+
+  private val sourcePayload = QueryDef(
+    "q_source_payload_json",
+    (s, d) => {
+      import s.implicits._
+      val dir = materializePayloads(s, d)
+      s.read.format("graft.sources.PayloadJsonSource")
+        .option("path", dir).load()
+        .select($"kind", $"spider_ts", $"usd", $"server_ts",
+          $"hashrate", $"difficulty")
+        .orderBy($"kind", $"spider_ts")
+    },
+    Some(payloadOracle),
     "DataSource V2 scan of reference-shaped JSON payloads + O3/O4 typing")
+
+  // ------------------------------------- streaming payload source (O1/O2)
+  // The SAME source as a real MicroBatchStream: the reference's poll loop
+  // (main.py:79-98) with maxFilesPerTrigger as the cadence. Several
+  // micro-batches drain the landing directory into a memory sink; the
+  // union of batches must equal the batch scan — hence the shared oracle.
+  private val streamSourcePayload = QueryDef(
+    "q_stream_source_payload",
+    (s, d) => {
+      import s.implicits._
+      val dir = materializePayloads(s, d)
+      graft.streaming.StreamingOps.withStreamPartitions(s, 8) { ss =>
+        val q = ss.readStream.format("graft.sources.PayloadJsonSource")
+          .option("path", dir)
+          .option("maxFilesPerTrigger", "64") // ~5 micro-batches per sf
+          .load()
+          .writeStream.format("memory").queryName("graft_stream_payload")
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        ss.table("graft_stream_payload")
+      }
+        .select($"kind", $"spider_ts", $"usd", $"server_ts",
+          $"hashrate", $"difficulty")
+        .orderBy($"kind", $"spider_ts")
+    },
+    Some(payloadOracle),
+    "Payload DSv2 source as a rate-limited MicroBatchStream; equals the batch scan")
 
   private def sinkDir(kind: String, d: String): String =
     Paths.get("target", kind, new java.io.File(d).getName)
@@ -148,6 +181,46 @@ object SourceOps extends QueryPack {
       FROM events GROUP BY event_type ORDER BY event_type"""),
     "JSON-lines sink + source round trip; oracle = direct aggregation")
 
+  // --------------------------------------------- JDBC sink + source
+  // The closest analog of the reference's actual sink — MySQL INSERTs
+  // (O6/O14, utils/transform.py:34-46, load.py:45-55, static/init.sql) —
+  // as a real df.write.jdbc round trip against embedded Derby (the JDBC
+  // engine already on Spark's classpath). Same contract as the text
+  // sinks: write the typed rows, read them back over JDBC, aggregate;
+  // the oracle is the direct aggregation. At scale the URL points at a
+  // server-side RDBMS and numPartitions fans the writers out; embedded
+  // Derby is single-JVM, so the write coalesces to a few connections.
+  private val sinkJdbc = QueryDef(
+    "q_sink_jdbc_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val url = s"jdbc:derby:${sinkDir("sink_jdbc", d)}/db;create=true"
+      val props = new java.util.Properties()
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type",
+          unix_timestamp($"ts").as("ts_s"), cents(s).as("value_cents"))
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("createTableColumnTypes",
+          "event_id BIGINT, user_id BIGINT, event_type VARCHAR(32), " +
+            "ts_s BIGINT, value_cents BIGINT")
+        .option("batchsize", "10000")
+        .jdbc(url, "events_raw", props)
+      s.read.jdbc(url, "events_raw", props)
+        .groupBy($"event_type")
+        .agg(count("*").as("n"),
+          min($"event_id").as("min_id"), max($"ts_s").as("max_ts"),
+          (sum($"value_cents").cast("decimal(38,2)") / 100)
+            .cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      min(event_id) AS min_id,
+      max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts,
+      CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,2)) / 100 AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    "JDBC sink + source round trip (embedded Derby); oracle = direct aggregation")
+
   // ------------------------------- partitioned parquet sink + pruning
   // Hive-style partitioned layout: the write shards by event_type, the
   // read-back filter prunes to ONE partition directory before any I/O —
@@ -179,5 +252,6 @@ object SourceOps extends QueryPack {
     "Partitioned parquet sink; read-back prunes to one partition dir")
 
   override def defs: Seq[QueryDef] =
-    Seq(sourcePayload, sinkCsv, sinkJson, sinkPartitioned)
+    Seq(sourcePayload, streamSourcePayload, sinkCsv, sinkJson, sinkJdbc,
+      sinkPartitioned)
 }

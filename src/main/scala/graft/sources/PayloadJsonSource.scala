@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,11 +31,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * kind='error' rather than failing the scan (the reference logs and
   * returns None, extract.py:14-19).
   *
-  * Usage: spark.read.format("graft.sources.PayloadJsonSource")
-  *   .option("path", dir).load()
+  * Batch:  spark.read.format("graft.sources.PayloadJsonSource")
+  *           .option("path", dir).load()
+  * Stream: spark.readStream.format(...).option("path", dir)
+  *           .option("maxFilesPerTrigger", n).load()
+  * The streaming form is the reference's continuous poll loop (O1/O2,
+  * main.py:79-98) as a real MicroBatchStream: each trigger discovers
+  * newly-landed payload files and admits at most maxFilesPerTrigger of
+  * them — the rate limit standing in for the reference's sleep cadence.
   *
   * Scale: one input partition per chunk of files; each partition parses
-  * independently (no driver I/O beyond listing).
+  * independently (no driver I/O beyond listing). Streaming offsets are
+  * positions in the discovery order, so a batch replays identically from
+  * its (start, end] offsets.
   */
 class PayloadJsonSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -43,7 +52,7 @@ class PayloadJsonSource extends TableProvider {
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new PayloadTable(properties.get("path"))
+    new PayloadTable(new CaseInsensitiveStringMap(properties).get("path"))
 }
 
 object PayloadJsonSource {
@@ -57,41 +66,112 @@ object PayloadJsonSource {
 
   /** Files per input partition. */
   val FilesPerSplit = 64
+
+  /** Sorted listing of payload files under `path` (empty if absent). */
+  private[sources] def listFiles(path: String): Array[String] = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) Array.empty[String]
+    else Files.list(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".json"))
+      .map(_.toString).toArray.sorted
+  }
+
+  private[sources] def readerFactory: PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PayloadReader(p.asInstanceOf[PayloadPartition].files)
+    }
 }
 
-private class PayloadTable(path: String) extends Table with SupportsRead {
+private class PayloadTable(path: String)
+    extends Table with SupportsRead {
   require(path != null, "PayloadJsonSource requires option 'path'")
   override def name(): String = s"payload_json($path)"
   override def schema(): StructType = PayloadJsonSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new PayloadScan(path)
+      override def build(): Scan = new PayloadScan(path,
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
     }
 }
 
-private class PayloadScan(path: String) extends Scan with Batch {
+private class PayloadScan(path: String, maxFilesPerTrigger: Option[Int])
+    extends Scan with Batch {
   override def readSchema(): StructType = PayloadJsonSource.schema
   override def toBatch: Batch = this
   override def description(): String = s"PayloadJsonScan $path"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = Paths.get(path)
-    val files =
-      if (!Files.isDirectory(dir)) Array.empty[String]
-      else Files.list(dir).iterator().asScala
-        .filter(p => p.toString.endsWith(".json"))
-        .map(_.toString).toArray.sorted
+  override def planInputPartitions(): Array[InputPartition] =
+    PayloadJsonSource.listFiles(path)
+      .grouped(PayloadJsonSource.FilesPerSplit)
+      .map(fs => PayloadPartition(fs): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PayloadJsonSource.readerFactory
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PayloadMicroBatchStream(path, maxFilesPerTrigger)
+}
+
+/** Offset = number of files admitted so far (position in discovery order). */
+private case class PayloadOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch form of the payload scan. The driver keeps the discovery
+  * order of files it has seen (new listings append in sorted order, the
+  * way a landing zone fills); an offset is a count into that sequence, so
+  * planInputPartitions(start, end) is an exact, replayable file range.
+  * maxFilesPerTrigger caps how far latestOffset advances per trigger —
+  * the reference's poll cadence as admission control. */
+private class PayloadMicroBatchStream(path: String, maxPerTrigger: Option[Int])
+    extends MicroBatchStream {
+
+  // discovery order: files indexed in the order first seen
+  private val seen = new java.util.LinkedHashMap[String, Long]()
+  private var lastAdmitted = 0L
+
+  private def discover(): Long = synchronized {
+    PayloadJsonSource.listFiles(path).foreach { f =>
+      if (!seen.containsKey(f)) seen.put(f, seen.size.toLong)
+    }
+    seen.size.toLong
+  }
+
+  override def initialOffset(): Offset = PayloadOffset(0L)
+
+  override def latestOffset(): Offset = synchronized {
+    val available = discover()
+    lastAdmitted = maxPerTrigger match {
+      case Some(m) => math.min(available, lastAdmitted + m)
+      case None => available
+    }
+    PayloadOffset(lastAdmitted)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    PayloadOffset(json.toLong)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = synchronized {
+    val s = start.asInstanceOf[PayloadOffset].n
+    val e = end.asInstanceOf[PayloadOffset].n
+    discover()
+    val files = seen.entrySet().iterator().asScala
+      .filter(kv => kv.getValue >= s && kv.getValue < e)
+      .map(_.getKey).toArray
     files.grouped(PayloadJsonSource.FilesPerSplit)
       .map(fs => PayloadPartition(fs): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new PayloadReader(p.asInstanceOf[PayloadPartition].files)
-    }
+    PayloadJsonSource.readerFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class PayloadPartition(files: Array[String]) extends InputPartition

@@ -19,6 +19,27 @@ class SourceSinkSpec extends SparkTestBase {
     assert(df.filter($"kind" === "price" && $"usd".isNull).count() === 0)
   }
 
+  test("payload MicroBatchStream equals the batch scan and rate-limits per trigger") {
+    val stream = q("q_stream_source_payload")
+      .select($"kind", $"spider_ts", $"usd", $"server_ts", $"hashrate", $"difficulty")
+    val batch = q("q_source_payload_json")
+      .select($"kind", $"spider_ts", $"usd", $"server_ts", $"hashrate", $"difficulty")
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+    // admission control: 301 files at 50/trigger needs >= 7 micro-batches
+    val dir = operators.SourceOps.materializePayloads(spark, sf)
+    val sq = spark.readStream.format("graft.sources.PayloadJsonSource")
+      .option("path", dir).option("maxFilesPerTrigger", "50").load()
+      .writeStream.format("memory").queryName("payload_rate_test")
+      .outputMode("append").start()
+    sq.processAllAvailable()
+    val batches = sq.recentProgress.filter(_.numInputRows > 0)
+    sq.stop()
+    assert(batches.length >= 7, s"expected >= 7 rate-limited batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 50), "no batch may exceed the trigger cap")
+    assert(spark.table("payload_rate_test").count() === 301)
+  }
+
   test("parquet append sink round trip, partitioned by event_type") {
     val out = "target/test-sink/events_agg"
     val agg = Tables.events(spark, sf)
@@ -80,6 +101,21 @@ class SourceSinkSpec extends SparkTestBase {
       .select($"event_type", $"n").as[(String, Long)].collect().toMap
     val expect = Tables.events(spark, sf).groupBy($"event_type").count()
       .as[(String, Long)].collect().toMap
+    assert(got === expect)
+  }
+
+  test("q_sink_jdbc_roundtrip equals direct aggregation (values survive JDBC)") {
+    val got = q("q_sink_jdbc_roundtrip")
+      .select($"event_type", $"n", $"sum_value".cast("string"))
+      .as[(String, Long, String)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    val expect = Tables.events(spark, sf).groupBy($"event_type")
+      .agg(count("*").as("n"),
+        (sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+          .cast("decimal(38,2)") / 100)
+          .cast("double").cast("string").as("s"))
+      .as[(String, Long, String)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
     assert(got === expect)
   }
 
