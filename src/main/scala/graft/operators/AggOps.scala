@@ -183,6 +183,30 @@ object AggOps extends QueryPack {
       FROM t GROUP BY l_returnflag ORDER BY l_returnflag"""),
     "Exact interpolated percentiles + tie-free min_by/max_by")
 
+  // -------------------------------------- approximate percentiles
+  // The scale path for q_agg_percentile: exact percentile needs the full
+  // per-group value multiset (a sort-by-group at 100 TB); approx_percentile
+  // keeps a fixed-size Greenwald-Khanna sketch per group (mergeable, so
+  // partial-agg → exchange still applies) with rank error ≤ n/accuracy.
+  // No DuckDB oracle (sketch-algorithm-specific, like q_agg_hll); the spec
+  // brackets each estimate between the exact values at rank ± n/accuracy.
+  private val aggPercentileApprox = QueryDef(
+    "q_agg_percentile_approx",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
+          expr("approx_percentile(l_quantity, array(0.25, 0.75), 10000)")
+            .as("iqr_bounds"),
+          count("*").as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+    None,
+    "GK-sketch percentiles: bounded memory per group at any scale")
+
   // ----------------------------------------- collection aggregates
   // collect_set / collect_list surface. Collection order is engine- and
   // partition-dependent, so both sides sort before rendering (sort_array
@@ -309,5 +333,6 @@ object AggOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(aggGroupBy, aggDistinct, aggDropDup, aggHll, rollupCube,
-      saltedAgg, aggPercentile, aggCollect, aggStats, aggCube, aggSliding)
+      saltedAgg, aggPercentile, aggPercentileApprox, aggCollect, aggStats,
+      aggCube, aggSliding)
 }

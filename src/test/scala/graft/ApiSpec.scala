@@ -75,6 +75,31 @@ class ApiSpec extends SparkTestBase {
       (t0 + 300, None, 5000.0, 900.0)))
   }
 
+  test("OpsListener observes batches and clean termination (O17 analog)") {
+    val listener = graft.streaming.OpsListener.attach(spark)
+    try {
+      val q = BitcoinEtl.avgInfoStream(spark, dir)
+        .writeStream.format("memory").queryName("api_ops_listener")
+        .outputMode("complete")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // listener delivery is async on the event bus — poll briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      while ((listener.terminatedCount < 1 ||
+        !listener.batches.exists(_.numInputRows > 0)) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(listener.startedCount >= 1)
+      assert(listener.terminatedCount >= 1)
+      assert(listener.failureMessages.isEmpty, "clean stop must not alert")
+      val mine = listener.batches.filter(_.queryName == "api_ops_listener")
+      assert(mine.exists(_.numInputRows > 0),
+        s"expected a progress record with input rows, got ${listener.batches}")
+      // the windowed agg holds state, so state rows must be visible
+      assert(mine.exists(_.stateRows > 0))
+    } finally graft.streaming.OpsListener.detach(spark, listener)
+  }
+
   test("raw and avg_info append sinks round-trip") {
     val t = BitcoinEtl.ingest(spark, dir)
     val out = "target/test-api-out"

@@ -46,6 +46,39 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(q("q_agg_groupby").count() === n)
   }
 
+  test("q_agg_percentile_approx estimates inside the GK rank-error bound") {
+    // approx_percentile(_, p, a) guarantees a value whose rank is within
+    // n/a of ceil(p*n); bracket each estimate between the exact sorted
+    // values at rank +- (n/a + 1) per group
+    val rows = q("q_agg_percentile_approx").collect()
+    assert(rows.nonEmpty)
+    val byFlag = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_quantity".cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val vals = byFlag(flag)
+      val n = vals.length
+      val slack = n / 10000 + 1
+      def bracket(p: Double, est: Double): Unit = {
+        val rank = math.ceil(p * n).toInt
+        val lo = vals(math.max(0, rank - slack - 1))
+        val hi = vals(math.min(n - 1, rank + slack - 1))
+        assert(est >= lo && est <= hi,
+          s"$flag p=$p est=$est outside exact-rank bracket [$lo,$hi] (n=$n)")
+      }
+      bracket(0.5, r.getAs[Number]("p50_qty").doubleValue())
+      bracket(0.9, r.getAs[Number]("p90_qty").doubleValue())
+      val iqr = r.getSeq[Any](r.fieldIndex("iqr_bounds"))
+        .map(_.asInstanceOf[Number].doubleValue())
+      assert(iqr.length === 2 && iqr(0) <= iqr(1))
+      bracket(0.25, iqr(0))
+      bracket(0.75, iqr(1))
+      assert(r.getAs[Long]("n_rows") === n.toLong)
+    }
+  }
+
   test("q_agg_hll estimate within 5% of exact distinct") {
     val est = q("q_agg_hll").collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
