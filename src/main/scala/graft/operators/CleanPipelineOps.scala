@@ -91,5 +91,39 @@ object CleanPipelineOps extends QueryPack {
     "End-to-end cleaning pipeline: quality gate -> exact dedup -> " +
       "near-dup purge -> per-language corpus stats, one Catalyst plan")
 
-  override def defs: Seq[QueryDef] = Seq(pipelineClean)
+  // ------------------------- deterministic split + systematic sample
+  // The corpus-management tail of every training pipeline: carve
+  // train/val/test on a deterministic key function (stable across runs
+  // and engines — no RNG state to reconcile at 100 TB) and take a
+  // systematic 1-in-7 audit sample the same way. Pure map + one
+  // group-cardinality-bounded aggregation; rows never shuffle except by
+  // (lang, split).
+  private val sampleSplit = QueryDef(
+    "q_sample_split",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("split",
+          when($"doc_id" % 10 < 8, "train")
+            .when($"doc_id" % 10 === 8, "val")
+            .otherwise("test"))
+        .withColumn("in_sample", ($"doc_id" % 7 === 0).cast("long"))
+        .groupBy($"lang", $"split")
+        .agg(
+          count("*").as("n_docs"),
+          sum($"in_sample").cast("long").as("n_sampled"),
+          sum($"n_chars".cast("long")).cast("long").as("total_chars"))
+        .orderBy($"lang", $"split")
+    },
+    Some("""SELECT lang,
+        CASE WHEN doc_id % 10 < 8 THEN 'train'
+             WHEN doc_id % 10 = 8 THEN 'val'
+             ELSE 'test' END AS split,
+        count(*) AS n_docs,
+        CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1, 2 ORDER BY lang, split"""),
+    "Deterministic train/val/test split + systematic audit sample")
+
+  override def defs: Seq[QueryDef] = Seq(pipelineClean, sampleSplit)
 }

@@ -261,7 +261,107 @@ object TextOps extends QueryPack {
     "Dictionary encoding: frequency vocab -> broadcast token-id lookup " +
       "-> ordered per-doc id sequences")
 
+  // ------------------------------------- in-doc repetition (Gopher-style)
+  // The published repetition quality filters (Gopher §A1.1: "fraction of
+  // duplicate n-grams") as a pure per-row map: total n-grams is
+  // len - n + 1, distinct n-grams come from the one-pass WordNGrams
+  // kernel, so no explode and no shuffle except the presentation sort —
+  // embarrassingly parallel at 100 TB.
+  private val textRepetition = QueryDef(
+    "q_text_repetition",
+    (s, d) => {
+      import s.implicits._
+      val t = toks($"text")
+      val nTok = size(t).cast("long")
+      def dupRatio(n: Int) = {
+        val total = nTok - (n - 1)
+        val distinctN = size(graft.functions.WordNGrams.word_ngrams(t, n))
+          .cast("long")
+        round((total - distinctN).cast("decimal(18,2)") / total, 6)
+          .cast("decimal(38,6)")
+      }
+      val r3 = dupRatio(3)
+      Tables.documents(s, d)
+        .filter(size(t) >= lit(3))
+        .select(
+          $"doc_id", nTok.as("n_tokens"),
+          dupRatio(2).cast("double").as("dup_bigram_ratio"),
+          r3.cast("double").as("dup_trigram_ratio"),
+          // Gopher-style reject flag, decided on the exact decimal
+          (r3 > lit("0.5").cast("decimal(38,6)")).as("repetitive"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w FROM documents),
+      g AS (
+        SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(len(w) - 1 AS BIGINT) AS tot2,
+          CAST(len(w) - 2 AS BIGINT) AS tot3,
+          CAST(len(list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1]))) AS BIGINT) AS dis2,
+          CAST(len(list_distinct(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS dis3
+        FROM w WHERE len(w) >= 3)
+      SELECT doc_id, n_tokens,
+        CAST(CAST(round(CAST(tot2 - dis2 AS DECIMAL(18,2)) / tot2, 6) AS DECIMAL(38,6)) AS DOUBLE) AS dup_bigram_ratio,
+        CAST(CAST(round(CAST(tot3 - dis3 AS DECIMAL(18,2)) / tot3, 6) AS DECIMAL(38,6)) AS DOUBLE) AS dup_trigram_ratio,
+        CAST(round(CAST(tot3 - dis3 AS DECIMAL(18,2)) / tot3, 6) AS DECIMAL(38,6)) > 0.5 AS repetitive
+      FROM g ORDER BY doc_id"""),
+    "Gopher-style duplicate-n-gram ratios: per-row map, zero data shuffles")
+
+  // --------------------------- cross-doc boilerplate contamination (C4)
+  // The C4/CCNet boilerplate signal: how much of a document is made of
+  // shingles that are common across the corpus. One explode to the
+  // inverted index, a document-frequency aggregation bounded by shingle
+  // vocabulary, and a semi-join back — the common-shingle set is tiny
+  // (df >= threshold), so the join back broadcasts. No pairwise work at
+  // any scale.
+  private val textBoilerplate = QueryDef(
+    "q_text_boilerplate",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id",
+          graft.functions.WordNGrams.word_ngrams(toks($"text"), 3).as("sh"))
+        .filter(size($"sh") > 0)
+      val posting = docs.select($"doc_id", explode($"sh").as("shingle"))
+      val common = posting.groupBy($"shingle")
+        .agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" >= lit(20))
+        .select($"shingle")
+      posting
+        .join(broadcast(common.withColumn("is_common", lit(1L))),
+          Seq("shingle"), "left")
+        .groupBy($"doc_id")
+        .agg(
+          count("*").as("n_shingles"),
+          sum(coalesce($"is_common", lit(0L))).cast("long").as("n_common"))
+        .withColumn("boilerplate_ratio",
+          round($"n_common".cast("decimal(18,2)") / $"n_shingles", 6)
+            .cast("decimal(38,6)").cast("double"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w FROM documents),
+      docs AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM w WHERE len(w) >= 3),
+      posting AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+      common AS (
+        SELECT shingle FROM posting GROUP BY shingle
+        HAVING count(DISTINCT doc_id) >= 20)
+      SELECT p.doc_id,
+        count(*) AS n_shingles,
+        CAST(sum(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        CAST(CAST(round(CAST(sum(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DECIMAL(18,2)) / count(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS boilerplate_ratio
+      FROM posting p LEFT JOIN common c USING (shingle)
+      GROUP BY p.doc_id ORDER BY p.doc_id"""),
+    "C4-style boilerplate contamination: inverted index + df threshold + " +
+      "broadcast semi-join back; no pairwise work")
+
   override def defs: Seq[QueryDef] =
     Seq(textAnalysis, textTokens, textQuality, textLangId, textFingerprint,
-      textWinnow, textTokenIds)
+      textWinnow, textTokenIds, textRepetition, textBoilerplate)
 }

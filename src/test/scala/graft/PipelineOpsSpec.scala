@@ -207,6 +207,68 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_text_repetition ratios match a local recomputation") {
+    val rows = q("q_text_repetition").collect()
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect().toMap
+    assert(rows.length === texts.count(_._2.split(" +").length >= 3))
+    rows.foreach { r =>
+      val w = texts(r.getAs[Long]("doc_id")).split(" +").toSeq
+      def ratio(n: Int): Double = {
+        val grams = w.sliding(n).map(_.mkString(" ")).toSeq
+        ((BigDecimal(grams.size - grams.distinct.size) /
+          BigDecimal(grams.size)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .toDouble
+      }
+      assert(r.getAs[Long]("n_tokens") === w.size.toLong)
+      assert(r.getAs[Double]("dup_bigram_ratio") === ratio(2))
+      assert(r.getAs[Double]("dup_trigram_ratio") === ratio(3))
+      assert(r.getAs[Boolean]("repetitive") === (ratio(3) > 0.5))
+    }
+  }
+
+  test("q_text_boilerplate: counts bounded, common set cross-checked") {
+    val rows = q("q_text_boilerplate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles")
+      val c = r.getAs[Long]("n_common")
+      assert(c >= 0 && c <= n)
+      val ratio = r.getAs[Double]("boilerplate_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // recompute the common-shingle set locally and verify one document
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    val shOf = texts.map { case (id, t) =>
+      id -> t.split(" +").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val df = shOf.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val common = df.filter(_._2 >= 20).keySet
+    rows.foreach { r =>
+      val sh = shOf(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_shingles") === sh.size.toLong)
+      assert(r.getAs[Long]("n_common") === sh.count(common).toLong)
+    }
+  }
+
+  test("q_sample_split partitions every document exactly once") {
+    val rows = q("q_sample_split").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, sf).count())
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val expect = docs.groupBy { case (id, lang) =>
+      (lang, if (id % 10 < 8) "train" else if (id % 10 == 8) "val" else "test")
+    }.view.mapValues(vs => (vs.length.toLong, vs.count(_._1 % 7 == 0).toLong))
+    rows.foreach { r =>
+      val k = (r.getAs[String]("lang"), r.getAs[String]("split"))
+      val (n, ns) = expect(k)
+      assert(r.getAs[Long]("n_docs") === n && r.getAs[Long]("n_sampled") === ns)
+    }
+  }
+
   test("q_custom_decimal_avg equals built-in decimal formula") {
     val expect = Tables.lineitem(spark, sf)
       .groupBy($"l_returnflag")
