@@ -40,9 +40,12 @@ object CleanPipelineOps extends QueryPack {
         .withColumn("keep", min($"doc_id").over(
           org.apache.spark.sql.expressions.Window.partitionBy($"chash")))
         .filter($"doc_id" === $"keep")
+      // distinct BEFORE the anti join: the loser set is bounded by corpus
+      // size, the raw pair stream is bounded by Σdf² — broadcasting the
+      // latter blew past the 8 GiB broadcast ceiling at 10× scale
       val nearDupLosers = DedupOps
         .ngramJaccardPairs(s, d, prefixFilter = false)
-        .select($"doc2".as("doc_id"))
+        .select($"doc2".as("doc_id")).distinct()
       exactKept
         .join(nearDupLosers, Seq("doc_id"), "left_anti")
         .groupBy($"lang")

@@ -80,7 +80,6 @@ object DedupOps extends QueryPack {
       prefixFilter: Boolean): DataFrame = {
     import s.implicits._
     val docs = shingled(s, d).cache()
-    val counts = docs.select($"doc_id", size($"sh").cast("long").as("n_sh"))
     val posting = docs.select($"doc_id", explode($"sh").as("shingle"))
     val jaccardOf = (inter: Column, n1: Column, n2: Column) =>
       round(inter.cast("decimal(18,2)") / (n1 + n2 - inter), 6)
@@ -93,19 +92,29 @@ object DedupOps extends QueryPack {
         // every later element of the same sorted list). Same Σ df² output
         // as the classic self-join but one fewer shuffle and no join
         // build side; per-shingle memory stays O(df), not O(df²).
-        val byShingle = posting.groupBy($"shingle")
-          .agg(sort_array(collect_list($"doc_id")).as("docs"))
+        //
+        // Each posting carries (doc_id, n_sh) as a struct, so the
+        // Jaccard denominator is already on every pair row and the pair
+        // stream NEVER joins back to a per-doc counts table. Besides
+        // dropping two joins, this removes a real 10×-scale failure the
+        // stress run caught: Catalyst's static size estimate of the
+        // Generate → aggregate pair stream is far too small, so the
+        // planner chose to BROADCAST the Σ df²-sized pair side into the
+        // counts join — fine at sf0.1, an 8 GiB broadcast abort at sf1.
+        val byShingle = docs
+          .select(struct($"doc_id", size($"sh").cast("long").as("n_sh")).as("dn"),
+            explode($"sh").as("shingle"))
+          .groupBy($"shingle")
+          .agg(sort_array(collect_list($"dn")).as("docs"))
         byShingle
-          .select(posexplode($"docs").as(Seq("i", "doc1")), $"docs")
-          .select($"doc1",
+          .select(posexplode($"docs").as(Seq("i", "d1")), $"docs")
+          .select($"d1",
             explode(slice($"docs", $"i" + lit(2),
-              greatest(size($"docs") - $"i" - 1, lit(0)))).as("doc2"))
-          .groupBy($"doc1", $"doc2")
+              greatest(size($"docs") - $"i" - 1, lit(0)))).as("d2"))
+          .groupBy($"d1", $"d2")
           .agg(count("*").as("inter"))
-          .join(counts.toDF("doc1", "n1"), "doc1")
-          .join(counts.toDF("doc2", "n2"), "doc2")
-          .select($"doc1", $"doc2",
-            jaccardOf($"inter", $"n1", $"n2").as("jaccard"))
+          .select($"d1.doc_id".as("doc1"), $"d2.doc_id".as("doc2"),
+            jaccardOf($"inter", $"d1.n_sh", $"d2.n_sh").as("jaccard"))
       } else {
         val df_ = posting.groupBy($"shingle").agg(count("*").as("df"))
         val w = org.apache.spark.sql.expressions.Window
