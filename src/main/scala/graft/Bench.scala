@@ -42,11 +42,11 @@ object Bench {
     def f(v: Double, dec: Int): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     // sub-quarter-second timings at local[32] are fixed-overhead noise
-    // (session/planning, not operator cost) — print "0" (valid JSON) so
-    // the per-query map stays inside the driver's 2000-char window as the
-    // declared surface grows
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0.25) "0" else f(v, 1))
+    // (session/planning, not operator cost) — OMIT them so the per-query
+    // map stays inside the driver's 2000-char window as the declared
+    // surface grows; an absent key reads as "at the noise floor"
+    val qs = results.collect { case (k, v) if v >= 0.25 =>
+      "\"" + k + "\":" + f(v, 1)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
