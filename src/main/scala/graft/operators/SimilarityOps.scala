@@ -299,7 +299,50 @@ object SimilarityOps extends QueryPack {
       FROM embeddings ORDER BY vec_id"""),
     "Exact squared-L2 norm audit over the embedding corpus")
 
+  // --------------------------------- int8 scalar quantization audit
+  // Vector compression every 100 TB embedding store runs: symmetric
+  // per-vector int8 quantization (q_i = round(127 · x_i / max|x|)) — 4×
+  // smaller, dot products stay int arithmetic. Pure map stage; the audit
+  // reports exact integer facts about each code vector (sum, extremes,
+  // zero count), which both engines compute identically because the
+  // pre-round arithmetic is the same IEEE-double expression tree and the
+  // post-round values are exact integers.
+  private val embedQuantize = QueryDef(
+    "q_embed_quantize",
+    (s, d) => {
+      import s.implicits._
+      val maxabs = array_max(transform($"embedding",
+        x => abs(x.cast("double"))))
+      val q = transform($"embedding",
+        x => when(lit(0.0) === maxabs, lit(0L))
+          .otherwise(round(x.cast("double") * 127.0 / maxabs).cast("long")))
+      Tables.embeddings(s, d)
+        .select($"vec_id", q.as("q"))
+        .select($"vec_id",
+          aggregate($"q", lit(0L), (a, x) => a + x).as("sum_q"),
+          array_max($"q").as("max_q"),
+          array_min($"q").as("min_q"),
+          size(filter($"q", x => x === 0L)).cast("long").as("n_zero"))
+        .orderBy($"vec_id")
+    },
+    Some("""WITH t AS (
+        SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings),
+      qv AS (
+        SELECT e.vec_id,
+          list_transform(e.embedding, x -> CASE WHEN t.maxabs = 0 THEN 0
+            ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / t.maxabs) AS BIGINT) END) AS q
+        FROM embeddings e JOIN t ON e.vec_id = t.vec_id)
+      SELECT vec_id,
+        CAST(list_sum(q) AS BIGINT) AS sum_q,
+        CAST(list_max(q) AS BIGINT) AS max_q,
+        CAST(list_min(q) AS BIGINT) AS min_q,
+        CAST(len(list_filter(q, x -> x = 0)) AS BIGINT) AS n_zero
+      FROM qv ORDER BY vec_id"""),
+    "Symmetric int8 scalar quantization audit: exact integer code stats")
+
   override def defs: Seq[QueryDef] =
     Seq(simsearchCosine, simsearchAnn, dedupEmbedding, simsearchIvf,
-      embedNorm)
+      embedNorm, embedQuantize)
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{QueryDef, QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -416,7 +416,60 @@ object StreamingOps extends QueryPack {
     "Stream-stream interval join (watermarked both sides, bounded state); " +
       "equals the batch self-join oracle")
 
+  // ---------------------------------------------- foreachBatch sink
+  // The production streaming-sink pattern: foreachBatch hands each
+  // micro-batch to arbitrary batch-writer code (MERGE/upsert, JDBC
+  // batches, multi-sink fan-out) with the batchId for idempotent
+  // exactly-once writes. Here each batch appends to a parquet landing
+  // dir tagged with its batchId; the declared result reads the landing
+  // dir back and aggregates — equal to the direct batch aggregation,
+  // which is the oracle. maxFilesPerTrigger=1 over the two staged files
+  // forces (at least) two real micro-batches through the sink.
+  private val streamForeachBatch = QueryDef(
+    "q_stream_foreachbatch",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamInputDir(s, d)
+      val outPath = java.nio.file.Paths.get("target", "sink_foreachbatch",
+        new java.io.File(d).getName).toAbsolutePath
+      if (java.nio.file.Files.exists(outPath)) { // idempotent across reruns
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(outPath).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val out = outPath.toString
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
+      withStreamPartitions(s, 8) { ss =>
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .writeStream
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        ss.read.parquet(out)
+      }
+        .filter($"user_id" >= 0)
+        .groupBy(($"user_id" % 10).as("bucket"))
+        .agg(count("*").as("n_rows"),
+          countDistinct($"user_id").as("n_users"),
+          sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_cents"))
+        .orderBy($"bucket")
+    },
+    Some("""SELECT user_id % 10 AS bucket, count(*) AS n_rows,
+      count(DISTINCT user_id) AS n_users,
+      CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1 ORDER BY bucket"""),
+    "foreachBatch sink: per-micro-batch idempotent parquet appends, " +
+      "read-back equals the direct batch aggregation")
+
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamStateful,
-      sessionWindowBatch, streamDedup, streamJoin)
+      sessionWindowBatch, streamDedup, streamJoin, streamForeachBatch)
 }

@@ -269,6 +269,38 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_embed_quantize codes match a local recomputation and int8 range") {
+    val rows = q("q_embed_quantize").collect()
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(rows.length === emb.size)
+    rows.foreach { r =>
+      val v = emb(r.getAs[Long]("vec_id")).map(_.toDouble)
+      val maxabs = v.map(math.abs).max
+      val qv =
+        if (maxabs == 0.0) v.map(_ => 0L)
+        else v.map(x => BigDecimal(x * 127.0 / maxabs)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(r.getAs[Long]("sum_q") === qv.sum)
+      assert(r.getAs[Long]("max_q") === qv.max && qv.max <= 127L)
+      assert(r.getAs[Long]("min_q") === qv.min && qv.min >= -127L)
+      assert(r.getAs[Long]("n_zero") === qv.count(_ == 0L).toLong)
+    }
+  }
+
+  test("q_stream_foreachbatch flowed through multiple micro-batches") {
+    val rows = q("q_stream_foreachbatch").collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ===
+      Tables.events(spark, sf).count())
+    // the landing dir keeps each micro-batch's id — at least two batches
+    // (events file + sentinel file at maxFilesPerTrigger=1)
+    val landing = java.nio.file.Paths.get("target", "sink_foreachbatch",
+      new java.io.File(sf).getName).toAbsolutePath.toString
+    val batchIds = spark.read.parquet(landing)
+      .select($"batch_id").distinct().count()
+    assert(batchIds >= 2, s"expected >= 2 micro-batches, got $batchIds")
+  }
+
   test("q_custom_decimal_avg equals built-in decimal formula") {
     val expect = Tables.lineitem(spark, sf)
       .groupBy($"l_returnflag")
