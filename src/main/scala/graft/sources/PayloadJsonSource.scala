@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -125,14 +125,20 @@ private case class PayloadOffset(n: Long) extends Offset {
   * order of files it has seen (new listings append in sorted order, the
   * way a landing zone fills); an offset is a count into that sequence, so
   * planInputPartitions(start, end) is an exact, replayable file range.
-  * maxFilesPerTrigger caps how far latestOffset advances per trigger —
-  * the reference's poll cadence as admission control. */
+  *
+  * Rate limiting goes through SupportsAdmissionControl — the engine hands
+  * latestOffset the CURRENT start offset (the restored checkpoint offset
+  * after a restart), so admission resumes from wherever the offset log
+  * says, never from this object's own memory. A plain latestOffset() that
+  * tracked its own progress would restart at 0 after recovery, hand the
+  * engine an end offset below the committed start, and re-admit files —
+  * exactly the duplicate-delivery bug checkpointing exists to prevent
+  * (spec: "payload stream restart resumes from the checkpoint"). */
 private class PayloadMicroBatchStream(path: String, maxPerTrigger: Option[Int])
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   // discovery order: files indexed in the order first seen
   private val seen = new java.util.LinkedHashMap[String, Long]()
-  private var lastAdmitted = 0L
 
   private def discover(): Long = synchronized {
     PayloadJsonSource.listFiles(path).foreach { f =>
@@ -143,13 +149,23 @@ private class PayloadMicroBatchStream(path: String, maxPerTrigger: Option[Int])
 
   override def initialOffset(): Offset = PayloadOffset(0L)
 
-  override def latestOffset(): Offset = synchronized {
+  override def getDefaultReadLimit: ReadLimit = maxPerTrigger match {
+    case Some(m) => ReadLimit.maxFiles(m)
+    case None => ReadLimit.allAvailable()
+  }
+
+  // legacy no-arg form: only called when SupportsAdmissionControl is NOT
+  // consulted; report everything discovered
+  override def latestOffset(): Offset = PayloadOffset(discover())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val available = discover()
-    lastAdmitted = maxPerTrigger match {
-      case Some(m) => math.min(available, lastAdmitted + m)
-      case None => available
+    val s = start.asInstanceOf[PayloadOffset].n
+    val end = limit match {
+      case mf: ReadMaxFiles => math.min(available, s + mf.maxFiles())
+      case _ => available
     }
-    PayloadOffset(lastAdmitted)
+    PayloadOffset(math.max(s, end))
   }
 
   override def deserializeOffset(json: String): Offset =
