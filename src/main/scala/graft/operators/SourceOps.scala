@@ -3,6 +3,8 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.{QueryDef, QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -251,7 +253,50 @@ object SourceOps extends QueryPack {
       GROUP BY 1 ORDER BY 1"""),
     "Partitioned parquet sink; read-back prunes to one partition dir")
 
+  // ------------------------------------- small-file compaction
+  // The landing-zone maintenance op every streaming ingest needs: many
+  // tiny files (one per trigger/writer) rewritten into few well-sized
+  // ones. Stage 1 simulates the problem (64-way repartition write →
+  // 64 small files); stage 2 compacts with a single coalesce rewrite
+  // (coalesce, not repartition: file-merge needs NO shuffle — partitions
+  // are unioned, not redistributed). The declared result proves the
+  // rewrite: file counts from each layout plus content aggregates that
+  // must survive compaction bit-for-bit. At 100 TB the same rewrite runs
+  // per partition directory on a schedule.
+  private val sinkCompaction = QueryDef(
+    "q_sink_compaction",
+    (s, d) => {
+      import s.implicits._
+      val small = sinkDir("sink_smallfiles", d)
+      val compact = sinkDir("sink_compacted", d)
+      val typed = Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type",
+          unix_timestamp($"ts").as("ts_s"), cents(s).as("value_cents"))
+      typed.repartition(64).write.mode("overwrite").parquet(small)
+      s.read.parquet(small).coalesce(4)
+        .write.mode("overwrite").parquet(compact)
+      def nFiles(p: String): Long =
+        Files.list(Paths.get(p)).iterator().asScala
+          .count(f => f.toString.endsWith(".parquet")).toLong
+      val agg = s.read.parquet(compact)
+        .groupBy($"event_type")
+        .agg(count("*").as("n"), min($"event_id").as("min_id"),
+          max($"event_id").as("max_id"),
+          sum($"value_cents").as("sum_cents"))
+      agg
+        .withColumn("files_before", lit(nFiles(small)))
+        .withColumn("files_after", lit(nFiles(compact)))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      min(event_id) AS min_id, max(event_id) AS max_id,
+      CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+      CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    "Small-file compaction: 64-file landing layout -> 4-file coalesce " +
+      "rewrite (no shuffle); content provably unchanged")
+
   override def defs: Seq[QueryDef] =
     Seq(sourcePayload, streamSourcePayload, sinkCsv, sinkJson, sinkJdbc,
-      sinkPartitioned)
+      sinkPartitioned, sinkCompaction)
 }

@@ -158,6 +158,23 @@ class SourceSinkSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("q_sink_compaction rewrites 64 files to 4 with identical content") {
+    val rows = q("q_sink_compaction").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("files_before") === 64L)
+      assert(r.getAs[Long]("files_after") === 4L)
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
+    // the compacted layout holds the same rows as the original table
+    val sfName = new java.io.File(sf).getName
+    val compact = spark.read.parquet(s"target/sink_compacted/$sfName")
+    val orig = Tables.events(spark, sf)
+      .select($"event_id", unix_timestamp($"ts").as("ts_s"))
+    assert(compact.select($"event_id", $"ts_s").exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(compact.select($"event_id", $"ts_s")).count() === 0)
+  }
+
   test("q_stream_join equals the batch interval self-join") {
     val got = q("q_stream_join").as[(Long, Long)].collect().toSet
     val e = Tables.events(spark, sf)
