@@ -416,6 +416,49 @@ object StreamingOps extends QueryPack {
     "Stream-stream interval join (watermarked both sides, bounded state); " +
       "equals the batch self-join oracle")
 
+  // ------------------------------------------- stream-static join
+  // The enrichment pattern: a stream joined to a slowly-changing dim
+  // table. The static side needs no watermark and carries no state — the
+  // engine re-broadcasts it into every micro-batch (at scale: a dim
+  // snapshot refreshed between batches). Events map to the nation dim by
+  // a deterministic key; the aggregate after the join runs in complete
+  // mode. Equal to the batch join, which is the oracle.
+  private val streamStaticJoin = QueryDef(
+    "q_stream_static_join",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamInputDir(s, d)
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
+      val dim = Tables.nation(s, d)
+        .select($"n_nationkey".cast("long").as("nkey"), $"n_name")
+      withStreamPartitions(s, 8) { ss =>
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter($"user_id" >= 0)
+          .withColumn("nkey", $"user_id" % 25)
+          .join(broadcast(dim), Seq("nkey"))
+          .groupBy($"n_name")
+          .agg(count("*").as("n_events"),
+            sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+              .as("sum_cents"))
+          .writeStream.format("memory").queryName("graft_stream_static")
+          .outputMode("complete")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        ss.table("graft_stream_static")
+      }
+        .orderBy($"n_name")
+    },
+    Some("""SELECT n_name, count(*) AS n_events,
+      CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events JOIN nation ON user_id % 25 = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""),
+    "Stream-static enrichment join (per-batch broadcast dim, no state); " +
+      "equals the batch join oracle")
+
   // ---------------------------------------------- foreachBatch sink
   // The production streaming-sink pattern: foreachBatch hands each
   // micro-batch to arbitrary batch-writer code (MERGE/upsert, JDBC
@@ -471,5 +514,6 @@ object StreamingOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamStateful,
-      sessionWindowBatch, streamDedup, streamJoin, streamForeachBatch)
+      sessionWindowBatch, streamDedup, streamJoin, streamStaticJoin,
+      streamForeachBatch)
 }

@@ -48,6 +48,20 @@ class ScaleTechniquesSpec extends SparkTestBase {
     }
   }
 
+  test("direct ngram pair strategy plans with ZERO joins (broadcast-abort guard)") {
+    // Regression guard for the 10×-scale failure BENCH_sf1 caught: the
+    // planner broadcast the Σ df² pair stream into a counts join because
+    // static stats through Generate → aggregate are misestimates. The fix
+    // carries (doc_id, n_sh) through the inverted index, so the direct
+    // strategy must contain NO join of any kind — nothing misestimable
+    // can ever be picked as a build side again.
+    val plan = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "direct ngram strategy must be join-free:\n" + plan)
+    assert(!plan.contains("BroadcastExchange"),
+      "direct ngram strategy must broadcast nothing:\n" + plan)
+  }
+
   test("AQE splits skewed join partitions at runtime") {
     // one hot key (50k rows) among 100 cold keys; thresholds lowered so
     // test-scale data trips the skew detector. At 100 TB the same

@@ -175,6 +175,22 @@ class SourceSinkSpec extends SparkTestBase {
     assert(orig.exceptAll(compact.select($"event_id", $"ts_s")).count() === 0)
   }
 
+  test("q_stream_static_join equals the batch enrichment join") {
+    val got = q("q_stream_static_join")
+      .select($"n_name", $"n_events", $"sum_cents")
+      .as[(String, Long, Long)].collect().toSeq
+    val expect = Tables.events(spark, sf)
+      .withColumn("nkey", $"user_id" % 25)
+      .join(Tables.nation(spark, sf)
+        .select($"n_nationkey".cast("long").as("nkey"), $"n_name"), Seq("nkey"))
+      .groupBy($"n_name")
+      .agg(count("*").as("n"),
+        sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .orderBy($"n_name")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === expect)
+  }
+
   test("q_stream_join equals the batch interval self-join") {
     val got = q("q_stream_join").as[(Long, Long)].collect().toSet
     val e = Tables.events(spark, sf)
