@@ -41,7 +41,9 @@ object BenchStress {
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_text_fingerprint_winnow",
+    "q_text_boilerplate",
     "q_pipeline_clean",
+    "q_sink_compaction",
     "q_simsearch_cosine",
     "q_simsearch_ann_srp",
     "q_simsearch_ivf",
