@@ -92,4 +92,21 @@ object OpsListener {
 
   def detach(spark: SparkSession, l: OpsListener): Unit =
     spark.streams.removeListener(l)
+
+  /** Free in-flight data-quality metrics via `Dataset.observe`: row
+    * count, null count of a watched column, and its sum — collected by
+    * the executors WHILE the action runs (no second pass over the data,
+    * unlike a separate `.count()`/`.agg()` audit — the difference between
+    * one scan and two at 100 TB). Read the result from the returned
+    * Observation after the next action completes. */
+  def observeQuality(df: org.apache.spark.sql.DataFrame, name: String,
+      watch: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Observation) = {
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation(name)
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(col(watch).isNull.cast("long")).as("n_null"),
+      sum(col(watch).cast("double")).as("sum_watch"))
+    (observed, obs)
+  }
 }

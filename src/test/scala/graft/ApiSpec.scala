@@ -100,6 +100,17 @@ class ApiSpec extends SparkTestBase {
     } finally graft.streaming.OpsListener.detach(spark, listener)
   }
 
+  test("observeQuality collects metrics in-flight with no extra pass") {
+    val t = BitcoinEtl.ingest(spark, dir)
+    val (observed, obs) =
+      graft.streaming.OpsListener.observeQuality(t.hashrate, "hr_quality", "hashrate")
+    val n = observed.count() // the ONE action; metrics ride along
+    val row = obs.get
+    assert(row("n_rows") === n)
+    assert(row("n_null") === 0L)
+    assert(row("sum_watch") === (1000.0 + 3000.0 + 5000.0))
+  }
+
   test("raw and avg_info append sinks round-trip") {
     val t = BitcoinEtl.ingest(spark, dir)
     val out = "target/test-api-out"
