@@ -116,16 +116,23 @@ object DedupOps extends QueryPack {
           .select($"d1.doc_id".as("doc1"), $"d2.doc_id".as("doc2"),
             jaccardOf($"inter", $"d1.n_sh", $"d2.n_sh").as("jaccard"))
       } else {
-        val df_ = posting.groupBy($"shingle").agg(count("*").as("df"))
         val w = org.apache.spark.sql.expressions.Window
+        // document frequency WITHOUT a join: a count window over the
+        // shingle partition attaches df in the same shuffle that would
+        // have computed the df table — no broadcast of a vocabulary-sized
+        // relation (unbounded at web scale) and nothing misestimable for
+        // the planner to pick as a build side
         val prefix = posting
-          .join(broadcast(df_), "shingle")
+          .withColumn("df", count("*").over(w.partitionBy($"shingle")))
           .withColumn("pos", row_number().over(
             w.partitionBy($"doc_id").orderBy($"df", $"shingle")))
           .withColumn("n", count("*").over(w.partitionBy($"doc_id")))
           .filter($"pos" <= floor($"n" / 2) + 1)
           .select($"doc_id", $"shingle")
-        prefix.as("a")
+        // candidate generation is a genuine equi-self-join; hint the
+        // sort-merge strategy so the scale-safe choice never depends on
+        // static size estimates of this derived stream
+        prefix.as("a").hint("merge")
           .join(prefix.as("b"),
             col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))
