@@ -160,6 +160,38 @@ object SourceOps extends QueryPack {
       FROM events GROUP BY event_type ORDER BY event_type"""),
     "CSV sink + schema'd source round trip; oracle = direct aggregation")
 
+  // ---------------------------------------------- ORC sink + source
+  // The second columnar format Spark ships natively. Same round-trip
+  // contract as the text sinks; additionally the read-back filter must
+  // reach the ORC scan as a pushed predicate (ORC keeps row-group
+  // min/max stats like parquet, so pushdown skips stripes at scale —
+  // SourceSinkSpec asserts PushedFilters on the plan).
+  private val sinkOrc = QueryDef(
+    "q_sink_orc_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val dir = sinkDir("sink_orc", d)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type",
+          unix_timestamp($"ts").as("ts_s"), cents(s).as("value_cents"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter($"event_id" >= 5000L) // → PushedFilters into the ORC scan
+        .groupBy($"event_type")
+        .agg(count("*").as("n"),
+          min($"event_id").as("min_id"), max($"ts_s").as("max_ts"),
+          (sum($"value_cents").cast("decimal(38,2)") / 100)
+            .cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      min(event_id) AS min_id,
+      max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts,
+      CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,2)) / 100 AS DOUBLE) AS sum_value
+      FROM events WHERE event_id >= 5000
+      GROUP BY event_type ORDER BY event_type"""),
+    "ORC sink + source round trip with predicate pushdown into the scan")
+
   // --------------------------------------------- JSON sink + source
   private val sinkJson = QueryDef(
     "q_sink_json_roundtrip",
@@ -297,6 +329,6 @@ object SourceOps extends QueryPack {
       "rewrite (no shuffle); content provably unchanged")
 
   override def defs: Seq[QueryDef] =
-    Seq(sourcePayload, streamSourcePayload, sinkCsv, sinkJson, sinkJdbc,
-      sinkPartitioned, sinkCompaction)
+    Seq(sourcePayload, streamSourcePayload, sinkCsv, sinkOrc, sinkJson,
+      sinkJdbc, sinkPartitioned, sinkCompaction)
 }

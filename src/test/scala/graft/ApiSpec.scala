@@ -100,6 +100,26 @@ class ApiSpec extends SparkTestBase {
     } finally graft.streaming.OpsListener.detach(spark, listener)
   }
 
+  test("OpsListener captures the failure path (email_on_failure analog)") {
+    val listener = graft.streaming.OpsListener.attach(spark)
+    try {
+      val q = BitcoinEtl.avgInfoStream(spark, dir)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          throw new RuntimeException("synthetic batch failure")
+        }
+        .outputMode("complete")
+        .start()
+      intercept[Exception] { q.processAllAvailable() }
+      try q.stop() catch { case _: Throwable => () }
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (listener.failureMessages.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(listener.failureMessages.nonEmpty, "failure must be alerted")
+      assert(listener.failureMessages.exists(_.contains("synthetic batch failure")))
+    } finally graft.streaming.OpsListener.detach(spark, listener)
+  }
+
   test("observeQuality collects metrics in-flight with no extra pass") {
     val t = BitcoinEtl.ingest(spark, dir)
     val (observed, obs) =

@@ -158,6 +158,18 @@ class SourceSinkSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("q_sink_orc_roundtrip pushes the filter into the ORC scan") {
+    val df = q("q_sink_orc_roundtrip")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), GreaterThanOrEqual(event_id,5000)"),
+      "read-back filter must reach the ORC scan:\n" + plan)
+    val got = df.select($"event_type", $"n").as[(String, Long)].collect().toMap
+    val expect = Tables.events(spark, sf).filter($"event_id" >= 5000L)
+      .groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(got === expect)
+  }
+
   test("q_sink_compaction rewrites 64 files to 4 with identical content") {
     val rows = q("q_sink_compaction").collect()
     assert(rows.nonEmpty)
