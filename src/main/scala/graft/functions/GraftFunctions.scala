@@ -54,7 +54,11 @@ object GraftFunctions {
         intLit(es(2), "bits"), intLit(es(3), "seed").toLong)),
     (FunctionIdentifier("double_dot"),
       info("double_dot", "double_dot(array<float>, array<float>) - IEEE-double dot product"),
-      (es: Seq[Expression]) => DoubleDot(es.head, es(1))))
+      (es: Seq[Expression]) => DoubleDot(es.head, es(1))),
+    (FunctionIdentifier("int8_quant_stats"),
+      info("int8_quant_stats",
+        "int8_quant_stats(array<float>) - int8 quantization code stats struct"),
+      (es: Seq[Expression]) => Int8QuantStats(es.head)))
 
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit =

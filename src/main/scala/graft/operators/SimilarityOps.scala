@@ -311,18 +311,13 @@ object SimilarityOps extends QueryPack {
     "q_embed_quantize",
     (s, d) => {
       import s.implicits._
-      val maxabs = array_max(transform($"embedding",
-        x => abs(x.cast("double"))))
-      val q = transform($"embedding",
-        x => when(lit(0.0) === maxabs, lit(0L))
-          .otherwise(round(x.cast("double") * 127.0 / maxabs).cast("long")))
+      // one-pass codegen kernel (functions/Int8QuantStats) — proven
+      // bit-identical to the declarative transform/aggregate chain in
+      // CustomFunctionsSpec, ~N interpreted lambda walks fewer per row
+      val st = graft.functions.Int8QuantStats.int8_quant_stats($"embedding")
       Tables.embeddings(s, d)
-        .select($"vec_id", q.as("q"))
-        .select($"vec_id",
-          aggregate($"q", lit(0L), (a, x) => a + x).as("sum_q"),
-          array_max($"q").as("max_q"),
-          array_min($"q").as("min_q"),
-          size(filter($"q", x => x === 0L)).cast("long").as("n_zero"))
+        .select($"vec_id", st.as("s"))
+        .select($"vec_id", $"s.sum_q", $"s.max_q", $"s.min_q", $"s.n_zero")
         .orderBy($"vec_id")
     },
     Some("""WITH t AS (

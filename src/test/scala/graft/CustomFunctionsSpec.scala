@@ -156,6 +156,27 @@ class CustomFunctionsSpec extends SparkTestBase {
     got.zip(ref).foreach { case (g, r) => assert(g === r) } // bit-identical
   }
 
+  test("int8_quant_stats equals the declarative quantization chain") {
+    import graft.functions.Int8QuantStats.int8_quant_stats
+    val df = Tables.embeddings(spark, sf)
+    val maxabs = array_max(transform($"embedding", x => abs(x.cast("double"))))
+    val q = transform($"embedding",
+      x => when(lit(0.0) === maxabs, lit(0L))
+        .otherwise(round(x.cast("double") * 127.0 / maxabs).cast("long")))
+    val ref = df.select($"vec_id", q.as("q"))
+      .select($"vec_id",
+        aggregate($"q", lit(0L), (a, x) => a + x).as("sum_q"),
+        array_max($"q").as("max_q"), array_min($"q").as("min_q"),
+        size(filter($"q", x => x === 0L)).cast("long").as("n_zero"))
+      .orderBy($"vec_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val got = df.select($"vec_id", int8_quant_stats($"embedding").as("s"))
+      .select($"vec_id", $"s.sum_q", $"s.max_q", $"s.min_q", $"s.n_zero")
+      .orderBy($"vec_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === ref.toSeq)
+  }
+
   test("custom functions resolve in SQL via extensions/registration") {
     Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_tmp")
     val r = spark.sql(
