@@ -18,7 +18,14 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String = "")
+    doc: String = "",
+    // Oracle SQL that must be rendered AFTER the query ran (e.g. embeds a
+    // filesystem path the query materialized). Evaluated once per
+    // SparkEntry.oracleSql call; wins over `oracle` when both are set.
+    oracleFn: Option[() => String] = None) {
+  /** The oracle SQL as of now — lazy form first, else the static one. */
+  def oracleNow: Option[String] = oracleFn.map(_()).orElse(oracle)
+}
 
 /** A family of related operators; SparkEntry concatenates all packs. */
 trait QueryPack {

@@ -36,5 +36,5 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
     * then records a weaker rows-only check). */
   def oracleSql: Map[String, String] =
-    all.collect { case QueryDef(n, _, Some(sql), _) => n -> sql }.toMap
+    all.flatMap(q => q.oracleNow.map(q.name -> _)).toMap
 }

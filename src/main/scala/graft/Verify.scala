@@ -1,9 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Driver-compare contract: the driver loads each declared result via
+    * pandas and lexsorts every column before hashing; a nested cell
+    * (numpy array / dict) is unhashable and crashes the whole check
+    * (round-3 q_agg_percentile_approx incident). So no DECLARED query may
+    * emit array/map/struct columns — render arrays with array_join,
+    * unpack structs into scalar columns. Enforced here (fail fast, before
+    * any artifact is written for the offender) and in SmokeSpec. */
+  def assertFlatSchema(name: String, schema: StructType): Unit = {
+    val nested = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.simpleString}"
+    }
+    if (nested.nonEmpty)
+      throw new IllegalStateException(
+        s"declared query '$name' emits non-hashable nested columns " +
+          s"[${nested.mkString(", ")}] — the driver's pandas compare " +
+          "cannot process them; array_join arrays / unpack structs")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,10 +39,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        val df = fn(spark, sfDir)
+        assertFlatSchema(name, df.schema) // rethrown below: contract breach
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch {
+        case e: IllegalStateException => throw e // flat-schema breach: abort
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -35,6 +61,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // rendered AFTER the queries ran: lazy oracles (oracleFn) embed paths
+    // the queries materialized this run (e.g. the payload landing dir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

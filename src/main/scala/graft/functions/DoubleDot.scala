@@ -10,9 +10,12 @@ import org.apache.spark.sql.types._
 
 /** IEEE-double dot product of two float vectors, summed left to right —
   * bit-identical to the declarative `aggregate(zip_with(a, b,
-  * (x,y) -> double(x)*double(y)), 0.0, +)` chain it replaces (same
-  * widening, same product, same accumulation order), but one tight loop
-  * per row instead of Spark's interpreted higher-order-function walk.
+  * (x,y) -> double(x)*double(y)), 0.0, +)` chain it replaces: same
+  * widening, same product, same accumulation order, and the SAME null
+  * semantics — zip_with pads a length mismatch with nulls and `+` over a
+  * null poisons the fold, so any null element or unequal lengths yield
+  * NULL here too (not a partial sum). One tight loop per row instead of
+  * Spark's interpreted higher-order-function walk.
   * This is the ANN rerank kernel: cosine on LSH bucket candidates, where
   * exact decimal ranking ([[DecimalDot]]) isn't needed.
   */
@@ -20,6 +23,7 @@ case class DoubleDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null elements / length mismatch
   override def prettyName: String = "double_dot"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -31,11 +35,15 @@ case class DoubleDot(left: Expression, right: Expression)
     }
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    DoubleDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    DoubleDot.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = graft.functions.DoubleDot.dot($l, $r);")
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val t = ctx.freshName("dotRes")
+      s"""java.lang.Double $t = graft.functions.DoubleDot.dotOrNull($l, $r);
+         |if ($t == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $t.doubleValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DoubleDot =
@@ -43,14 +51,17 @@ case class DoubleDot(left: Expression, right: Expression)
 }
 
 object DoubleDot {
-  /** The kernel — static so generated code can call it directly. */
-  def dot(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+  /** The kernel — static so generated code can call it directly. Returns
+    * null (not a partial sum) on length mismatch or any null element,
+    * exactly like the zip_with/aggregate chain. */
+  def dotOrNull(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i))
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     acc

@@ -33,6 +33,15 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  // seeds are Long in the Scala API; the SQL path must accept the same
+  // range (an int-only parse would silently reject seeds past 2^31)
+  private[functions] def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer or long literal, got $other")
+  }
+
   /** (identifier, info, builder) triples as SparkSessionExtensions wants. */
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -51,7 +60,7 @@ object GraftFunctions {
     (FunctionIdentifier("srp_sig"),
       info("srp_sig", "srp_sig(array<float>, bands, bits, seed) - multi-band SRP-LSH signature"),
       (es: Seq[Expression]) => SrpSig(es.head, intLit(es(1), "bands"),
-        intLit(es(2), "bits"), intLit(es(3), "seed").toLong)),
+        intLit(es(2), "bits"), longLit(es(3), "seed"))),
     (FunctionIdentifier("double_dot"),
       info("double_dot", "double_dot(array<float>, array<float>) - IEEE-double dot product"),
       (es: Seq[Expression]) => DoubleDot(es.head, es(1))),

@@ -46,10 +46,15 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
 }
 
 object Int8QuantStats {
+  // sum/max/min are nullable: an empty or all-null-element vector has no
+  // codes, and DuckDB's list_sum/list_max/list_min return NULL there —
+  // Long.MinValue/MaxValue sentinels would silently diverge from the
+  // oracle. n_zero stays non-null (len(list_filter(…)) of an empty or
+  // all-NULL list is 0, not NULL).
   val outType: StructType = StructType(Seq(
-    StructField("sum_q", LongType, nullable = false),
-    StructField("max_q", LongType, nullable = false),
-    StructField("min_q", LongType, nullable = false),
+    StructField("sum_q", LongType, nullable = true),
+    StructField("max_q", LongType, nullable = true),
+    StructField("min_q", LongType, nullable = true),
     StructField("n_zero", LongType, nullable = false)))
 
   /** Spark's Round-on-double semantics, exactly. */
@@ -72,12 +77,14 @@ object Int8QuantStats {
     var maxQ = Long.MinValue
     var minQ = Long.MaxValue
     var zeros = 0L
+    var seen = 0L
     i = 0
     while (i < n) { // pass 2: quantize + stats
       if (!x.isNullAt(i)) {
         val q =
           if (maxabs == 0.0) 0L
           else roundHalfUp(x.getFloat(i).toDouble * 127.0 / maxabs)
+        seen += 1
         sum += q
         if (q > maxQ) maxQ = q
         if (q < minQ) minQ = q
@@ -85,7 +92,10 @@ object Int8QuantStats {
       }
       i += 1
     }
-    InternalRow(sum, maxQ, minQ, zeros)
+    // no codes → NULL stats (list_sum/list_max/list_min semantics), but
+    // n_zero = 0 (an empty filter result still has a length)
+    if (seen == 0L) InternalRow(null, null, null, 0L)
+    else InternalRow(sum, maxQ, minQ, zeros)
   }
 
   /** Column-API entry point. */

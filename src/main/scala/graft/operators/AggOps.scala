@@ -190,6 +190,10 @@ object AggOps extends QueryPack {
   // partial-agg → exchange still applies) with rank error ≤ n/accuracy.
   // No DuckDB oracle (sketch-algorithm-specific, like q_agg_hll); the spec
   // brackets each estimate between the exact values at rank ± n/accuracy.
+  // The multi-quantile form still evaluates ONE shared sketch per group
+  // (Catalyst plans one ApproximatePercentile buffer for the array call),
+  // but the declared columns are scalars — the driver's pandas compare
+  // cannot hash nested cells, so the array is unpacked via element_at.
   private val aggPercentileApprox = QueryDef(
     "q_agg_percentile_approx",
     (s, d) => {
@@ -200,8 +204,13 @@ object AggOps extends QueryPack {
           expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
           expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
           expr("approx_percentile(l_quantity, array(0.25, 0.75), 10000)")
-            .as("iqr_bounds"),
+            .as("iqr"),
           count("*").as("n_rows"))
+        .select(
+          $"l_returnflag", $"p50_qty", $"p90_qty",
+          element_at($"iqr", 1).as("p25_qty"),
+          element_at($"iqr", 2).as("p75_qty"),
+          $"n_rows")
         .orderBy($"l_returnflag")
     },
     None,

@@ -247,22 +247,26 @@ object SimilarityOps extends QueryPack {
     "q_simsearch_ivf",
     (s, d) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, d)
-        .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       val cents = kmeansFit(ivfTrainingSample(s, d), IvfK, IvfIters)
-      // distributed assignment: tight JVM loop per row, quantizer shipped
-      // in the closure (k*dim doubles — kilobytes)
-      val assigned = emb.map { case (id, v) =>
-        (id, v, nearestCentroid(cents, v.map(_.toDouble).toArray))
-      }.toDF("cid", "cvec", "list")
+      // distributed assignment: codegen kernel over Tungsten rows — the
+      // corpus never deserializes; the quantizer (k*dim doubles —
+      // kilobytes) is a bound reference object in the generated code
+      val assigned = emb.select(
+        $"vec_id".as("cid"), $"embedding".as("cvec"),
+        graft.functions.NearestCentroid.nearest_centroid($"embedding", cents)
+          .as("list"))
       // one row per (query, probed list): the probe becomes an EQUI join
       // key — a broadcast hash join on `list`, not a nested-loop scan of
-      // every query per candidate (matters once |queries| grows)
-      val queries = emb.filter(_._1 < NQ).collect().toSeq.flatMap {
-        case (id, v) =>
-          probeLists(cents, v.map(_.toDouble).toArray, IvfNProbe)
-            .map(p => (id, v, p))
-      }.toDF("qid", "qvec", "list")
+      // every query per candidate (matters once |queries| grows).
+      // Column filter BEFORE the typed view: the NQ-row fetch prunes at
+      // the parquet scan instead of decoding the whole corpus.
+      val queries = emb.filter($"vec_id" < NQ)
+        .as[(Long, Seq[Float])].collect().toSeq.flatMap {
+          case (id, v) =>
+            probeLists(cents, v.map(_.toDouble).toArray, IvfNProbe)
+              .map(p => (id, v, p))
+        }.toDF("qid", "qvec", "list")
       val w = Window.partitionBy($"qid").orderBy($"dot".desc, $"cid")
       broadcast(queries)
         .join(assigned, Seq("list"))

@@ -25,13 +25,18 @@ object SourceOps extends QueryPack {
 
   private val NPayloads = 300
 
+  /** Last payload dir this JVM materialized — the lazy oracle renders its
+    * read_json glob from it, so the oracle tracks whatever checkout dir and
+    * sf the queries actually ran with (no absolute paths in the contract). */
+  @volatile private var lastPayloadDir: Option[String] = None
+
   /** Deterministic payload corpus for one sf; idempotent. */
   def materializePayloads(s: SparkSession, d: String): String = {
     import s.implicits._
-    // resolved from the working directory (the oracle SQL pins the same
-    // layout for the harness, which always runs from the repo root)
+    // resolved from the working directory; remembered for the lazy oracle
     val dir = Paths.get("target", "payloads", new java.io.File(d).getName)
       .toAbsolutePath
+    lastPayloadDir = Some(dir.toString)
     val marker = dir.resolve("_complete")
     if (Files.exists(marker)) return dir.toString
     Files.createDirectories(dir)
@@ -58,8 +63,14 @@ object SourceOps extends QueryPack {
   }
 
   /** Shared by the batch scan and its MicroBatchStream twin — identical
-    * rows, so the identical oracle. */
-  private val payloadOracle = """SELECT
+    * rows, so the identical oracle. Rendered lazily (Verify dumps oracles
+    * AFTER running the queries) so the glob points at the dir this run
+    * actually wrote, whatever the checkout path or sf. */
+  private def payloadOracle: String = {
+    val dir = lastPayloadDir.getOrElse(
+      // no payload query ran in this JVM — default to the driver's verify sf
+      Paths.get("target", "payloads", "sf0.01").toAbsolutePath.toString)
+    s"""SELECT
       CASE WHEN price_data IS NOT NULL THEN 'price'
            WHEN hash_rate_data IS NOT NULL THEN 'hashrate'
            ELSE 'error' END AS kind,
@@ -69,9 +80,10 @@ object SourceOps extends QueryPack {
            WHEN hash_rate_data IS NOT NULL THEN spider_ts END AS server_ts,
       hash_rate_data.currentHashrate AS hashrate,
       hash_rate_data.currentDifficulty AS difficulty
-      FROM read_json('/root/repo/target/payloads/sf0.01/*.json',
+      FROM read_json('$dir/*.json',
         format = 'auto', union_by_name = true, ignore_errors = true)
       ORDER BY kind, spider_ts"""
+  }
   // (ignore_errors turns the malformed payload into an all-NULL row,
   // which the CASE maps to kind='error' — same as the DSv2 reader)
 
@@ -86,8 +98,9 @@ object SourceOps extends QueryPack {
           $"hashrate", $"difficulty")
         .orderBy($"kind", $"spider_ts")
     },
-    Some(payloadOracle),
-    "DataSource V2 scan of reference-shaped JSON payloads + O3/O4 typing")
+    None,
+    "DataSource V2 scan of reference-shaped JSON payloads + O3/O4 typing",
+    oracleFn = Some(() => payloadOracle))
 
   // ------------------------------------- streaming payload source (O1/O2)
   // The SAME source as a real MicroBatchStream: the reference's poll loop
@@ -115,8 +128,9 @@ object SourceOps extends QueryPack {
           $"hashrate", $"difficulty")
         .orderBy($"kind", $"spider_ts")
     },
-    Some(payloadOracle),
-    "Payload DSv2 source as a rate-limited MicroBatchStream; equals the batch scan")
+    None,
+    "Payload DSv2 source as a rate-limited MicroBatchStream; equals the batch scan",
+    oracleFn = Some(() => payloadOracle))
 
   private def sinkDir(kind: String, d: String): String =
     Paths.get("target", kind, new java.io.File(d).getName)
@@ -176,7 +190,9 @@ object SourceOps extends QueryPack {
           unix_timestamp($"ts").as("ts_s"), cents(s).as("value_cents"))
         .write.mode("overwrite").orc(dir)
       s.read.orc(dir)
-        .filter($"event_id" >= 5000L) // → PushedFilters into the ORC scan
+        .filter($"event_id" >= 500L) // → PushedFilters into the ORC scan
+        // (500 < max event_id at every fixture scale — sf0.001 tops out
+        // at 999 — so the round trip is non-empty wherever the spec runs)
         .groupBy($"event_type")
         .agg(count("*").as("n"),
           min($"event_id").as("min_id"), max($"ts_s").as("max_ts"),
@@ -188,7 +204,7 @@ object SourceOps extends QueryPack {
       min(event_id) AS min_id,
       max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts,
       CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,2)) / 100 AS DOUBLE) AS sum_value
-      FROM events WHERE event_id >= 5000
+      FROM events WHERE event_id >= 500
       GROUP BY event_type ORDER BY event_type"""),
     "ORC sink + source round trip with predicate pushdown into the scan")
 

@@ -7,10 +7,16 @@ import org.apache.spark.sql.functions._
 class CoreOpsSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("all core queries run and return rows on sf0.001") {
-    for (name <- SparkEntry.queries.keys)
-      assert(q(name).count() > 0, s"$name returned no rows")
-  }
+  // BOTH fixture scales the harness touches (specs at sf0.001, the
+  // driver's oracle gate at sf0.01): a scale-dependent literal that
+  // empties a query at either sf (round-3 q_sink_orc_roundtrip's
+  // event_id >= 5000) surfaces here instead of in the round artifact.
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+    test(s"all queries return rows on ${new java.io.File(dir).getName}") {
+      for (name <- SparkEntry.queries.keys)
+        assert(SparkEntry.queries(name)(spark, dir).count() > 0,
+          s"$name returned no rows at $dir")
+    }
 
   test("entry flagship smoke: rows > 0") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -177,6 +177,57 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(got.toSeq === ref.toSeq)
   }
 
+  test("double_dot null semantics match the declarative chain") {
+    import graft.functions.DoubleDot.double_dot
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, 4f)),
+      (2L, Seq[java.lang.Float](1f, null), Seq[java.lang.Float](3f, 4f)),
+      (3L, Seq[java.lang.Float](1f), Seq[java.lang.Float](3f, 4f)))
+      .toDF("id", "a", "b")
+    val ref = df.select($"id",
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+      .orderBy($"id").collect().map(r => Option(r.getAs[java.lang.Double]("d")))
+    val got = df.select($"id", double_dot($"a", $"b").as("d"))
+      .orderBy($"id").collect().map(r => Option(r.getAs[java.lang.Double]("d")))
+    assert(got.toSeq === ref.toSeq)
+    assert(got(1).isEmpty && got(2).isEmpty) // null element / length mismatch
+  }
+
+  test("int8_quant_stats: empty and all-null vectors yield NULL stats, n_zero=0") {
+    import graft.functions.Int8QuantStats.int8_quant_stats
+    val df = Seq(
+      (1L, Seq[java.lang.Float]()),
+      (2L, Seq[java.lang.Float](null, null)),
+      (3L, Seq[java.lang.Float](1f, -2f)))
+      .toDF("vec_id", "embedding")
+    val r = df.select($"vec_id", int8_quant_stats($"embedding").as("s"))
+      .select($"vec_id", $"s.sum_q", $"s.max_q", $"s.min_q", $"s.n_zero")
+      .orderBy($"vec_id").collect()
+    for (i <- 0 to 1) { // list_sum/list_max/list_min-of-nothing semantics
+      assert(r(i).isNullAt(1) && r(i).isNullAt(2) && r(i).isNullAt(3))
+      assert(r(i).getAs[Long]("n_zero") === 0L)
+    }
+    assert(r(2).getAs[Long]("max_q") === 64L) // round(1*127/2)
+    assert(r(2).getAs[Long]("min_q") === -127L)
+  }
+
+  test("nearest_centroid kernel matches the driver-side trainer assignment") {
+    import graft.functions.NearestCentroid.nearest_centroid
+    val cents = operators.SimilarityOps.kmeansFit(
+      operators.SimilarityOps.ivfTrainingSample(spark, sf), 16, 5)
+    val got = Tables.embeddings(spark, sf)
+      .select($"vec_id", nearest_centroid($"embedding", cents).as("list"))
+      .orderBy($"vec_id").as[(Long, Int)].collect()
+    val ref = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, v) =>
+        (id, operators.SimilarityOps.nearestCentroid(cents, v.map(_.toDouble).toArray))
+      }
+    assert(got.toSeq === ref.toSeq)
+  }
+
   test("custom functions resolve in SQL via extensions/registration") {
     Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_tmp")
     val r = spark.sql(

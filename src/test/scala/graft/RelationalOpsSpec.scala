@@ -70,11 +70,11 @@ class RelationalOpsSpec extends SparkTestBase {
       }
       bracket(0.5, r.getAs[Number]("p50_qty").doubleValue())
       bracket(0.9, r.getAs[Number]("p90_qty").doubleValue())
-      val iqr = r.getSeq[Any](r.fieldIndex("iqr_bounds"))
-        .map(_.asInstanceOf[Number].doubleValue())
-      assert(iqr.length === 2 && iqr(0) <= iqr(1))
-      bracket(0.25, iqr(0))
-      bracket(0.75, iqr(1))
+      val p25 = r.getAs[Number]("p25_qty").doubleValue()
+      val p75 = r.getAs[Number]("p75_qty").doubleValue()
+      assert(p25 <= p75)
+      bracket(0.25, p25)
+      bracket(0.75, p75)
       assert(r.getAs[Long]("n_rows") === n.toLong)
     }
   }

@@ -19,4 +19,25 @@ class SmokeSpec extends SparkTestBase {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracle keys without queries: $dangling")
   }
+
+  test("no declared query emits nested columns (driver hash contract)") {
+    // the driver's pandas lexsort crashes on array/map/struct cells
+    // (round-3 q_agg_percentile_approx); Verify.assertFlatSchema is the
+    // production guard — here it runs over the whole declared surface
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+      Verify.assertFlatSchema(name, fn(spark, sf).schema)
+    // …and must actually fire on an offender
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val offender = Seq((1L, Seq(1.0, 2.0))).toDF("id", "vals")
+    val e = intercept[IllegalStateException] {
+      Verify.assertFlatSchema("synthetic", offender.schema)
+    }
+    assert(e.getMessage.contains("vals"))
+    // struct + map forms trip it too
+    val structy = offender.select(struct($"id").as("s"))
+    intercept[IllegalStateException] {
+      Verify.assertFlatSchema("synthetic2", structy.schema)
+    }
+  }
 }

@@ -161,10 +161,10 @@ class SourceSinkSpec extends SparkTestBase {
   test("q_sink_orc_roundtrip pushes the filter into the ORC scan") {
     val df = q("q_sink_orc_roundtrip")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(event_id), GreaterThanOrEqual(event_id,5000)"),
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), GreaterThanOrEqual(event_id,500)"),
       "read-back filter must reach the ORC scan:\n" + plan)
     val got = df.select($"event_type", $"n").as[(String, Long)].collect().toMap
-    val expect = Tables.events(spark, sf).filter($"event_id" >= 5000L)
+    val expect = Tables.events(spark, sf).filter($"event_id" >= 500L)
       .groupBy($"event_type").count()
       .as[(String, Long)].collect().toMap
     assert(got === expect)
