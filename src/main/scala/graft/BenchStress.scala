@@ -51,7 +51,14 @@ object BenchStress {
     "q_sessionize",
     "q_stream_tumbling",
     "q_stream_dedup",
-    "q_stream_session")
+    "q_stream_session",
+    // round-3 additions: stream-static enrichment (broadcast side grows
+    // with the dim table), foreachBatch sink (per-batch write amplification),
+    // JDBC round trip (writer fan-in) — stressed so the tracked surface
+    // matches the declared surface
+    "q_stream_static_join",
+    "q_stream_foreachbatch",
+    "q_sink_jdbc_roundtrip")
 
   def materialize(s: SparkSession, base: String, rep: Int): String = {
     import s.implicits._
@@ -91,6 +98,10 @@ object BenchStress {
     write(Tables.lineitem(s, base).crossJoin(reps)
       .withColumn("l_orderkey", $"l_orderkey" * rep + $"rep")
       .drop("rep"), "lineitem")
+
+    // dim tables ride along unreplicated — at scale the fact side grows,
+    // the enrichment dim does not (q_stream_static_join's broadcast side)
+    write(Tables.nation(s, base), "nation")
 
     Files.write(marker, Array.empty[Byte])
     dir.toString
@@ -132,13 +143,18 @@ object BenchStress {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
-      name -> (if (ok) dt else -1.0)
+      name -> (if (ok) Some(dt) else None)
     }
     def f(v: Double): String =
       "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    // failures surface as "fail" (not a fake negative timing) and are
+    // EXCLUDED from the total, so one red query can't corrupt the metric
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + v.map(f).getOrElse("\"fail\"") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
+    val nFail = results.count(_._2.isEmpty)
+    if (nFail > 0) System.err.println(s"STRESS: $nFail queries failed")
     val sfName = s"${new java.io.File(base).getName}x$rep"
     println(s"""{"metric":"stress_total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()

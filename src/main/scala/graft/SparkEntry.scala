@@ -15,7 +15,8 @@ object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
     CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps,
     TextOps, DedupOps, SimilarityOps, CustomOps, MultimodalOps,
-    TypedOps, SourceOps, CleanPipelineOps, graft.streaming.StreamingOps)
+    TypedOps, SourceOps, CleanPipelineOps, CurationOps,
+    graft.streaming.StreamingOps)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)

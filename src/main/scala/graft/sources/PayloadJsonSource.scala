@@ -116,9 +116,31 @@ private class PayloadScan(path: String, maxFilesPerTrigger: Option[Int])
     new PayloadMicroBatchStream(path, maxFilesPerTrigger)
 }
 
-/** Offset = number of files admitted so far (position in discovery order). */
-private case class PayloadOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
+/** Offset = number of files admitted so far (position in discovery order)
+  * PLUS the name of the last admitted file. The count drives range
+  * planning; the name makes a restored offset SELF-VERIFYING: after a
+  * restart, discovery order is rebuilt from a sorted listing, and if a
+  * late file sorted itself below an already-committed name the index→file
+  * mapping would silently shift — the recorded boundary name catches
+  * exactly that (Spark's FileStreamSource solves the same problem by
+  * persisting its full name→batch map in the source log; the boundary
+  * name is the O(1) version for a sorted landing zone). */
+private case class PayloadOffset(n: Long, last: String) extends Offset {
+  override def json(): String = {
+    val m = new ObjectMapper
+    val node = m.createObjectNode()
+    node.put("n", n)
+    if (last != null) node.put("last", last)
+    m.writeValueAsString(node)
+  }
+}
+
+private object PayloadOffset {
+  def parse(json: String): PayloadOffset = {
+    val root = new ObjectMapper().readTree(json)
+    PayloadOffset(root.get("n").asLong,
+      if (root.hasNonNull("last")) root.get("last").asText else null)
+  }
 }
 
 /** Micro-batch form of the payload scan. The driver keeps the discovery
@@ -137,17 +159,53 @@ private case class PayloadOffset(n: Long) extends Offset {
 private class PayloadMicroBatchStream(path: String, maxPerTrigger: Option[Int])
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  // discovery order: files indexed in the order first seen
-  private val seen = new java.util.LinkedHashMap[String, Long]()
+  // discovery order: file names in the order first seen (sorted listings,
+  // so within one instance this IS name order for a well-behaved zone)
+  private val names = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val known = scala.collection.mutable.HashSet.empty[String]
 
+  // Out-of-order arrival WITHIN this instance's lifetime: a new file
+  // sorting below an already-discovered one would make the post-restart
+  // rebuild (fresh sorted listing) disagree with the live discovery
+  // order. Fail loudly at discovery instead of letting a later restart
+  // duplicate/lose data.
   private def discover(): Long = synchronized {
     PayloadJsonSource.listFiles(path).foreach { f =>
-      if (!seen.containsKey(f)) seen.put(f, seen.size.toLong)
+      if (!known.contains(f)) {
+        if (names.nonEmpty && f.compareTo(names.last) < 0)
+          throw new IllegalStateException(
+            s"PayloadJsonSource: out-of-order landing: '$f' sorts before " +
+              s"already-discovered '${names.last}'. Offsets index the " +
+              "sorted landing order; land files with monotonically " +
+              "increasing names.")
+        known += f
+        names += f
+      }
     }
-    seen.size.toLong
+    names.length.toLong
   }
 
-  override def initialOffset(): Offset = PayloadOffset(0L)
+  /** A restored/committed offset must still denote the same file: the
+    * boundary name recorded in the offset has to sit at index n-1 of the
+    * CURRENT discovery order. Catches the restart remap (late file landed
+    * while the stream was down, sorting below a committed name). */
+  private def validate(o: PayloadOffset): Unit =
+    if (o.n > 0 && o.last != null) {
+      val idx = o.n.toInt - 1
+      val actual = if (idx < names.length) names(idx) else null
+      if (actual != o.last)
+        throw new IllegalStateException(
+          s"PayloadJsonSource: offset ${o.n} was committed at file " +
+            s"'${o.last}' but now maps to '$actual' — a file landed out " +
+            "of sorted order across a restart; replaying would " +
+            "duplicate/lose data. Land files with monotonically " +
+            "increasing names.")
+    }
+
+  private def offsetAt(n: Long): PayloadOffset =
+    PayloadOffset(n, if (n > 0) names(n.toInt - 1) else null)
+
+  override def initialOffset(): Offset = PayloadOffset(0L, null)
 
   override def getDefaultReadLimit: ReadLimit = maxPerTrigger match {
     case Some(m) => ReadLimit.maxFiles(m)
@@ -156,29 +214,33 @@ private class PayloadMicroBatchStream(path: String, maxPerTrigger: Option[Int])
 
   // legacy no-arg form: only called when SupportsAdmissionControl is NOT
   // consulted; report everything discovered
-  override def latestOffset(): Offset = PayloadOffset(discover())
-
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val available = discover()
-    val s = start.asInstanceOf[PayloadOffset].n
-    val end = limit match {
-      case mf: ReadMaxFiles => math.min(available, s + mf.maxFiles())
-      case _ => available
-    }
-    PayloadOffset(math.max(s, end))
+  override def latestOffset(): Offset = synchronized {
+    offsetAt(discover())
   }
 
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    synchronized {
+      val available = discover()
+      val so = start.asInstanceOf[PayloadOffset]
+      validate(so) // restored checkpoint offset must still match its file
+      val end = limit match {
+        case mf: ReadMaxFiles => math.min(available, so.n + mf.maxFiles())
+        case _ => available
+      }
+      offsetAt(math.max(so.n, end))
+    }
+
   override def deserializeOffset(json: String): Offset =
-    PayloadOffset(json.toLong)
+    PayloadOffset.parse(json)
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = synchronized {
-    val s = start.asInstanceOf[PayloadOffset].n
-    val e = end.asInstanceOf[PayloadOffset].n
+    val so = start.asInstanceOf[PayloadOffset]
+    val eo = end.asInstanceOf[PayloadOffset]
     discover()
-    val files = seen.entrySet().iterator().asScala
-      .filter(kv => kv.getValue >= s && kv.getValue < e)
-      .map(_.getKey).toArray
+    validate(so)
+    validate(eo) // a replayed batch must map to the files it committed
+    val files = names.slice(so.n.toInt, eo.n.toInt).toArray
     files.grouped(PayloadJsonSource.FilesPerSplit)
       .map(fs => PayloadPartition(fs): InputPartition).toArray
   }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation tier: CDC merge, stratified sampling, sequence
+  * packing, scrubbing, decontamination (CurationOps). */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q_merge_upsert: latest-wins per key, inserts added, updates applied") {
+    val base = Tables.events(spark, sf)
+    val nBase = base.count()
+    val nIns = base.filter($"event_id" % 97 === 0).count()
+    val merged = q("q_merge_upsert").cache()
+    // one row per key; key set = base keys + shifted insert keys
+    assert(merged.count() === nBase + nIns)
+    assert(merged.select($"event_id").distinct().count() === nBase + nIns)
+    // every 7th key took the newer (src=1, +100 cents) version
+    val updated = merged.filter($"event_id" % 7 === 0 && $"event_id" < 10000000L)
+    assert(updated.filter($"src" =!= 1L).count() === 0)
+    // untouched keys carry the base row verbatim
+    val untouched = merged.filter($"event_id" % 7 =!= 0 && $"event_id" < 10000000L)
+    assert(untouched.filter($"src" =!= 0L).count() === 0)
+    // updated values are base value + 100
+    val baseCents = base.select($"event_id",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    val joined = updated.join(baseCents, "event_id")
+    assert(joined.filter($"value_cents" =!= $"vc" + 100L).count() === 0)
+    merged.unpersist()
+  }
+
+  test("q_sample_stratified: kept counts equal the exact mod-rate recount") {
+    val got = q("q_sample_stratified").collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("n_kept")))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val expect = docs.groupBy(_._2).map { case (lang, rows) =>
+      val rate = lang match {
+        case "en" => 50L; case "zh" => 25L; case _ => 10L
+      }
+      lang -> ((rows.size.toLong, rows.count(_._1 % 100 < rate).toLong))
+    }
+    assert(got === expect)
+    // rates actually stratify: en keeps a much larger share than the rest
+    val (enT, enK) = got("en")
+    assert(enK.toDouble / enT > 0.35)
+    got.filter(_._1 != "en").foreach { case (_, (t, k)) =>
+      assert(k.toDouble / t < 0.35)
+    }
+  }
+
+  test("q_pack_sequences: bins reconstruct from an independent per-shard scan") {
+    val got = q("q_pack_sequences").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens")))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", size(split(lower($"text"), " +")).cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val expect = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)].withDefaultValue((0L, 0L))
+    val cum = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    docs.foreach { case (id, n) =>
+      val shard = id % 32
+      val bin = cum(shard) / 512 // window where the doc's first token lands
+      cum(shard) += n
+      val (c, t) = expect((shard, bin))
+      expect((shard, bin)) = (c + 1, t + n)
+    }
+    assert(got === expect.toMap)
+    // packing invariant: consecutive bins per shard, none skipped
+    got.keys.groupBy(_._1).foreach { case (_, bins) =>
+      val bs = bins.map(_._2).toSeq.sorted
+      assert(bs === (bs.min to bs.max))
+    }
+  }
+
+  test("q_redact_scrub: no digits survive, counts match occurrences") {
+    val rows = q("q_redact_scrub").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[String]("scrubbed").exists(_.isDigit))
+      assert(r.getAs[Long]("scrub_len") ===
+        r.getAs[String]("scrubbed").length.toLong)
+    }
+    // props are JSON with numeric values -> at least one hit per row
+    assert(rows.count(_.getAs[Long]("n_hits") > 0) === rows.length)
+  }
+
+  test("q_decontaminate: flags exactly the docs sharing a 4-gram with the test set") {
+    def grams(text: String): Set[String] = {
+      val w = text.toLowerCase.split(" +").toSeq
+      if (w.size < 4) Set.empty
+      else w.sliding(4).map(_.mkString(" ")).toSet
+    }
+    val all = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val testGrams = all.filter(_._1 % 50 == 0).flatMap(g => grams(g._2)).toSet
+    val expect = all.filter(_._1 % 50 != 0)
+      .map { case (id, t) => id -> grams(t).count(testGrams.contains) }
+      .filter(_._2 > 0).toMap
+    val got = q("q_decontaminate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(got === expect.map { case (k, v) => k -> v.toLong })
+    // no test doc leaks into its own contamination report
+    assert(got.keys.forall(_ % 50 != 0))
+  }
+}

@@ -79,6 +79,47 @@ class SourceSinkSpec extends SparkTestBase {
     assert(batch.exceptAll(got.select(batch.columns.map(col): _*)).count() === 0)
   }
 
+  test("payload stream fails loudly when a file lands out of sorted order") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets
+    val base = Paths.get("target", "test-ooo").toAbsolutePath
+    def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    rm(base)
+    val landing = base.resolve("landing"); Files.createDirectories(landing)
+    def put(name: String): Unit = Files.write(landing.resolve(name),
+      s"""{"spider_ts": 1, "price_data": {"USD": 1, "time": 1}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.PayloadJsonSource")
+        .option("path", landing.toString).load()
+        .writeStream.format("parquet")
+        .option("path", base.resolve("out").toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    put("b_0.json"); put("b_1.json")
+    drain()
+    assert(spark.read.parquet(base.resolve("out").toString).count() === 2)
+    // a late file that sorts BELOW the committed boundary would remap the
+    // count-indexed offsets — the boundary name in the offset catches it
+    put("a_0.json")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("out of sorted order")) ||
+      messages(e).exists(_.contains("out-of-order landing")),
+      s"unexpected failure chain: ${messages(e).mkString(" | ")}")
+  }
+
   test("parquet append sink round trip, partitioned by event_type") {
     val out = "target/test-sink/events_agg"
     val agg = Tables.events(spark, sf)
