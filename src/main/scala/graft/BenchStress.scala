@@ -58,7 +58,13 @@ object BenchStress {
     // matches the declared surface
     "q_stream_static_join",
     "q_stream_foreachbatch",
-    "q_sink_jdbc_roundtrip")
+    "q_sink_jdbc_roundtrip",
+    // round-4 curation tier: merge shuffles |keys| rows (WindowGroupLimit
+    // pushdown), decontamination broadcasts a gram index that grows with
+    // the test set, packing windows over 32 shards — all claimed ~linear
+    "q_merge_upsert",
+    "q_decontaminate",
+    "q_pack_sequences")
 
   def materialize(s: SparkSession, base: String, rep: Int): String = {
     import s.implicits._

@@ -6,6 +6,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
 
+  /** Declared-output contract breach — a DEDICATED type so the main loop
+    * rethrows exactly this and nothing else (Spark internals throw plain
+    * IllegalStateException for transient reasons; those must stay
+    * per-query failures, not abort the whole dump). */
+  final class SchemaContractViolation(msg: String)
+      extends IllegalStateException(msg)
+
   /** Driver-compare contract: the driver loads each declared result via
     * pandas and lexsorts every column before hashing; a nested cell
     * (numpy array / dict) is unhashable and crashes the whole check
@@ -20,7 +27,7 @@ object Verify {
         f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.simpleString}"
     }
     if (nested.nonEmpty)
-      throw new IllegalStateException(
+      throw new SchemaContractViolation(
         s"declared query '$name' emits non-hashable nested columns " +
           s"[${nested.mkString(", ")}] — the driver's pandas compare " +
           "cannot process them; array_join arrays / unpack structs")
@@ -44,7 +51,7 @@ object Verify {
         assertFlatSchema(name, df.schema) // rethrown below: contract breach
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch {
-        case e: IllegalStateException => throw e // flat-schema breach: abort
+        case e: SchemaContractViolation => throw e // contract breach: abort
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -62,6 +62,43 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "direct ngram strategy must broadcast nothing:\n" + plan)
   }
 
+  test("curation plans keep their scale shapes (broadcast/shuffle guards)") {
+    // q_decontaminate: the test-gram index must be the BROADCAST side and
+    // the corpus gram stream must reach the join WITHOUT a shuffle — the
+    // whole point of the op is that the corpus never exchanges pre-join
+    val dec = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(dec.contains("BroadcastHashJoin"),
+      "decontamination must broadcast the test-gram index:\n" + dec)
+    val corpusSide = dec.split("BroadcastHashJoin")(1)
+      .split("BroadcastExchange")(0)
+    assert(!corpusSide.contains("Exchange"),
+      "corpus gram stream must not shuffle before the join:\n" + dec)
+
+    // q_pack_sequences: the (shard, bin) aggregate must reuse the shard
+    // partitioning — exactly ONE hash exchange in the whole plan (the
+    // presentation ORDER BY adds a range exchange, which is fine)
+    val pack = SparkEntry.queries("q_pack_sequences")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nHash = "Exchange hashpartitioning".r.findAllIn(pack).length
+    assert(nHash === 1,
+      s"packing must shuffle once on shard, found $nHash hash exchanges:\n" + pack)
+
+    // q_merge_upsert: the recency top-1 must push a partial
+    // WindowGroupLimit below the key exchange (map-side best-row-per-key)
+    val merge = SparkEntry.queries("q_merge_upsert")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(merge.contains("WindowGroupLimit"),
+      "merge must plan rank-limit pushdown, not a full window:\n" + merge)
+
+    // q_redact_scrub: a pure map — no joins, no hash exchange
+    val scrub = SparkEntry.queries("q_redact_scrub")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!scrub.contains("Join") &&
+      !scrub.contains("Exchange hashpartitioning"),
+      "scrub must stay a zero-shuffle map:\n" + scrub)
+  }
+
   test("AQE splits skewed join partitions at runtime") {
     // one hot key (50k rows) among 100 cold keys; thresholds lowered so
     // test-scale data trips the skew detector. At 100 TB the same

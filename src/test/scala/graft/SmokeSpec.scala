@@ -30,13 +30,13 @@ class SmokeSpec extends SparkTestBase {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val offender = Seq((1L, Seq(1.0, 2.0))).toDF("id", "vals")
-    val e = intercept[IllegalStateException] {
+    val e = intercept[Verify.SchemaContractViolation] {
       Verify.assertFlatSchema("synthetic", offender.schema)
     }
     assert(e.getMessage.contains("vals"))
     // struct + map forms trip it too
     val structy = offender.select(struct($"id").as("s"))
-    intercept[IllegalStateException] {
+    intercept[Verify.SchemaContractViolation] {
       Verify.assertFlatSchema("synthetic2", structy.schema)
     }
   }
