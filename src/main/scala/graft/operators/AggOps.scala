@@ -126,6 +126,43 @@ object AggOps extends QueryPack {
       ORDER BY gid, region, nation"""),
     "Grouping sets via rollup + grouping_id over the dim hierarchy")
 
+  // ------------------------------------------- explicit grouping sets
+  // The irregular-set form rollup/cube can't express: aggregate at
+  // (priority, status), at (status) alone — skipping the (priority)
+  // level a rollup would force — and the grand total. One pass over the
+  // data (Spark expands sets map-side, same partial-agg → exchange shape
+  // as a plain group-by); gid disambiguates levels without relying on
+  // NULL sentinels.
+  private val aggGroupingSets = QueryDef(
+    "q_agg_grouping_sets",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq($"o_orderpriority", $"o_orderstatus"),
+            Seq($"o_orderstatus"), Seq()),
+          $"o_orderpriority", $"o_orderstatus")
+        .agg(count("*").as("n"),
+          sum(dec("o_totalprice")).cast("decimal(38,2)").cast("double")
+            .as("revenue"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          $"n", $"revenue", $"gid")
+        .orderBy($"gid", $"priority", $"status")
+    },
+    Some("""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      coalesce(o_orderstatus, 'ALL') AS status,
+      count(*) AS n,
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+      CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        (o_orderstatus), ())
+      ORDER BY gid, priority, status"""),
+    "Irregular GROUPING SETS (skips a rollup level) + grouping_id")
+
   // -------------------------------------------- salted two-phase agg
   // The skew lever, demonstrated with a correctness proof: phase 1
   // aggregates on (key, salt) — a hot key's rows spread over 16 reducers —
@@ -342,6 +379,6 @@ object AggOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(aggGroupBy, aggDistinct, aggDropDup, aggHll, rollupCube,
-      saltedAgg, aggPercentile, aggPercentileApprox, aggCollect, aggStats,
-      aggCube, aggSliding)
+      aggGroupingSets, saltedAgg, aggPercentile, aggPercentileApprox,
+      aggCollect, aggStats, aggCube, aggSliding)
 }

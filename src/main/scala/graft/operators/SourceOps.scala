@@ -208,6 +208,37 @@ object SourceOps extends QueryPack {
       GROUP BY event_type ORDER BY event_type"""),
     "ORC sink + source round trip with predicate pushdown into the scan")
 
+  // ----------------------------------------------- text sink + source
+  // The simplest format Spark ships — one string column per line — and
+  // still a real pipeline format (log shipping, WET-style dumps). The
+  // round trip proves a schema can be carried THROUGH a schemaless
+  // format: typed fields serialize into a delimited line, the read-back
+  // parses them out with split/element_at, and the aggregate equals the
+  // direct one. Zero-shuffle write, one aggregate exchange on read.
+  private val sinkText = QueryDef(
+    "q_sink_text_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val dir = sinkDir("sink_text", d)
+      Tables.documents(s, d)
+        .select(concat_ws("\t", $"doc_id", $"lang", $"n_chars").as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .select(split($"value", "\t").as("f"))
+        .select(element_at($"f", 1).cast("long").as("doc_id"),
+          element_at($"f", 2).as("lang"),
+          element_at($"f", 3).cast("long").as("n_chars"))
+        .groupBy($"lang")
+        .agg(count("*").as("n"), sum($"n_chars").as("sum_chars"),
+          min($"doc_id").as("min_doc"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT lang, count(*) AS n,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      min(doc_id) AS min_doc
+      FROM documents GROUP BY lang ORDER BY lang"""),
+    "Text-lines sink + source round trip through a delimited encoding")
+
   // --------------------------------------------- JSON sink + source
   private val sinkJson = QueryDef(
     "q_sink_json_roundtrip",
@@ -345,6 +376,6 @@ object SourceOps extends QueryPack {
       "rewrite (no shuffle); content provably unchanged")
 
   override def defs: Seq[QueryDef] =
-    Seq(sourcePayload, streamSourcePayload, sinkCsv, sinkOrc, sinkJson,
-      sinkJdbc, sinkPartitioned, sinkCompaction)
+    Seq(sourcePayload, streamSourcePayload, sinkCsv, sinkOrc, sinkText,
+      sinkJson, sinkJdbc, sinkPartitioned, sinkCompaction)
 }

@@ -29,6 +29,19 @@ class CurationOpsSpec extends SparkTestBase {
     merged.unpersist()
   }
 
+  test("q_merge_upsert is idempotent: re-merging the merged state is a no-op") {
+    import org.apache.spark.sql.expressions.Window
+    val merged = q("q_merge_upsert")
+    // re-apply the exact recency reduction to merged ∪ merged — the
+    // canonical MERGE property: replaying the same batch changes nothing
+    val w = Window.partitionBy($"event_id").orderBy($"ts_s".desc, $"src".desc)
+    val again = merged.unionByName(merged)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(again.exceptAll(merged).count() === 0)
+    assert(merged.exceptAll(again).count() === 0)
+  }
+
   test("q_sample_stratified: kept counts equal the exact mod-rate recount") {
     val got = q("q_sample_stratified").collect()
       .map(r => r.getAs[String]("lang") ->

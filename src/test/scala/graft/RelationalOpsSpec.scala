@@ -79,6 +79,23 @@ class RelationalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_agg_grouping_sets: irregular levels present, rollup-only level absent") {
+    val rows = q("q_agg_grouping_sets").collect()
+    val gids = rows.map(_.getAs[Long]("gid")).toSet
+    // detail (00=0), status-only (10=2), grand total (11=3) — and NOT the
+    // priority-only level (01=1) a rollup would force
+    assert(gids === Set(0L, 2L, 3L))
+    val total = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(total.length === 1)
+    assert(total.head.getAs[Long]("n") === Tables.orders(spark, sf).count())
+    // status-only level equals the direct group-by
+    val statusLevel = rows.filter(_.getAs[Long]("gid") == 2L)
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
+    val direct = Tables.orders(spark, sf).groupBy($"o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    assert(statusLevel === direct)
+  }
+
   test("q_agg_hll estimate within 5% of exact distinct") {
     val est = q("q_agg_hll").collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap

@@ -99,6 +99,35 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "scrub must stay a zero-shuffle map:\n" + scrub)
   }
 
+  test("plan sweep: no CartesianProduct anywhere; BNLJ only where deliberate") {
+    // PLANS.md's round-1 manual sweep, made permanent: an accidental
+    // nested-loop or cartesian plan is the classic 100 TB killer (O(n·m)
+    // row comparisons). The whitelist is the set of DELIBERATE tiny-side
+    // broadcasts documented in PLANS.md.
+    val bnljOk: Set[String] = Set(
+      "q_join_cross", // |nation| × |region| — an intentional cross join
+      "q_join_range_asof", // declarative as-of: broadcast sorted date spine
+      // (the custom-exec q_join_asof_exec is the hash-partitioned scale path)
+      "q_simsearch_cosine", // NQ query vectors broadcast against the corpus
+      "q_dedup_embedding" // 1-row near-dup total attached to the 8-row audit
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sf).queryExecution.executedPlan.toString
+          val bad =
+            (if (plan.contains("CartesianProduct")) Seq("CartesianProduct")
+             else Nil) ++
+            (if (plan.contains("BroadcastNestedLoopJoin") && !bnljOk(name))
+               Seq("BroadcastNestedLoopJoin")
+             else Nil)
+          if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
+        } catch { case _: Throwable => None } // throwing queries fail SmokeSpec
+    }
+    assert(offenders.isEmpty,
+      "scale-hostile join plans found:\n" + offenders.mkString("\n"))
+  }
+
   test("AQE splits skewed join partitions at runtime") {
     // one hot key (50k rows) among 100 cold keys; thresholds lowered so
     // test-scale data trips the skew detector. At 100 TB the same

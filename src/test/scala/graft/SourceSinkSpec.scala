@@ -120,6 +120,17 @@ class SourceSinkSpec extends SparkTestBase {
       s"unexpected failure chain: ${messages(e).mkString(" | ")}")
   }
 
+  test("q_sink_text_roundtrip equals the direct aggregation") {
+    val got = q("q_sink_text_roundtrip")
+      .select($"lang", $"n", $"sum_chars").as[(String, Long, Long)]
+      .collect().map { case (l, n, s) => l -> ((n, s)) }.toMap
+    val expect = Tables.documents(spark, sf).groupBy($"lang")
+      .agg(count("*").as("n"), sum($"n_chars").as("s"))
+      .as[(String, Long, Long)].collect()
+      .map { case (l, n, s) => l -> ((n, s)) }.toMap
+    assert(got === expect)
+  }
+
   test("parquet append sink round trip, partitioned by event_type") {
     val out = "target/test-sink/events_agg"
     val agg = Tables.events(spark, sf)
