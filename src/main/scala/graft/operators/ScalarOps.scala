@@ -81,6 +81,39 @@ object ScalarOps extends QueryPack {
       ORDER BY event_id"""),
     "JSON path extraction from the events.props payload (reference O3 analog)")
 
+  // -------------------------------------------------------- Variant
+  // The modern semi-structured path (Spark 4 VariantType): parse the
+  // payload ONCE into Variant's binary encoding, then every extraction
+  // is a cheap typed path lookup — at 100 TB this beats re-parsing JSON
+  // text per get_json_object call, and variant columns are storable/
+  // shreddable in parquet. The declared columns are the extracted
+  // scalars (the variant itself stays internal: binary cells aren't
+  // driver-hashable). try_variant_get on a missing path yields NULL,
+  // not an error — the declared n_missing proves that contract.
+  private val variantExtract = QueryDef(
+    "q_variant_extract",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id", parse_json($"props").as("v"))
+        .select($"event_id",
+          variant_get($"v", "$.k", "long").as("k_val"),
+          try_variant_get($"v", "$.missing", "long").as("missing"))
+        // null-safe bucket (-1): a row without $.k must land in the same
+        // deterministic group on both engines (NULL sort order differs)
+        .groupBy(coalesce(pmod($"k_val", lit(10)), lit(-1L)).as("bucket"))
+        .agg(count("*").as("n"), sum($"k_val").as("sum_k"),
+          count($"missing").as("n_missing"))
+        .orderBy($"bucket")
+    },
+    Some("""SELECT coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10, -1) AS bucket,
+      count(*) AS n,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(count(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+        THEN 1 END) AS BIGINT) AS n_missing
+      FROM events GROUP BY 1 ORDER BY bucket"""),
+    "Variant ingestion: parse once, typed path extraction, missing-path NULLs")
+
   // ---------------------------------------------------------- arrays
   // Float elements are widened to double (exact) then cast to DECIMAL(18,6)
   // — scale 6, NOT 9: at scale 9 the two engines' double->decimal
@@ -307,7 +340,7 @@ object ScalarOps extends QueryPack {
     "DataFrameNaFunctions battery: na.replace / na.fill / na.drop")
 
   override def defs: Seq[QueryDef] =
-    Seq(scalarString, scalarDate, scalarJson, arrayMap,
+    Seq(scalarString, scalarDate, scalarJson, variantExtract, arrayMap,
       explodeArray, nullHandling, sqlSubquery, mapOps, scalarMath,
       scalarString2, naOps)
 }
