@@ -217,7 +217,51 @@ object CurationOps extends QueryPack {
     "Test-set 4-gram decontamination: broadcast test-gram index, " +
       "map-side join, no corpus shuffle")
 
+  // ------------------------------------ deterministic corpus shuffle
+  // Training-data ordering must be a reproducible function of the DATA,
+  // not of cluster scheduling or an RNG seed file: epoch shuffling that
+  // can't be replayed makes training runs unrepeatable. Shard = first
+  // two hex digits of md5(doc_id, salt) — a 256-way uniform split
+  // (width is a knob; take more digits for more shards) — and the
+  // position inside a shard is the rank of the full digest. Every stage
+  // parallelizes: the hash is a pure map, and the within-shard rank is
+  // a PARTITIONED window (256-way at this width), never a global sort.
+  // Re-running on any cluster layout, or on DuckDB, yields bit-identical
+  // (shard, pos) — which the hash oracle proves.
+  private val shuffleDeterministic = QueryDef(
+    "q_shuffle_deterministic",
+    (s, d) => {
+      import s.implicits._
+      val hashed = Tables.documents(s, d)
+        .select($"doc_id",
+          md5(concat($"doc_id".cast("string"), lit(":graft:42"))).as("skey"))
+        // hex digit -> value via locate into the digit alphabet: exact,
+        // engine-portable (no conv()/from_hex divergence)
+        .withColumn("shard",
+          expr("(locate(substring(skey, 1, 1), '0123456789abcdef') - 1) * 16" +
+            " + locate(substring(skey, 2, 1), '0123456789abcdef') - 1"))
+      hashed
+        .withColumn("pos", row_number().over(
+          Window.partitionBy($"shard").orderBy($"skey", $"doc_id")))
+        .select($"shard".cast("long").as("shard"), $"pos".cast("long").as("pos"),
+          $"doc_id")
+        .orderBy($"shard", $"pos")
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        md5(CAST(doc_id AS VARCHAR) || ':graft:42') AS skey FROM documents),
+      sh AS (SELECT doc_id, skey,
+        (strpos('0123456789abcdef', substring(skey, 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substring(skey, 2, 1)) - 1 AS shard
+        FROM h)
+      SELECT CAST(shard AS BIGINT) AS shard,
+        CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+          AS BIGINT) AS pos,
+        doc_id
+      FROM sh ORDER BY shard, pos"""),
+    "Deterministic corpus shuffle: md5 shard + within-shard rank, " +
+      "reproducible across engines and cluster layouts")
+
   override def defs: Seq[QueryDef] =
     Seq(mergeUpsert, sampleStratified, packSequences, redactScrub,
-      decontaminate)
+      decontaminate, shuffleDeterministic)
 }

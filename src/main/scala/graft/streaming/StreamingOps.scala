@@ -267,6 +267,73 @@ object StreamingOps extends QueryPack {
     "flatMapGroupsWithState: custom per-key state store logic, " +
       "single-batch emission equals the batch group-by oracle")
 
+  // --------------------- transformWithState (Spark 4 typed state API)
+  /** Per-user counter as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * — the successor API to [flat]mapGroupsWithState: named typed state
+    * slots (ValueState/ListState/MapState) with per-slot TTL and timers,
+    * and it REQUIRES the RocksDB state store provider, the off-heap
+    * backend that holds 100 TB-scale key cardinality without a JVM heap
+    * wall. Same contract as q_stream_stateful, so it shares the batch
+    * group-by oracle. */
+  private class UserCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+      TTLConfig, ValueState}
+    @transient private var st: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState](
+        "counts", Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      val prev = if (st.exists()) st.get() else UserState(0L, 0L)
+      var n = prev.n
+      var cents = prev.sumCents
+      rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+      st.update(UserState(n, cents))
+      Iterator.single((key, n, cents))
+    }
+  }
+
+  private val streamTransformWithState = QueryDef(
+    "q_stream_transform_with_state",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val rows = Tables.events(s, d)
+        .select($"user_id", $"value").as[(Long, Double)].collect().toSeq
+      withStreamPartitions(s, 8) { ss =>
+        // transformWithState refuses the default heap-backed provider
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        implicit val sq = ss.sqlContext
+        val ms = MemoryStream[(Long, Double)]
+        val q = ms.toDS()
+          .groupByKey(_._1)
+          .transformWithState(new UserCountProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_events", "sum_cents")
+          .writeStream.format("memory").queryName("graft_stream_tws")
+          .outputMode("update")
+          .start()
+        ms.addData(rows)
+        q.processAllAvailable()
+        q.stop()
+        ss.table("graft_stream_tws")
+      }
+        .select($"user_id", $"n_events",
+          ($"sum_cents".cast("decimal(28,2)") / 100).cast("decimal(38,2)")
+            .cast("double").as("sum_value"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    "transformWithState: Spark 4 typed-state processor on RocksDB, " +
+      "single-batch emission equals the batch group-by oracle")
+
   // ------------------------------------- native batch session windows
   // session_window also works in plain batch — same gap semantics as the
   // manual lag+cumsum sessionization, which supplies the SQL oracle
@@ -514,6 +581,6 @@ object StreamingOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamStateful,
-      sessionWindowBatch, streamDedup, streamJoin, streamStaticJoin,
-      streamForeachBatch)
+      streamTransformWithState, sessionWindowBatch, streamDedup, streamJoin,
+      streamStaticJoin, streamForeachBatch)
 }
