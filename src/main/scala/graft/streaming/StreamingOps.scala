@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.{QueryDef, QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -14,12 +13,13 @@ import org.apache.spark.sql.types._
   *
   * The streaming queries execute a REAL MicroBatchExecution against the
   * fixture data and return the sink table — deterministic, so the
-  * tumbling query shares the batch oracle. Session windows use a
-  * MemoryStream with a far-future sentinel row to advance the watermark
-  * and flush all closed sessions (append mode emits only finalized
-  * session windows); the sentinel is filtered back out. At production
-  * scale the same plans run over Kafka/file sources with checkpointing —
-  * only the source/sink lines change.
+  * tumbling query shares the batch oracle. Every stateful query feeds
+  * from a file-source stream (a two-file fixture written once under
+  * target/; the second file is a far-future sentinel row that advances
+  * the watermark and flushes all closed sessions, filtered back out) —
+  * the corpus NEVER visits the driver. At production scale the same
+  * plans run over Kafka/file sources with checkpointing — only the
+  * source/sink lines change.
   */
 object StreamingOps extends QueryPack {
 
@@ -221,16 +221,21 @@ object StreamingOps extends QueryPack {
 
   // The fully-custom stateful path (reference O2's shared mutable
   // last-run state, generalized): per-key state lives in the state store,
-  // updated per micro-batch; emissions are append-mode. Fed in ONE batch
-  // here, the emitted rows equal the batch group-by — which is exactly
-  // the SQL oracle.
+  // updated per micro-batch; emissions are append-mode. Fed by a REAL
+  // file-source stream (the shared two-file fixture, one file per
+  // micro-batch) — the corpus never visits the driver. The real events
+  // all land in the events file, so per-key emissions equal the batch
+  // group-by — which is exactly the SQL oracle; the sentinel row's key
+  // (user_id < 0) is filtered back out.
   private val streamStateful = QueryDef(
     "q_stream_stateful",
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      val rows = Tables.events(s, d)
-        .select($"user_id", $"value").as[(Long, Double)].collect().toSeq
+      val dir = streamInputDir(s, d)
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
       val flat = (uid: Long, it: Iterator[(Long, Double)],
           state: GroupState[UserState]) => {
         val prev = state.getOption.getOrElse(UserState(0L, 0L))
@@ -241,9 +246,10 @@ object StreamingOps extends QueryPack {
         Iterator.single((uid, n, cents))
       }
       withStreamPartitions(s, 8) { ss =>
-        implicit val sq = ss.sqlContext
-        val ms = MemoryStream[(Long, Double)]
-        val q = ms.toDS()
+        import ss.implicits._
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .select(col("user_id"), col("value")).as[(Long, Double)]
           .groupByKey(_._1)
           .flatMapGroupsWithState(
             OutputMode.Append, GroupStateTimeout.NoTimeout)(flat)
@@ -251,11 +257,11 @@ object StreamingOps extends QueryPack {
           .writeStream.format("memory").queryName("graft_stream_stateful")
           .outputMode("append")
           .start()
-        ms.addData(rows)
         q.processAllAvailable()
         q.stop()
         ss.table("graft_stream_stateful")
       }
+        .filter($"user_id" >= 0)
         .select($"user_id", $"n_events",
           ($"sum_cents".cast("decimal(28,2)") / 100).cast("decimal(38,2)")
             .cast("double").as("sum_value"))
@@ -264,8 +270,8 @@ object StreamingOps extends QueryPack {
     Some("""SELECT user_id, count(*) AS n_events,
       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM events GROUP BY user_id ORDER BY user_id"""),
-    "flatMapGroupsWithState: custom per-key state store logic, " +
-      "single-batch emission equals the batch group-by oracle")
+    "flatMapGroupsWithState: custom per-key state store logic over a real " +
+      "file stream; per-key emissions equal the batch group-by oracle")
 
   // --------------------- transformWithState (Spark 4 typed state API)
   /** Per-user counter as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
@@ -301,16 +307,19 @@ object StreamingOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-      val rows = Tables.events(s, d)
-        .select($"user_id", $"value").as[(Long, Double)].collect().toSeq
+      val dir = streamInputDir(s, d)
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
       withStreamPartitions(s, 8) { ss =>
         // transformWithState refuses the default heap-backed provider
         ss.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state." +
             "RocksDBStateStoreProvider")
-        implicit val sq = ss.sqlContext
-        val ms = MemoryStream[(Long, Double)]
-        val q = ms.toDS()
+        import ss.implicits._
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .select(col("user_id"), col("value")).as[(Long, Double)]
           .groupByKey(_._1)
           .transformWithState(new UserCountProcessor,
             TimeMode.None(), OutputMode.Update())
@@ -318,11 +327,11 @@ object StreamingOps extends QueryPack {
           .writeStream.format("memory").queryName("graft_stream_tws")
           .outputMode("update")
           .start()
-        ms.addData(rows)
         q.processAllAvailable()
         q.stop()
         ss.table("graft_stream_tws")
       }
+        .filter($"user_id" >= 0)
         .select($"user_id", $"n_events",
           ($"sum_cents".cast("decimal(28,2)") / 100).cast("decimal(38,2)")
             .cast("double").as("sum_value"))
@@ -331,8 +340,8 @@ object StreamingOps extends QueryPack {
     Some("""SELECT user_id, count(*) AS n_events,
       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM events GROUP BY user_id ORDER BY user_id"""),
-    "transformWithState: Spark 4 typed-state processor on RocksDB, " +
-      "single-batch emission equals the batch group-by oracle")
+    "transformWithState: Spark 4 typed-state processor on RocksDB over a " +
+      "real file stream; per-key emissions equal the batch group-by oracle")
 
   // ------------------------------------- native batch session windows
   // session_window also works in plain batch — same gap semantics as the

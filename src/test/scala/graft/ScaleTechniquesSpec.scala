@@ -163,6 +163,45 @@ class ScaleTechniquesSpec extends SparkTestBase {
     }
   }
 
+  test("no unbounded driver-side collect in any declared pipeline (source lint)") {
+    // VERDICT r4 task 1's permanent guard: the classic 100 TB killer is an
+    // O(corpus) driver materialization hiding inside a declared query
+    // (the r4 offenders fed MemoryStream via events.collect()). Every
+    // .collect()/.collectAsList()/.toLocalIterator in engine source must
+    // be bounded by an explicit .limit()/row-cap upstream; streaming
+    // queries must have NONE (they feed from file-source streams).
+    val allowed = Map(
+      // fixture writer: .limit(NPayloads) rows -> payload json files
+      "operators/SourceOps.scala" -> 1,
+      // IVF: .limit(IvfSampleCap) k-means training sample (bounded
+      // regardless of corpus size) + the NQ-row query-vector fetch
+      "operators/SimilarityOps.scala" -> 2)
+    val base = java.nio.file.Paths.get("src", "main", "scala", "graft")
+    val offenders = java.nio.file.Files.walk(base).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val rel = base.relativize(p).toString.replace('\\', '/')
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // strip line comments so documentation can mention collect()
+        val code = src.linesIterator
+          .map(l => l.indexOf("//") match {
+            case -1 => l
+            case i  => l.substring(0, i)
+          }).mkString("\n")
+        def occ(needle: String): Int = {
+          var i = 0; var n = 0
+          while ({ i = code.indexOf(needle, i); i >= 0 }) { n += 1; i += needle.length }
+          n
+        }
+        val n = Seq(".collect()", ".collectAsList()", ".toLocalIterator").map(occ).sum
+        val cap = allowed.getOrElse(rel, 0)
+        if (n > cap) Some(s"$rel: $n collect-class calls (allowed $cap)")
+        else None
+      }.toSeq
+    assert(offenders.isEmpty,
+      "unbounded driver-side materialization risk:\n" + offenders.mkString("\n"))
+  }
+
   test("stateful streaming runs on the RocksDB state store (production backend)") {
     // The default HDFSBackedStateStore keeps state on the JVM heap — fine
     // locally, a memory wall at 100 TB key cardinality. RocksDB is the
