@@ -209,6 +209,56 @@ object JoinOps extends QueryPack {
     name
   }
 
+  // ------------------------------------------------- AQE skew-join path
+  // The AUTOMATIC complement to q_salted_agg's manual salting (SURVEY
+  // §4.2): a fact side where 70% of rows share one hot join key, forced
+  // through a sort-merge join (broadcast disabled) so the hot partition
+  // is real. AQE's skew-join optimization detects the oversized
+  // partition at runtime and splits it across reducers — no manual
+  // salting, no plan change. The skew thresholds are lowered in a SCOPED
+  // session so test-scale data trips the same detector that fires with
+  // default thresholds at 100 TB partition sizes; the caller's session
+  // is never mutated. ScaleTechniquesSpec asserts the executed plan
+  // carries skew=true splits.
+  private val joinSkewed = QueryDef(
+    "q_join_skewed",
+    (s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import ss.implicits._
+      // plain % on BOTH engines (truncated toward zero; identical for the
+      // nonnegative user_id domain — pmod would diverge from DuckDB's %)
+      val fact = Tables.events(ss, d).select(
+        when($"user_id" % 10 < 7, 7L)
+          .otherwise(($"user_id" % 1500L) + 1L).as("k"),
+        $"value")
+      val dim = Tables.customer(ss, d)
+        .select($"c_custkey".cast("long").as("k"), $"c_mktsegment")
+      // AQE splits a skewed reducer partition by MAP-OUTPUT ranges, so it
+      // needs multiple mappers feeding the join's exchange. A real
+      // cluster's scan has thousands of map tasks; the single-file test
+      // fixture has ONE, which makes the hot partition structurally
+      // unsplittable. The round-robin spread below recreates the
+      // many-mapper layout at test scale — it is demo scaffolding, not a
+      // scale technique (at 100 TB you'd delete this line).
+      fact.repartition(8).hint("merge").join(dim, "k")
+        .groupBy($"c_mktsegment")
+        .agg(count("*").as("n_events"),
+          sum(dec("value")).cast("decimal(38,2)").cast("double").as("sum_value"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_events,
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      FROM (SELECT CASE WHEN user_id % 10 < 7 THEN 7
+                        ELSE (user_id % 1500) + 1 END AS k, value
+            FROM events) f
+      JOIN customer ON f.k = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    "Hot-key fact ⋈ dim via sort-merge; AQE skew-join splits the hot partition")
+
   private val joinBucketed = QueryDef(
     "q_join_bucketed",
     (s, d) => {
@@ -234,5 +284,5 @@ object JoinOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(joinBroadcast, joinSmj, joinSemiAnti, joinRangeAsof, joinAsofExec,
-      joinOuter, joinCross, joinBucketed)
+      joinOuter, joinCross, joinBucketed, joinSkewed)
 }

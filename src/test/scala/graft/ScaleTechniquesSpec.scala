@@ -163,6 +163,23 @@ class ScaleTechniquesSpec extends SparkTestBase {
     }
   }
 
+  test("every declared query is stress-triaged (StressQueries or NotStressed)") {
+    // VERDICT r4 task 2's permanent fix: twice in a row, new operators
+    // shipped without a 10x datapoint. The stress list and the documented
+    // not-stressed list must exactly partition the declared surface, so a
+    // new query can't compile into the engine without a triage decision.
+    val declared = SparkEntry.queries.keySet
+    val stressed = BenchStress.StressQueries.toSet
+    val skipped = BenchStress.NotStressed
+    val untriaged = declared -- stressed -- skipped
+    val phantom = (stressed ++ skipped) -- declared
+    val both = stressed.intersect(skipped)
+    assert(untriaged.isEmpty,
+      s"add to BenchStress.StressQueries or NotStressed (with a reason): $untriaged")
+    assert(phantom.isEmpty, s"stress triage names unknown queries: $phantom")
+    assert(both.isEmpty, s"queries triaged both ways: $both")
+  }
+
   test("no unbounded driver-side collect in any declared pipeline (source lint)") {
     // VERDICT r4 task 1's permanent guard: the classic 100 TB killer is an
     // O(corpus) driver materialization hiding inside a declared query
@@ -200,6 +217,19 @@ class ScaleTechniquesSpec extends SparkTestBase {
       }.toSeq
     assert(offenders.isEmpty,
       "unbounded driver-side materialization risk:\n" + offenders.mkString("\n"))
+  }
+
+  test("q_join_skewed's hot partition is split by AQE at runtime") {
+    // the declared automatic-skew path (VERDICT r4 task 3): 70% of the
+    // fact side lands on one join key; after execution the finalized
+    // adaptive plan must carry skew=true splits on the sort-merge join
+    val df = q("q_join_skewed")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 5,
+      "at most one row per market segment")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE must split the hot-key partition:\n$plan")
   }
 
   test("stateful streaming runs on the RocksDB state store (production backend)") {
