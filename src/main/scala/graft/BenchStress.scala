@@ -198,7 +198,27 @@ object BenchStress {
     // by this artifact, not by sf0.1 numbers
     val extra: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "x_ngram_prefix_filter" ->
-        ((s, d) => operators.DedupOps.ngramJaccardPairs(s, d, prefixFilter = true)))
+        ((s, d) => operators.DedupOps.ngramJaccardPairs(s, d, prefixFilter = true)),
+      // the reference DAG end-to-end at 10x payload volume (VERDICT r4
+      // task 4): 3000-file landing zone → PayloadJsonSource micro-batches
+      // (admission-capped at 256 files/trigger, so the stream takes ~12
+      // real batches) → watermarked 5-min window agg on RocksDB state.
+      // The returned memory table is the O14 avg_info result.
+      "x_reference_pipeline_stream" -> ((s, _) => {
+        val pdir = sources.PayloadCorpus.ensure("stress-api-payloads", 3000)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        val q = api.BitcoinEtl.avgInfoStream(ss, pdir, Some(256))
+          .writeStream.format("memory").queryName("stress_avg_info")
+          .outputMode("complete")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        ss.table("stress_avg_info")
+      }))
 
     val all = StressQueries.map(n => n -> SparkEntry.queries(n)) ++ extra
     all.foreach { case (_, fn) => // warm-up: JIT + staging materialization

@@ -109,12 +109,18 @@ object BitcoinEtl {
     * the fallback is the reference's crude stand-in for lateness
     * handling).
     */
-  def avgInfoStream(spark: SparkSession, payloadDir: String): DataFrame = {
+  def avgInfoStream(spark: SparkSession, payloadDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // the engine's own DSv2 MicroBatchStream over the landing directory —
     // the O1 poll loop as a streaming source (kind/server_ts typing,
-    // error-row quirks already applied by the reader)
-    val raw = spark.readStream.format("graft.sources.PayloadJsonSource")
-      .option("path", payloadDir).load()
+    // error-row quirks already applied by the reader). maxFilesPerTrigger
+    // bounds per-batch admission (the reference's sleep cadence as a rate
+    // limit, via SupportsAdmissionControl).
+    val rawReader = spark.readStream.format("graft.sources.PayloadJsonSource")
+      .option("path", payloadDir)
+    val raw = maxFilesPerTrigger
+      .fold(rawReader)(m => rawReader.option("maxFilesPerTrigger", m.toString))
+      .load()
     val typed = raw
       .filter(col("kind") =!= "error")
       .select(

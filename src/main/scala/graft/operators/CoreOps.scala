@@ -89,7 +89,21 @@ object CoreOps extends QueryPack {
     "q_filter_between",
     (s, d) => {
       import s.implicits._
-      Tables.events(s, d)
+      // The stored column is TIMESTAMP(NANOS) read as a raw long, so the
+      // semantic BETWEEN below sits behind a timestamp_micros(div) call —
+      // function-wrapped, hence NOT pushable to parquet. The redundant
+      // raw-nanos range first is the classic pushdown helper: the same
+      // window ([lo, hi] = the µs-truncation preimage, so it admits
+      // exactly the rows the BETWEEN keeps) in bare attribute-vs-literal
+      // shape, which reaches PushedFilters and lets the reader skip row
+      // groups — at 100 TB that's the difference between scanning a week
+      // and scanning the full history.
+      val loNs = 1704412800000000000L // 2024-01-05 00:00:00 UTC, epoch-ns
+      val hiNs = 1705017600000000999L // 2024-01-12 00:00:00 UTC + 999 ns
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.load(s, d, "events")
+        .filter($"ts" >= loNs && $"ts" <= hiNs)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .filter($"ts".between(lit("2024-01-05 00:00:00"), lit("2024-01-12 00:00:00")))
         .select($"event_id", $"user_id", $"event_type",
           unix_timestamp($"ts").as("ts_sec"))

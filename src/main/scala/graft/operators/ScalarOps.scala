@@ -100,8 +100,10 @@ object ScalarOps extends QueryPack {
           variant_get($"v", "$.k", "long").as("k_val"),
           try_variant_get($"v", "$.missing", "long").as("missing"))
         // null-safe bucket (-1): a row without $.k must land in the same
-        // deterministic group on both engines (NULL sort order differs)
-        .groupBy(coalesce(pmod($"k_val", lit(10)), lit(-1L)).as("bucket"))
+        // deterministic group on both engines (NULL sort order differs).
+        // Plain % (not pmod), mirroring DuckDB's truncated modulo exactly
+        // so a future fixture with negative keys can't diverge (ADVICE r4)
+        .groupBy(coalesce($"k_val" % 10, lit(-1L)).as("bucket"))
         .agg(count("*").as("n"), sum($"k_val").as("sum_k"),
           count($"missing").as("n_missing"))
         .orderBy($"bucket")

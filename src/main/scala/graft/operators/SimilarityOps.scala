@@ -199,13 +199,18 @@ object SimilarityOps extends QueryPack {
     cents
   }
 
+  // Same dimension convention as the codegen kernel (NearestCentroid
+  // .nearest clamps to min(|v|, |centroid|)) so driver-side assignment
+  // and distributed assignment agree STRUCTURALLY, not just on fixtures
+  // whose dims happen to match (ADVICE r4).
   private[graft] def nearestCentroid(
       cents: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cents.length) {
       var d = 0.0; var i = 0
       val cent = cents(c)
-      while (i < v.length) { val t = v(i) - cent(i); d += t * t; i += 1 }
+      val dim = math.min(v.length, cent.length)
+      while (i < dim) { val t = v(i) - cent(i); d += t * t; i += 1 }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
@@ -216,7 +221,8 @@ object SimilarityOps extends QueryPack {
       cents: Array[Array[Double]], v: Array[Double], nprobe: Int): Seq[Int] = {
     cents.indices.map { c =>
       var d = 0.0; var i = 0
-      while (i < v.length) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+      val dim = math.min(v.length, cents(c).length)
+      while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
       (d, c)
     }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
   }

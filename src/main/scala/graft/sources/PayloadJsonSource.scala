@@ -138,8 +138,15 @@ private case class PayloadOffset(n: Long, last: String) extends Offset {
 private object PayloadOffset {
   def parse(json: String): PayloadOffset = {
     val root = new ObjectMapper().readTree(json)
-    PayloadOffset(root.get("n").asLong,
-      if (root.hasNonNull("last")) root.get("last").asText else null)
+    // migration: pre-{n,last} checkpoints serialized a bare file count —
+    // accept it as an unverifiable boundary (no name to cross-check)
+    // rather than NPE-ing on a valid old offset log (ADVICE r4)
+    if (root.isNumber) PayloadOffset(root.asLong, null)
+    else if (root.hasNonNull("n"))
+      PayloadOffset(root.get("n").asLong,
+        if (root.hasNonNull("last")) root.get("last").asText else null)
+    else throw new IllegalStateException(
+      s"PayloadJsonSource: unrecognized checkpoint offset format: $json")
   }
 }
 

@@ -101,11 +101,18 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "scrub must stay a zero-shuffle map:\n" + scrub)
   }
 
-  test("plan sweep: no CartesianProduct anywhere; BNLJ only where deliberate") {
+  test("plan sweep: no CartesianProduct anywhere; BNLJ only where deliberate; " +
+      "pushable literal predicates reach the parquet scan") {
     // PLANS.md's round-1 manual sweep, made permanent: an accidental
     // nested-loop or cartesian plan is the classic 100 TB killer (O(n·m)
     // row comparisons). The whitelist is the set of DELIBERATE tiny-side
-    // broadcasts documented in PLANS.md.
+    // broadcasts documented in PLANS.md. The same pass audits every file
+    // scan (VERDICT r4 task 5): a scan whose data filters include a
+    // pushable attribute-vs-literal predicate must report PushedFilters —
+    // an unpushed filter means the scan decodes rows the predicate could
+    // have skipped at the reader.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
     val bnljOk: Set[String] = Set(
       "q_join_cross", // |nation| × |region| — an intentional cross join
       "q_join_range_asof", // declarative as-of: broadcast sorted date spine
@@ -113,21 +120,41 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_simsearch_cosine", // NQ query vectors broadcast against the corpus
       "q_dedup_embedding" // 1-row near-dup total attached to the 8-row audit
     )
+    // conservatively "pushable": plain comparison/IN/string-match shapes
+    // over a bare attribute and literals — what parquet filter conversion
+    // always accepts; anything wrapped (CASE, cast, arithmetic) is out
+    def pushable(e: Expression): Boolean = e match {
+      case b: BinaryComparison => leafOk(b.left) && leafOk(b.right)
+      case i: In => i.children.forall(leafOk)
+      case s: StringPredicate => leafOk(s.left) && leafOk(s.right)
+      case _ => false
+    }
+    def leafOk(e: Expression): Boolean = e match {
+      case _: AttributeReference | _: Literal => true
+      case _ => false
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
-          val plan = fn(spark, sf).queryExecution.executedPlan.toString
+          val df = fn(spark, sf)
+          val plan = df.queryExecution.executedPlan.toString
+          val unpushed = df.queryExecution.sparkPlan.collect {
+            case f: FileSourceScanExec
+                if f.dataFilters.exists(pushable) &&
+                  f.metadata.get("PushedFilters").forall(_ == "[]") =>
+              s"unpushed filter on ${f.metadata.getOrElse("Location", "?").take(80)}"
+          }
           val bad =
             (if (plan.contains("CartesianProduct")) Seq("CartesianProduct")
              else Nil) ++
             (if (plan.contains("BroadcastNestedLoopJoin") && !bnljOk(name))
                Seq("BroadcastNestedLoopJoin")
-             else Nil)
+             else Nil) ++ unpushed
           if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
         } catch { case _: Throwable => None } // throwing queries fail SmokeSpec
     }
     assert(offenders.isEmpty,
-      "scale-hostile join plans found:\n" + offenders.mkString("\n"))
+      "scale-hostile plans found:\n" + offenders.mkString("\n"))
   }
 
   test("AQE splits skewed join partitions at runtime") {
