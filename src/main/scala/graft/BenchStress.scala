@@ -120,6 +120,12 @@ object BenchStress {
     "q_sink_partitioned",
     // payload fixture is a fixed NPayloads-file corpus by construction
     "q_source_payload_json", "q_stream_source_payload",
+    // driver-gate audit companions: their cost profile IS the audited
+    // op's (already stressed) plus a bounded window / one-row reduction
+    "q_agg_hll_audit", "q_agg_percentile_approx_audit",
+    "q_dedup_minhash_audit", "q_dedup_simhash_audit",
+    "q_text_fingerprint_winnow_audit", "q_dedup_embedding_audit",
+    "q_simsearch_ann_srp_audit", "q_simsearch_ivf_audit",
     // watermarked single-window streams already covered by
     // q_stream_tumbling; combine is a 5-row formatting step
     "q_stream_combine")

@@ -15,7 +15,7 @@ object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
     CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps,
     TextOps, DedupOps, SimilarityOps, CustomOps, MultimodalOps,
-    TypedOps, SourceOps, CleanPipelineOps, CurationOps,
+    TypedOps, SourceOps, CleanPipelineOps, CurationOps, AuditOps,
     graft.streaming.StreamingOps)
 
   private lazy val all: Seq[QueryDef] = {

@@ -182,9 +182,8 @@ object DedupOps extends QueryPack {
   // (band, bandhash) → exact-Jaccard verification of candidates only.
   // Deterministic given the fixed hash family, so the spec cross-checks
   // it against q_dedup_ngram_jaccard's exact pairs.
-  private val dedupMinhash = QueryDef(
-    "q_dedup_minhash",
-    (s, d) => {
+  /** The MinHash-LSH near-dup pair set (also the audit's subject). */
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val docs = shingled(s, d).cache()
       val sigs = docs.select(
@@ -214,16 +213,19 @@ object DedupOps extends QueryPack {
         .filter($"jaccard" >= lit("0.5").cast("decimal(38,6)"))
         .orderBy($"doc1", $"doc2")
         .withColumn("jaccard", $"jaccard".cast("double"))
-    },
+  }
+
+  private val dedupMinhash = QueryDef(
+    "q_dedup_minhash",
+    (s, d) => minhashPairs(s, d),
     None,
     "MinHash(16) + LSH(4x4) candidate buckets, exact-Jaccard verified")
 
   // -------------------------------------------------- SimHash near-dup
   // Custom Catalyst expression (graft.functions.SimHash64) → 4 × 16-bit
   // bands; pairs sharing a band are verified by Hamming distance ≤ 8.
-  private val dedupSimhash = QueryDef(
-    "q_dedup_simhash",
-    (s, d) => {
+  /** The SimHash banded near-dup pair set (also the audit's subject). */
+  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val sh = Tables.documents(s, d)
         .select($"doc_id", simhash64(toks($"text")).as("simhash"))
@@ -242,7 +244,11 @@ object DedupOps extends QueryPack {
         .distinct()
         .filter($"hamming" <= 8)
         .orderBy($"doc1", $"doc2")
-    },
+  }
+
+  private val dedupSimhash = QueryDef(
+    "q_dedup_simhash",
+    (s, d) => simhashPairs(s, d),
     None,
     "SimHash64 (custom expression) banded near-dup pairs, Hamming ≤ 8")
 

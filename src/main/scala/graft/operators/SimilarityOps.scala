@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps extends QueryPack {
 
-  private val K = 5
-  private val NQ = 10 // query vectors: vec_id < NQ
+  private[graft] val K = 5
+  private[graft] val NQ = 10 // query vectors: vec_id < NQ
 
   /** Exact decimal dot product — custom expression (one tight loop per
     * row; the equivalent zip_with/aggregate chain evaluates interpreted
@@ -35,9 +35,9 @@ object SimilarityOps extends QueryPack {
     graft.functions.DecimalDot.decimal_dot(a, b)
 
   // --------------------------------------------- exact brute-force top-k
-  private val simsearchCosine = QueryDef(
-    "q_simsearch_cosine",
-    (s, d) => {
+  /** Exact decimal top-K per query vector (also the ANN audits' ground
+    * truth). */
+  private[graft] def exactTopK(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter($"vec_id" < NQ)
@@ -59,7 +59,11 @@ object SimilarityOps extends QueryPack {
         .orderBy($"qid", $"rank")
         // ranking decided on the exact decimal dot; ship as double
         .withColumn("dot", $"dot".cast("double"))
-    },
+  }
+
+  private val simsearchCosine = QueryDef(
+    "q_simsearch_cosine",
+    (s, d) => exactTopK(s, d),
     Some(s"""SELECT q.vec_id AS qid, c.vec_id AS cid,
       CAST(CAST(round(list_sum(list_transform(range(1, 65),
         i -> CAST(CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,6))
@@ -90,9 +94,8 @@ object SimilarityOps extends QueryPack {
   private def cosDouble(a: Column, b: Column): Column =
     graft.functions.DoubleDot.double_dot(a, b)
 
-  private val simsearchAnn = QueryDef(
-    "q_simsearch_ann_srp",
-    (s, d) => {
+  /** The SRP-LSH bucket-probe ANN result (audit subject). */
+  private[graft] def srpAnnResults(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val sigs = Tables.embeddings(s, d)
         .select($"vec_id", $"embedding", srpSig($"embedding").as("sig"))
@@ -107,7 +110,11 @@ object SimilarityOps extends QueryPack {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= K)
         .orderBy($"qid", $"rank")
-    },
+  }
+
+  private val simsearchAnn = QueryDef(
+    "q_simsearch_ann_srp",
+    (s, d) => srpAnnResults(s, d),
     None,
     "ANN via 8-bit SRP-LSH bucket probe + exact rerank (left join keeps " +
       "queries with empty buckets)")
@@ -249,9 +256,8 @@ object SimilarityOps extends QueryPack {
       .collect().map(_.map(_.toDouble).toArray)
   }
 
-  private val simsearchIvf = QueryDef(
-    "q_simsearch_ivf",
-    (s, d) => {
+  /** The IVF probe result (audit subject). */
+  private[graft] def ivfResults(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       val cents = kmeansFit(ivfTrainingSample(s, d), IvfK, IvfIters)
@@ -283,7 +289,11 @@ object SimilarityOps extends QueryPack {
         .filter($"rank" <= K)
         .orderBy($"qid", $"rank")
         .withColumn("dot", $"dot".cast("double"))
-    },
+  }
+
+  private val simsearchIvf = QueryDef(
+    "q_simsearch_ivf",
+    (s, d) => ivfResults(s, d),
     None,
     "IVF ANN: deterministic k-means coarse quantizer (16 lists), " +
       "nprobe=2 probe, exact decimal rerank")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, QueryPack, Tables}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -183,9 +183,8 @@ object TextOps extends QueryPack {
   // pairing below is cross-checked against the exact n-gram Jaccard
   // pairs. The pair join is an inverted index on fingerprints — same
   // scale shape as the shingle join.
-  private val textWinnow = QueryDef(
-    "q_text_fingerprint_winnow",
-    (s, d) => {
+  /** The winnowed-fingerprint containment pair set (audit subject). */
+  private[graft] def winnowPairs(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       import graft.functions.RollingWinnow.rolling_winnow
       val fps = Tables.documents(s, d)
@@ -207,7 +206,11 @@ object TextOps extends QueryPack {
         .filter($"containment" >= lit("0.5").cast("decimal(38,6)"))
         .orderBy($"doc1", $"doc2")
         .withColumn("containment", $"containment".cast("double"))
-    },
+  }
+
+  private val textWinnow = QueryDef(
+    "q_text_fingerprint_winnow",
+    (s, d) => winnowPairs(s, d),
     None,
     "Winnowed rolling-hash fingerprint near-dup pairs (MOSS-style)")
 

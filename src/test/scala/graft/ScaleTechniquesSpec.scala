@@ -118,7 +118,11 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_join_range_asof", // declarative as-of: broadcast sorted date spine
       // (the custom-exec q_join_asof_exec is the hash-partitioned scale path)
       "q_simsearch_cosine", // NQ query vectors broadcast against the corpus
-      "q_dedup_embedding" // 1-row near-dup total attached to the 8-row audit
+      "q_dedup_embedding", // 1-row near-dup total attached to the 8-row audit
+      // audit companions: bounded-window all-pairs / 1-row flag attachments
+      "q_dedup_embedding_audit", // 200-vector audit window, constant work
+      "q_simsearch_ann_srp_audit", // 1-row recall flag crossJoin
+      "q_simsearch_ivf_audit" // 1-row recall flag crossJoin
     )
     // conservatively "pushable": plain comparison/IN/string-match shapes
     // over a bare attribute and literals — what parquet filter conversion
