@@ -134,9 +134,10 @@ object BenchStress {
     import s.implicits._
     val name = s"${new java.io.File(base).getName}x$rep"
     val dir = Paths.get("target", "stress", name).toAbsolutePath
-    // versioned marker: dirs built before the corpus gained nation/orders
-    // carry the old marker name and self-heal by rebuilding (ADVICE r4)
-    val marker = dir.resolve("_complete_v2")
+    // versioned marker: dirs built before the corpus gained its current
+    // table set carry an old marker name and self-heal by rebuilding
+    // (ADVICE r4; v3 added the customer dim for q_join_skewed)
+    val marker = dir.resolve("_complete_v3")
     if (Files.exists(marker)) return dir.toString
     Files.createDirectories(dir)
     val reps = s.range(rep).select($"id".cast("int").as("rep"))
@@ -178,8 +179,10 @@ object BenchStress {
       .drop("rep"), "orders")
 
     // dim tables ride along unreplicated — at scale the fact side grows,
-    // the enrichment dim does not (q_stream_static_join's broadcast side)
+    // the enrichment dim does not (q_stream_static_join's broadcast side,
+    // q_join_skewed's customer dim)
     write(Tables.nation(s, base), "nation")
+    write(Tables.customer(s, base), "customer")
 
     Files.write(marker, Array.empty[Byte])
     dir.toString

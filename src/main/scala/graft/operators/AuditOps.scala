@@ -148,7 +148,7 @@ object AuditOps extends QueryPack {
         JOIN counts c2 ON doc2 = c2.doc_id
         WHERE CAST(round(CAST(i AS DECIMAL(18,2)) / (c1.n_sh + c2.n_sh - i), 6) AS DECIMAL(38,6)) >= 0.9)"""
 
-  private def fingerprintRecallAudit(name: String, floor: Double,
+  private[graft] def fingerprintRecallAudit(name: String, floor: Double,
       pairs: (SparkSession, String) => DataFrame, doc: String): QueryDef =
     QueryDef(
       name,
@@ -243,7 +243,7 @@ object AuditOps extends QueryPack {
   // count is algorithm-specific, so the audit pins a deterministic
   // RECALL FLOOR flag instead (fixed seeds/quantizer => the hit count is
   // a constant of the fixture; the floor has wide margin under it).
-  private def annRecallAudit(name: String, floorHits: Int,
+  private[graft] def annRecallAudit(name: String, floorHits: Int,
       ann: (SparkSession, String) => DataFrame, doc: String): QueryDef =
     QueryDef(
       name,
