@@ -302,6 +302,100 @@ object StreamingOps extends QueryPack {
     }
   }
 
+  /** Event-time TIMER path of the Spark 4 typed-state API: per-user
+    * totals accumulate silently; a per-key timer is (re)registered at
+    * (last event time + gap) and the emission happens ONLY in
+    * [[handleExpiredTimer]] when the WATERMARK passes it — the inactivity
+    * flush every sessionization/TTL pipeline needs, with state cleared on
+    * expiry so per-key storage is bounded by activity, not history. */
+  private class UserTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Double), (Long, Long, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[UserState] = _
+    @transient private var tmr: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[UserState](
+        "totals", Encoders.product[UserState], TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long](
+        "timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      val prev = if (st.exists()) st.get() else UserState(0L, 0L)
+      var n = prev.n
+      var cents = prev.sumCents
+      var maxMs = Long.MinValue
+      rows.foreach { case (_, ts, v) =>
+        n += 1; cents += math.round(v * 100)
+        maxMs = math.max(maxMs, ts.getTime)
+      }
+      st.update(UserState(n, cents))
+      // one live timer per key: re-arm at the newest activity + gap
+      if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+      val at = maxMs + gapMs
+      getHandle.registerTimer(at)
+      tmr.update(at)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val s = if (st.exists()) st.get() else UserState(0L, 0L)
+      st.clear()
+      tmr.clear()
+      Iterator.single((key, s.n, s.sumCents))
+    }
+  }
+
+  // All real events land in micro-batch 1 (one timer per user at
+  // maxTs + gap); the far-future sentinel batch advances the watermark
+  // past every timer, so the no-data timer batch flushes every user's
+  // totals exactly once — which is the batch group-by, the shared oracle.
+  private val streamTimerExpiry = QueryDef(
+    "q_stream_timer_expiry",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val dir = streamInputDir(s, d)
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
+      withStreamPartitions(s, 8) { ss =>
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        import ss.implicits._
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[(Long, java.sql.Timestamp, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new UserTimerProcessor(1800L * 1000L),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "n_events", "sum_cents")
+          .writeStream.format("memory").queryName("graft_stream_timer")
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        ss.table("graft_stream_timer")
+      }
+        .filter($"user_id" >= 0)
+        .select($"user_id", $"n_events",
+          ($"sum_cents".cast("decimal(28,2)") / 100).cast("decimal(38,2)")
+            .cast("double").as("sum_value"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    "transformWithState event-time timers: per-key inactivity flush when " +
+      "the watermark passes last-activity + gap; state cleared on expiry")
+
   private val streamTransformWithState = QueryDef(
     "q_stream_transform_with_state",
     (s, d) => {
@@ -590,6 +684,6 @@ object StreamingOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamStateful,
-      streamTransformWithState, sessionWindowBatch, streamDedup, streamJoin,
-      streamStaticJoin, streamForeachBatch)
+      streamTransformWithState, streamTimerExpiry, sessionWindowBatch,
+      streamDedup, streamJoin, streamStaticJoin, streamForeachBatch)
 }

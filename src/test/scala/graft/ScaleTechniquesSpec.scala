@@ -302,6 +302,24 @@ class ScaleTechniquesSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q_stream_timer_expiry emits only after the watermark passes the timer") {
+    // the two-file fixture means: batch 1 = all real events (timers armed,
+    // NOTHING emitted), sentinel batch advances the watermark, the no-data
+    // timer batch flushes every user exactly once. If emissions happened
+    // eagerly in handleInputRows the row count would still match the
+    // oracle here, so pin the mechanism: totals must equal the batch
+    // group-by AND each user appears exactly once (one expiry per key).
+    val rows = q("q_stream_timer_expiry")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length === rows.length,
+      "one timer expiry (one emission) per key")
+    val expected = Tables.events(spark, sf)
+      .groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(rows.toMap === expected)
+  }
+
   test("watermark drops late events from finalized windows") {
     import graft.streaming.StreamingOps.Ev
     def ts(min: Int) = new java.sql.Timestamp(
