@@ -61,6 +61,14 @@ object GraftFunctions {
       info("srp_sig", "srp_sig(array<float>, bands, bits, seed) - multi-band SRP-LSH signature"),
       (es: Seq[Expression]) => SrpSig(es.head, intLit(es(1), "bands"),
         intLit(es(2), "bits"), longLit(es(3), "seed"))),
+    (FunctionIdentifier("decimal_scale6"),
+      info("decimal_scale6",
+        "decimal_scale6(array<float>) - exact scale-6 unscaled longs"),
+      (es: Seq[Expression]) => DecimalScale6(es.head)),
+    (FunctionIdentifier("scaled_dot"),
+      info("scaled_dot",
+        "scaled_dot(array<long>, array<long>) - decimal dot of scale-6 longs"),
+      (es: Seq[Expression]) => ScaledDot(es.head, es(1))),
     (FunctionIdentifier("double_dot"),
       info("double_dot", "double_dot(array<float>, array<float>) - IEEE-double dot product"),
       (es: Seq[Expression]) => DoubleDot(es.head, es(1))),

@@ -195,12 +195,15 @@ object AuditOps extends QueryPack {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
         .filter($"vec_id" < AuditWindow).select($"vec_id", $"embedding")
-      def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        graft.functions.DecimalDot.decimal_dot(a, b)
-      // all window pairs, scored once (bounded nested loop)
-      val scored = emb.toDF("ida", "va")
-        .join(emb.toDF("idb", "vb"), $"ida" < $"idb")
-        .select($"ida", $"idb", dotDec($"va", $"vb").as("dd"))
+      // one-time scale-6 conversion per vector; the window's ~125k pair
+      // scores are then pure long multiply-adds (bit-identical to
+      // decimal_dot — see functions/ScaledDot.scala)
+      val sv = emb.select($"vec_id",
+        graft.functions.ScaledDot.decimal_scale6($"embedding").as("sv"))
+      val scored = sv.toDF("ida", "va")
+        .join(sv.toDF("idb", "vb"), $"ida" < $"idb")
+        .select($"ida", $"idb",
+          graft.functions.ScaledDot.scaled_dot($"va", $"vb").as("dd"))
       val exact = scored
         .agg(
           sum(($"dd" >= lit("0.45").cast("decimal(38,6)")).cast("long"))
@@ -219,7 +222,9 @@ object AuditOps extends QueryPack {
         .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
           col("a.embedding").as("va"), col("b.embedding").as("vb"))
         .dropDuplicates("ida", "idb")
-        .filter(dotDec($"va", $"vb") >= lit("0.9").cast("decimal(38,6)"))
+        // few candidate pairs: the fused decimal_dot is fine here
+        .filter(graft.functions.DecimalDot.decimal_dot($"va", $"vb") >=
+          lit("0.9").cast("decimal(38,6)"))
       exact.crossJoin(broadcast(lsh.agg(count("*").as("n_lsh"))))
         .select($"n_pairs_045", $"n_exact", $"n_lsh")
     },

@@ -36,16 +36,22 @@ object SimilarityOps extends QueryPack {
 
   // --------------------------------------------- exact brute-force top-k
   /** Exact decimal top-K per query vector (also the ANN audits' ground
-    * truth). */
+    * truth). Each vector's exact scale-6 decimal form is materialized
+    * ONCE (decimal_scale6) before the scoring join, so the |queries| ×
+    * |corpus| hot loop is pure long multiply-adds — bit-identical to
+    * scoring with decimal_dot, several times faster (the per-pair
+    * BigDecimal conversions were the dominant cost). */
   private[graft] def exactTopK(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
+      import graft.functions.ScaledDot.{decimal_scale6, scaled_dot}
       val emb = Tables.embeddings(s, d)
+        .select($"vec_id", decimal_scale6($"embedding").as("sv"))
       val queries = emb.filter($"vec_id" < NQ)
-        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
-      val scored = emb.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+        .select($"vec_id".as("qid"), $"sv".as("qvec"))
+      val scored = emb.select($"vec_id".as("cid"), $"sv".as("cvec"))
         .join(broadcast(queries))
         .filter($"qid" =!= $"cid")
-        .select($"qid", $"cid", dotDec($"qvec", $"cvec").as("dot"))
+        .select($"qid", $"cid", scaled_dot($"qvec", $"cvec").as("dot"))
       // two-phase top-k: local heads per input partition, then global
       val localW = Window.partitionBy($"qid", $"pid")
         .orderBy($"dot".desc, $"cid")
@@ -264,8 +270,11 @@ object SimilarityOps extends QueryPack {
       // distributed assignment: codegen kernel over Tungsten rows — the
       // corpus never deserializes; the quantizer (k*dim doubles —
       // kilobytes) is a bound reference object in the generated code
+      // the rerank scorer consumes each vector's ONE-TIME exact scale-6
+      // form (see exactTopK) — the per-candidate loop is long multiply-adds
       val assigned = emb.select(
-        $"vec_id".as("cid"), $"embedding".as("cvec"),
+        $"vec_id".as("cid"),
+        graft.functions.ScaledDot.decimal_scale6($"embedding").as("cvec"),
         graft.functions.NearestCentroid.nearest_centroid($"embedding", cents)
           .as("list"))
       // one row per (query, probed list): the probe becomes an EQUI join
@@ -277,14 +286,14 @@ object SimilarityOps extends QueryPack {
         .as[(Long, Seq[Float])].collect().toSeq.flatMap {
           case (id, v) =>
             probeLists(cents, v.map(_.toDouble).toArray, IvfNProbe)
-              .map(p => (id, v, p))
+              .map(p => (id, graft.functions.ScaledDot.scale6(v), p))
         }.toDF("qid", "qvec", "list")
       val w = Window.partitionBy($"qid").orderBy($"dot".desc, $"cid")
       broadcast(queries)
         .join(assigned, Seq("list"))
         .filter($"qid" =!= $"cid")
         .select($"qid", $"cid", $"list",
-          graft.functions.DecimalDot.decimal_dot($"qvec", $"cvec").as("dot"))
+          graft.functions.ScaledDot.scaled_dot($"qvec", $"cvec").as("dot"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= K)
         .orderBy($"qid", $"rank")

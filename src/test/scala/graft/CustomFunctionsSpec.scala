@@ -58,6 +58,33 @@ class CustomFunctionsSpec extends SparkTestBase {
     got.zip(ref).foreach { case (g, r) => assert(BigDecimal(g) === BigDecimal(r)) }
   }
 
+  test("scaled_dot over decimal_scale6 is bit-identical to decimal_dot") {
+    import graft.functions.ScaledDot.{decimal_scale6, scaled_dot}
+    // fixture vectors (cross pairs) ...
+    val e = Tables.embeddings(spark, sf).limit(40)
+      .select($"vec_id", $"embedding",
+        decimal_scale6($"embedding").as("sv"))
+    val pairs = e.toDF("ia", "va", "sa")
+      .crossJoin(e.toDF("ib", "vb", "sb")).limit(800)
+    val both = pairs.select(
+      decimal_dot($"va", $"vb").cast("string").as("fused"),
+      scaled_dot($"sa", $"sb").cast("string").as("factored"))
+      .as[(String, String)].collect()
+    both.foreach { case (f, s) => assert(BigDecimal(f) === BigDecimal(s)) }
+
+    // ... plus null elements and mismatched lengths (DecimalDot's skip /
+    // min-length rules must survive the factoring)
+    val df = Seq(
+      (Seq[java.lang.Float](1.5f, null, 2.25f), Seq[java.lang.Float](2.0f, 3.0f, null)),
+      (Seq[java.lang.Float](0.125f, -7.5f), Seq[java.lang.Float](4.0f)),
+      (Seq[java.lang.Float](), Seq[java.lang.Float](1.0f))).toDF("a", "b")
+    val nb = df.select(
+      decimal_dot($"a", $"b").cast("string").as("fused"),
+      scaled_dot(decimal_scale6($"a"), decimal_scale6($"b")).cast("string").as("factored"))
+      .as[(String, String)].collect()
+    nb.foreach { case (f, s) => assert(BigDecimal(f) === BigDecimal(s)) }
+  }
+
   test("rolling_winnow matches an independent JVM recomputation") {
     import graft.functions.RollingWinnow.rolling_winnow
     // independent reference implementation: brute-force k-gram hashes +
