@@ -80,6 +80,7 @@ object BenchStress {
     "q_stream_stateful",
     "q_stream_transform_with_state",
     "q_stream_timer_expiry",
+    "q_stream_sink_files",
     "q_stream_join",
     // round-5: the AQE skew-join demo — the hot key holds 70% of the fact
     // side at every replication, so 10x is a genuine skew stress

@@ -682,8 +682,59 @@ object StreamingOps extends QueryPack {
     "foreachBatch sink: per-micro-batch idempotent parquet appends, " +
       "read-back equals the direct batch aggregation")
 
+  // ------------------------------------- built-in streaming file sink
+  // The standard production landing path foreachBatch is often compared
+  // against: writeStream.format("parquet") with a checkpoint. Exactly-once
+  // comes from the sink's _spark_metadata commit log — a batch's files
+  // become visible to readers only when its manifest commits, and
+  // spark.read honors the log (half-written files from a crashed batch
+  // are invisible). The declared result reads the sink back and
+  // aggregates — equal to the direct batch aggregate, the oracle. Output
+  // and checkpoint are wiped first so every run is a fresh two-batch
+  // exactly-once write.
+  private val streamSinkFiles = QueryDef(
+    "q_stream_sink_files",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamInputDir(s, d)
+      val base = java.nio.file.Paths.get("target", "sink_stream_files",
+        new java.io.File(d).getName).toAbsolutePath
+      if (java.nio.file.Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
+      withStreamPartitions(s, 8) { ss =>
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter($"user_id" >= 0)
+          .writeStream.format("parquet")
+          .option("path", base.resolve("data").toString)
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        ss.read.parquet(base.resolve("data").toString)
+      }
+        .groupBy(($"user_id" % 7).as("bucket"))
+        .agg(count("*").as("n_rows"),
+          sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_cents"))
+        .orderBy($"bucket")
+    },
+    Some("""SELECT user_id % 7 AS bucket, count(*) AS n_rows,
+      CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1 ORDER BY bucket"""),
+    "Built-in streaming parquet sink: exactly-once _spark_metadata commit " +
+      "log + checkpoint; read-back equals the batch aggregate")
+
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamStateful,
       streamTransformWithState, streamTimerExpiry, sessionWindowBatch,
-      streamDedup, streamJoin, streamStaticJoin, streamForeachBatch)
+      streamDedup, streamJoin, streamStaticJoin, streamForeachBatch,
+      streamSinkFiles)
 }
