@@ -85,13 +85,27 @@ object AuditOps extends QueryPack {
   // exact pair set by construction; the audit pins its RECALL: every
   // exact pair must survive banding (n_missed = 0, n_pairs = n_exact).
   // The oracle recomputes n_exact from scratch with the ngram CTE.
+  //
+  // The pairwise audits (minhash / simhash / winnow) run on a BOUNDED
+  // deterministic window `doc_id < 1000` (VERDICT r5 task 3 — the
+  // embedding audit's pattern): the exact Σ df² ground-truth recompute is
+  // then a constant of the window, not of the corpus, the way a production
+  // pipeline samples its recall audit. At the driver's sf0.01 correctness
+  // gate the corpus is 500 docs, so the window IS the full corpus and the
+  // audited invariants are unchanged; at sf0.1+ the audit cost stops
+  // scaling with the corpus (~25x less pair work at sf0.1).
+  private val DocAuditWindow = 1000
+  private def docWindowed(cte: String): String =
+    cte.replace("FROM documents", s"FROM documents WHERE doc_id < $DocAuditWindow")
+
   private val minhashAudit = QueryDef(
     "q_dedup_minhash_audit",
     (s, d) => {
       import s.implicits._
-      val exact = DedupOps.ngramJaccardPairs(s, d, prefixFilter = false)
+      val exact = DedupOps
+        .ngramJaccardPairs(s, d, prefixFilter = false, Some(DocAuditWindow))
         .select($"doc1", $"doc2", lit(1L).as("in_e"))
-      val mh = DedupOps.minhashPairs(s, d)
+      val mh = DedupOps.minhashPairs(s, d, Some(DocAuditWindow))
         .select($"doc1", $"doc2", lit(1L).as("in_m"))
       exact.join(mh, Seq("doc1", "doc2"), "full_outer")
         .agg(
@@ -100,7 +114,7 @@ object AuditOps extends QueryPack {
           coalesce(sum(when($"in_m".isNull, 1L).otherwise(0L)), lit(0L))
             .as("n_missed"))
     },
-    Some("""WITH w AS (
+    Some(docWindowed("""WITH w AS (
         SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w FROM documents),
       docs AS (
         SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
@@ -119,8 +133,9 @@ object AuditOps extends QueryPack {
         JOIN counts c2 ON doc2 = c2.doc_id
         WHERE CAST(round(CAST(i AS DECIMAL(18,2)) / (c1.n_sh + c2.n_sh - i), 6) AS DECIMAL(38,6)) >= 0.5)
       SELECT count(*) AS n_exact, count(*) AS n_pairs,
-        CAST(0 AS BIGINT) AS n_missed FROM pairs"""),
-    "MinHash-LSH recall audit vs the exact ngram-Jaccard pair set")
+        CAST(0 AS BIGINT) AS n_missed FROM pairs""")),
+    "MinHash-LSH recall audit vs the exact ngram-Jaccard pair set " +
+      s"(bounded window doc_id < $DocAuditWindow)")
 
   // ---------------------------------------- SimHash / winnowing audits
   // Ground truth both engines can recompute: the exact n-gram Jaccard
@@ -154,7 +169,8 @@ object AuditOps extends QueryPack {
       name,
       (s, d) => {
         import s.implicits._
-        val nd = DedupOps.ngramJaccardPairs(s, d, prefixFilter = false)
+        val nd = DedupOps
+          .ngramJaccardPairs(s, d, prefixFilter = false, Some(DocAuditWindow))
           .filter($"jaccard" >= 0.9).select($"doc1", $"doc2")
         val fp = pairs(s, d).select($"doc1", $"doc2", lit(1L).as("caught"))
         nd.join(fp, Seq("doc1", "doc2"), "left")
@@ -162,18 +178,22 @@ object AuditOps extends QueryPack {
             (coalesce(sum($"caught"), lit(0L)) >= count("*") * floor)
               .cast("long").as("recall_ok"))
       },
-      Some(s"""$NgramNearDupOracleCte
+      Some(docWindowed(s"""$NgramNearDupOracleCte
         SELECT count(*) AS n_neardup_pairs, CAST(1 AS BIGINT) AS recall_ok
-        FROM nd"""),
+        FROM nd""")),
       doc)
 
   private val simhashAudit = fingerprintRecallAudit(
-    "q_dedup_simhash_audit", 0.8, DedupOps.simhashPairs,
-    "SimHash recall audit vs exact ngram J>=0.9 near-dups (floor 80%)")
+    "q_dedup_simhash_audit", 0.8,
+    (s, d) => DedupOps.simhashPairs(s, d, Some(DocAuditWindow)),
+    "SimHash recall audit vs exact ngram J>=0.9 near-dups (floor 80%, " +
+      s"bounded window doc_id < $DocAuditWindow)")
 
   private val winnowAudit = fingerprintRecallAudit(
-    "q_text_fingerprint_winnow_audit", 0.9, TextOps.winnowPairs,
-    "Winnowing recall audit vs exact ngram J>=0.9 near-dups (floor 90%)")
+    "q_text_fingerprint_winnow_audit", 0.9,
+    (s, d) => TextOps.winnowPairs(s, d, Some(DocAuditWindow)),
+    "Winnowing recall audit vs exact ngram J>=0.9 near-dups (floor 90%, " +
+      s"bounded window doc_id < $DocAuditWindow)")
 
   // -------------------------------------------- embedding near-dup audit
   // A BOUNDED audit window (vec_id < 500 — constant pair work at any

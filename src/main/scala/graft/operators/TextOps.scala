@@ -184,10 +184,12 @@ object TextOps extends QueryPack {
   // pairs. The pair join is an inverted index on fingerprints — same
   // scale shape as the shingle join.
   /** The winnowed-fingerprint containment pair set (audit subject). */
-  private[graft] def winnowPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def winnowPairs(s: SparkSession, d: String,
+      bound: Option[Int] = None): DataFrame = {
       import s.implicits._
       import graft.functions.RollingWinnow.rolling_winnow
-      val fps = Tables.documents(s, d)
+      val fps = bound.fold(Tables.documents(s, d))(b =>
+          Tables.documents(s, d).filter($"doc_id" < b))
         .select($"doc_id", rolling_winnow(lower($"text"), 24, 8).as("fp"))
         .filter(size($"fp") > 0).cache()
       val posting = fps.select($"doc_id", explode($"fp").as("h"))
