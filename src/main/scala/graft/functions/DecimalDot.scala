@@ -65,8 +65,10 @@ object DecimalDot {
       }
       i += 1
     }
+    // scale 6 matches the declared DecimalType(38, 6) — a consumer that
+    // trusts dataType sees the true runtime scale
     org.apache.spark.sql.types.Decimal(
-      acc.setScale(6, java.math.RoundingMode.HALF_UP), 38, 9)
+      acc.setScale(6, java.math.RoundingMode.HALF_UP), 38, 6)
   }
 
   /** Column-API entry point. */

@@ -119,11 +119,17 @@ object ScaledDot {
     var i = 0
     var overflow = false
     while (i < n && !overflow) {
-      val xs = x.getLong(i)
-      val ys = y.getLong(i)
-      if (xs != NullSentinel && ys != NullSentinel) {
-        try acc = Math.addExact(acc, Math.multiplyExact(xs, ys))
-        catch { case _: ArithmeticException => overflow = true }
+      // SQL-registered scaled_dot accepts any array<long>, so a genuine
+      // null element (not produced by decimal_scale6) is possible —
+      // treat it exactly like the sentinel (DecimalDot's null-skip rule)
+      // instead of letting getLong unbox it to 0
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xs = x.getLong(i)
+        val ys = y.getLong(i)
+        if (xs != NullSentinel && ys != NullSentinel) {
+          try acc = Math.addExact(acc, Math.multiplyExact(xs, ys))
+          catch { case _: ArithmeticException => overflow = true }
+        }
       }
       if (!overflow) i += 1
     }
@@ -134,17 +140,21 @@ object ScaledDot {
         var a = java.math.BigDecimal.ZERO
         var j = 0
         while (j < n) {
-          val xs = x.getLong(j)
-          val ys = y.getLong(j)
-          if (xs != NullSentinel && ys != NullSentinel)
-            a = a.add(java.math.BigDecimal.valueOf(xs, 6)
-              .multiply(java.math.BigDecimal.valueOf(ys, 6)))
+          if (!x.isNullAt(j) && !y.isNullAt(j)) {
+            val xs = x.getLong(j)
+            val ys = y.getLong(j)
+            if (xs != NullSentinel && ys != NullSentinel)
+              a = a.add(java.math.BigDecimal.valueOf(xs, 6)
+                .multiply(java.math.BigDecimal.valueOf(ys, 6)))
+          }
           j += 1
         }
         a
       }
+    // scale 6 matches the declared DecimalType(38, 6) — a consumer that
+    // trusts dataType sees the true runtime scale
     org.apache.spark.sql.types.Decimal(
-      bd.setScale(6, java.math.RoundingMode.HALF_UP), 38, 9)
+      bd.setScale(6, java.math.RoundingMode.HALF_UP), 38, 6)
   }
 
   /** Column-API entry points. */

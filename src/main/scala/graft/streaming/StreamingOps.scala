@@ -144,9 +144,19 @@ object StreamingOps extends QueryPack {
     if (java.nio.file.Files.exists(marker)) return dir.toString
     val ev = Tables.events(s, d).select($"ts", $"user_id", $"value")
     ev.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    def parts: Set[java.io.File] = new java.io.File(dir.toString)
+      .listFiles().filter(_.getName.startsWith("part-")).toSet
+    val eventParts = parts
     val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
     Seq(Ev(new java.sql.Timestamp(maxTs.getTime + 86400L * 1000L), -1L, 0.0))
       .toDF().coalesce(1).write.mode("append").parquet(dir.toString)
+    // FileStreamSource orders batches by modification time; an mtime tie
+    // between the events file and the sentinel could admit the sentinel
+    // FIRST, advancing the watermark and dropping every real event as
+    // late. Pin the order explicitly: events at t-60s, sentinel at t.
+    val t = System.currentTimeMillis()
+    eventParts.foreach(_.setLastModified(t - 60000L))
+    (parts -- eventParts).foreach(_.setLastModified(t))
     java.nio.file.Files.write(marker, Array.empty[Byte])
     dir.toString
   }

@@ -85,6 +85,19 @@ class CustomFunctionsSpec extends SparkTestBase {
     nb.foreach { case (f, s) => assert(BigDecimal(f) === BigDecimal(s)) }
   }
 
+  test("scaled_dot skips genuinely-null long elements (SQL-path arrays)") {
+    // scaled_dot is SQL-registered and accepts any array<long>, including
+    // arrays NOT produced by decimal_scale6 whose elements can be null;
+    // a null must follow DecimalDot's skip rule, not unbox to 0 (which
+    // would be indistinguishable from a real zero term). Scale-6 longs:
+    // 2_000_000 = 2.0; pair (2.0 * 3.0) skipped by the null leaves 1.0*1.0.
+    val got = spark.sql(
+      """SELECT CAST(scaled_dot(array(CAST(2000000 AS LONG), CAST(1000000 AS LONG)),
+        |                        array(NULL, CAST(1000000 AS LONG))) AS STRING)""".stripMargin)
+      .as[String].head()
+    assert(BigDecimal(got) === BigDecimal("1.000000"))
+  }
+
   test("rolling_winnow matches an independent JVM recomputation") {
     import graft.functions.RollingWinnow.rolling_winnow
     // independent reference implementation: brute-force k-gram hashes +

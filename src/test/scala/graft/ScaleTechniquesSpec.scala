@@ -230,12 +230,24 @@ class ScaleTechniquesSpec extends SparkTestBase {
       .flatMap { p =>
         val rel = base.relativize(p).toString.replace('\\', '/')
         val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        // strip line comments so documentation can mention collect()
-        val code = src.linesIterator
-          .map(l => l.indexOf("//") match {
-            case -1 => l
-            case i  => l.substring(0, i)
-          }).mkString("\n")
+        // strip line comments so documentation can mention collect() —
+        // but ignore "//" inside string literals (a "file://..." path
+        // would otherwise truncate the code line and hide a real call)
+        def stripComment(l: String): String = {
+          var i = 0; var inStr = false
+          while (i < l.length) {
+            val c = l.charAt(i)
+            if (inStr) {
+              if (c == '\\') i += 1
+              else if (c == '"') inStr = false
+            } else if (c == '"') inStr = true
+            else if (c == '/' && i + 1 < l.length && l.charAt(i + 1) == '/')
+              return l.substring(0, i)
+            i += 1
+          }
+          l
+        }
+        val code = src.linesIterator.map(stripComment).mkString("\n")
         def occ(needle: String): Int = {
           var i = 0; var n = 0
           while ({ i = code.indexOf(needle, i); i >= 0 }) { n += 1; i += needle.length }
