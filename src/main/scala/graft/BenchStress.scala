@@ -84,7 +84,11 @@ object BenchStress {
     "q_stream_join",
     // round-5: the AQE skew-join demo — the hot key holds 70% of the fact
     // side at every replication, so 10x is a genuine skew stress
-    "q_join_skewed")
+    "q_join_skewed",
+    // round-6: the star shape — the fact-fact SMJ shuffle grows xREP on
+    // both sides while the broadcast dims stay put; exactly the balance a
+    // 100 TB warehouse query must keep
+    "q_join_star")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,

@@ -259,6 +259,43 @@ object JoinOps extends QueryPack {
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
     "Hot-key fact ⋈ dim via sort-merge; AQE skew-join splits the hot partition")
 
+  // ----------------------------------------------------- star-schema join
+  // The shape a 100 TB warehouse query actually takes (VERDICT r5 task 5):
+  // a fact table joined through a chain of dims in ONE plan — lineitem ⋈
+  // orders (big-big, forced sort-merge: both sides shuffle-partition on
+  // l_orderkey/o_orderkey) ⋈ customer ⋈ nation (both broadcast: the fact
+  // lineage is never reshuffled for a dim). Revenue arithmetic is exact
+  // decimal end-to-end: DECIMAL(18,2) × DECIMAL(18,6) products are exact
+  // in both engines, so the sums agree bit for bit. The plan guard in
+  // RelationalOpsSpec pins 1 SMJ + 2 BHJ and no extra fact-side exchange
+  // beyond the SMJ shuffle, the aggregate, and the presentation sort.
+  private val joinStar = QueryDef(
+    "q_join_star",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).hint("merge")
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          count("*").as("n_items"),
+          sum(dec("l_extendedprice") *
+            (lit(1).cast("decimal(18,6)") - $"l_discount".cast("decimal(18,6)")))
+            .cast("decimal(38,8)").cast("double").as("revenue"))
+        .orderBy($"n_name")
+    },
+    Some("""SELECT n_name, count(*) AS n_items,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,8)) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""),
+    "Star query: fact ⋈ fact (SMJ) ⋈ 2 broadcast dims in one plan, " +
+      "exact-decimal revenue")
+
   private val joinBucketed = QueryDef(
     "q_join_bucketed",
     (s, d) => {
@@ -284,5 +321,5 @@ object JoinOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(joinBroadcast, joinSmj, joinSemiAnti, joinRangeAsof, joinAsofExec,
-      joinOuter, joinCross, joinBucketed, joinSkewed)
+      joinOuter, joinCross, joinBucketed, joinSkewed, joinStar)
 }

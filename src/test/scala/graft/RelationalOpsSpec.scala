@@ -20,6 +20,27 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(plan("q_join_smj").contains("SortMergeJoin"))
   }
 
+  test("q_join_star plans 1 SMJ + 2 broadcast dims, no extra fact shuffle") {
+    // the 100 TB star shape: the fact lineage shuffles ONLY for the
+    // big-big sort-merge, the aggregate, and the presentation sort —
+    // never for a dimension
+    val df = q("q_join_star")
+    df.collect() // finalize any adaptive plan before counting operators
+    // AQE's toString appends the pre-adaptive "== Initial Plan ==" after
+    // the final plan — count operators in the FINAL section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    def occ(needle: String): Int = needle.r.findAllIn(plan).length
+    assert(occ("SortMergeJoin") === 1, plan)
+    assert(occ("BroadcastHashJoin") === 2, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // shuffles: lineitem + orders into the SMJ, one for the aggregate,
+    // one range exchange for the final orderBy — nothing else
+    assert(occ("Exchange hashpartitioning") <= 3, plan)
+    assert(occ("Exchange rangepartitioning") <= 1, plan)
+  }
+
   test("q_join_semi_anti partitions all customers into exactly one tag") {
     val df = q("q_join_semi_anti")
     assert(df.count() === Tables.customer(spark, sf).count())
