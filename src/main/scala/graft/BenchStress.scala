@@ -88,7 +88,11 @@ object BenchStress {
     // round-6: the star shape — the fact-fact SMJ shuffle grows xREP on
     // both sides while the broadcast dims stay put; exactly the balance a
     // 100 TB warehouse query must keep
-    "q_join_star")
+    "q_join_star",
+    // round-6: two chained state stores in one plan — per-batch state
+    // rows grow with the event volume in stage 1 and with closed-window
+    // count in stage 2; watermark propagation is what's being stressed
+    "q_stream_chained")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,

@@ -136,7 +136,7 @@ object StreamingOps extends QueryPack {
     * whole events table (µs timestamps, so the stream source needs no
     * ns workaround), file 2 = a single far-future sentinel row that
     * advances the watermark past every real session. Idempotent per sf. */
-  private def streamInputDir(s: SparkSession, d: String): String = {
+  private[graft] def streamInputDir(s: SparkSession, d: String): String = {
     import s.implicits._
     val dir = java.nio.file.Paths.get("target", "stream_in",
       new java.io.File(d).getName).toAbsolutePath
@@ -224,6 +224,70 @@ object StreamingOps extends QueryPack {
       ORDER BY user_id, start_us"""),
     "Stateful session windows (30-min gap) over a real two-batch file " +
       "stream; emits the batch session_window answer (shared oracle)")
+
+  // ------------------------- chained stateful operators in ONE plan
+  /** The streaming DF with TWO stateful stages (VERDICT r5 task 4):
+    * watermarked 5-minute tumbling aggregation whose FINALIZED windows
+    * feed a second, 1-hour window aggregation over the stage-1 window
+    * column — Spark's multiple-stateful-operator support, where the
+    * watermark propagates through the first state store so the second
+    * only sees closed windows. Shared by the declared query and the spec
+    * (which asserts both state operators appear in one physical plan).
+    */
+  private[graft] def chainedStream(ss: SparkSession, dir: String): DataFrame = {
+    import ss.implicits._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count("*").as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("sv"))
+      // second stateful stage: re-window the finalized 5-min windows into
+      // hours; only rows whose hour window closes under the propagated
+      // watermark are emitted (append semantics across BOTH stores)
+      .groupBy(window($"window", "1 hour"))
+      .agg(count("*").as("n_windows"), sum($"n").as("n_events"),
+        sum($"sv").cast("decimal(38,2)").as("sum_value"))
+  }
+
+  // The far-future sentinel advances the watermark past every real 5-min
+  // window (stage 1) AND every real hour window (stage 2); the sentinel's
+  // own windows never close, so they never leave stage 1 — no filter
+  // needed. Deterministic, hence the batch CTE oracle applies as-is.
+  private val streamChained = QueryDef(
+    "q_stream_chained",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamInputDir(s, d)
+      withStreamPartitions(s, 8) { ss =>
+        val q = chainedStream(ss, dir)
+          .writeStream.format("memory").queryName("graft_stream_chained")
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        ss.table("graft_stream_chained")
+      }
+        .select(unix_timestamp($"window.start").as("win_start"),
+          $"n_windows", $"n_events", $"sum_value".cast("double").as("sum_value"))
+        .orderBy($"win_start")
+    },
+    Some("""WITH w5 AS (
+        SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS w5,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sv
+        FROM events GROUP BY 1)
+      SELECT CAST(floor(w5 / 3600) AS BIGINT) * 3600 AS win_start,
+        count(*) AS n_windows, CAST(sum(n) AS BIGINT) AS n_events,
+        CAST(CAST(sum(sv) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      FROM w5 GROUP BY 1 ORDER BY 1"""),
+    "Two chained stateful window aggs (5-min -> 1-hour) in one streaming " +
+      "plan; watermark propagates across both state stores (batch CTE oracle)")
 
   // --------------------------------- custom state: flatMapGroupsWithState
   /** Per-user accumulator state for the stateful streaming query. */
@@ -743,8 +807,8 @@ object StreamingOps extends QueryPack {
       "log + checkpoint; read-back equals the batch aggregate")
 
   override def defs: Seq[QueryDef] =
-    Seq(sessionize, streamTumbling, streamSession, streamStateful,
-      streamTransformWithState, streamTimerExpiry, sessionWindowBatch,
-      streamDedup, streamJoin, streamStaticJoin, streamForeachBatch,
-      streamSinkFiles)
+    Seq(sessionize, streamTumbling, streamSession, streamChained,
+      streamStateful, streamTransformWithState, streamTimerExpiry,
+      sessionWindowBatch, streamDedup, streamJoin, streamStaticJoin,
+      streamForeachBatch, streamSinkFiles)
 }

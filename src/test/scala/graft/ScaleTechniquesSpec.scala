@@ -344,6 +344,47 @@ class ScaleTechniquesSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q_stream_chained runs TWO stateful operators in one plan (RocksDB)") {
+    // Spark's multiple-stateful-operator support is the one streaming
+    // surface the engine hadn't demonstrated: window agg -> window agg in
+    // a single MicroBatchExecution, watermark propagated THROUGH the
+    // first state store. Pin (a) both state operators in one running
+    // query (progress reports two, and the physical plan carries two
+    // StateStoreSave nodes), (b) on the production RocksDB backend,
+    // (c) the emitted result equals the batch recompute.
+    val dir = graft.streaming.StreamingOps.streamInputDir(spark, sf)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = graft.streaming.StreamingOps.chainedStream(ss, dir)
+      .writeStream.format("memory").queryName("chained_test")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length === 2,
+        s"expected 2 state operators in one plan, got ${ops.length}: " +
+          ops.map(_.operatorName).mkString(","))
+      assert(ops.forall(_.operatorName.toLowerCase.contains("statestoresave")),
+        ops.map(_.operatorName).mkString(","))
+      val got = ss.table("chained_test")
+        .select(unix_timestamp($"window.start"), $"n_windows", $"n_events")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val expected = Tables.events(spark, sf)
+        .select((floor(unix_timestamp($"ts") / 300) * 300).cast("long").as("w5"))
+        .groupBy($"w5").agg(count("*").as("n"))
+        .select((floor($"w5" / 3600) * 3600).cast("long").as("h"), $"n")
+        .groupBy($"h").agg(count("*").as("n_windows"), sum($"n").as("n_events"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(got === expected)
+      val rocks = q.lastProgress.stateOperators.forall(
+        _.customMetrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")))
+      assert(rocks, "both state operators must report RocksDB metrics")
+    } finally q.stop()
+  }
+
   test("q_stream_timer_expiry emits only after the watermark passes the timer") {
     // the two-file fixture means: batch 1 = all real events (timers armed,
     // NOTHING emitted), sentinel batch advances the watermark, the no-data
