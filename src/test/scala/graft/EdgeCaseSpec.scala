@@ -35,8 +35,10 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(df.select(word_ngrams($"t", 3)).as[Seq[String]].head() === Seq.empty)
     df.select(simhash64($"t")).as[Long].head() // defined (all-zero counts)
     val fdf = Seq((Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+    // scale 6, matching the declared DecimalType(38,6) (ADVICE r5: the
+    // runtime value used to carry a declared-vs-actual scale-9 mismatch)
     assert(fdf.select(decimal_dot($"a", $"b").cast("string")).as[String].head()
-      === "0.000000000")
+      === "0.000000")
   }
 
   test("as-of join with an EMPTY right side yields all-null matches") {
