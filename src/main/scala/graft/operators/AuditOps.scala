@@ -274,7 +274,10 @@ object AuditOps extends QueryPack {
       name,
       (s, d) => {
         import s.implicits._
-        val exact = SimilarityOps.exactTopK(s, d).select($"qid", $"cid")
+        // the NQ×K exact top-K result is consumed twice (the hit join and
+        // the count aggregate) — cache the tiny result so the brute-force
+        // corpus scoring underneath runs once, not twice
+        val exact = SimilarityOps.exactTopK(s, d).select($"qid", $"cid").cache()
         val hits = exact
           .join(ann(s, d).filter($"cid".isNotNull).select($"qid", $"cid"),
             Seq("qid", "cid"), "left_semi")
