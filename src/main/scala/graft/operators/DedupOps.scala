@@ -97,33 +97,35 @@ object DedupOps extends QueryPack {
       if (!prefixFilter) {
         // Pair generation WITHOUT a posting-list self-join: one shuffle
         // groups the inverted index by shingle; the ordered pairs then
-        // stream out of two narrow explodes (doc1 = element i, doc2 =
-        // every later element of the same sorted list). Same Σ df² output
-        // as the classic self-join but one fewer shuffle and no join
-        // build side; per-shingle memory stays O(df), not O(df²).
+        // stream out of the custom OrderedPairs generator (a native
+        // Catalyst Generator — see functions/OrderedPairs.scala). Same
+        // Σ df² output as the classic self-join but one fewer shuffle and
+        // no join build side; per-shingle memory stays O(df), not O(df²).
         //
-        // Each posting carries (doc_id, n_sh) as a struct, so the
-        // Jaccard denominator is already on every pair row and the pair
-        // stream NEVER joins back to a per-doc counts table. Besides
-        // dropping two joins, this removes a real 10×-scale failure the
-        // stress run caught: Catalyst's static size estimate of the
-        // Generate → aggregate pair stream is far too small, so the
-        // planner chose to BROADCAST the Σ df²-sized pair side into the
-        // counts join — fine at sf0.1, an 8 GiB broadcast abort at sf1.
+        // Each posting carries (doc_id, n_sh), so the Jaccard denominator
+        // is already on every pair row and the pair stream NEVER joins
+        // back to a per-doc counts table. Besides dropping two joins,
+        // this removes a real 10×-scale failure the stress run caught:
+        // Catalyst's static size estimate of the Generate → aggregate
+        // pair stream is far too small, so the planner chose to BROADCAST
+        // the Σ df²-sized pair side into the counts join — fine at sf0.1,
+        // an 8 GiB broadcast abort at sf1. The generator replaced an
+        // earlier posexplode + slice + explode formulation that copied
+        // the whole posting array into every exploded row (O(df³) bytes
+        // for a hot shingle) — the GC churn behind the family's ±40%
+        // 10×-stress variance.
         val byShingle = docs
           .select(struct($"doc_id", size($"sh").cast("long").as("n_sh")).as("dn"),
             explode($"sh").as("shingle"))
           .groupBy($"shingle")
           .agg(sort_array(collect_list($"dn")).as("docs"))
         byShingle
-          .select(posexplode($"docs").as(Seq("i", "d1")), $"docs")
-          .select($"d1",
-            explode(slice($"docs", $"i" + lit(2),
-              greatest(size($"docs") - $"i" - 1, lit(0)))).as("d2"))
-          .groupBy($"d1", $"d2")
+          .select(graft.functions.OrderedPairs.ordered_pairs($"docs")
+            .as(Seq("doc1", "n1", "doc2", "n2")))
+          .groupBy($"doc1", $"n1", $"doc2", $"n2")
           .agg(count("*").as("inter"))
-          .select($"d1.doc_id".as("doc1"), $"d2.doc_id".as("doc2"),
-            jaccardOf($"inter", $"d1.n_sh", $"d2.n_sh").as("jaccard"))
+          .select($"doc1", $"doc2",
+            jaccardOf($"inter", $"n1", $"n2").as("jaccard"))
       } else {
         val w = org.apache.spark.sql.expressions.Window
         // document frequency WITHOUT a join: a count window over the

@@ -98,6 +98,22 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(BigDecimal(got) === BigDecimal("1.000000"))
   }
 
+  test("ordered_pairs emits exactly the i<j pairs of a sorted posting list") {
+    import graft.functions.OrderedPairs.ordered_pairs
+    val df = Seq(
+      Seq((1L, 10L), (3L, 30L), (7L, 70L)),
+      Seq((5L, 50L)), // single element: no pairs
+      Seq.empty[(Long, Long)]).toDF("docs")
+    val got = df.select(ordered_pairs($"docs").as(Seq("id1", "n1", "id2", "n2")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 10L, 3L, 30L), (1L, 10L, 7L, 70L), (3L, 30L, 7L, 70L)))
+    // pair count for n elements is n*(n-1)/2 — the Σ df² contract
+    val n = 40
+    val big = Seq((0 until n).map(i => (i.toLong, i.toLong))).toDF("docs")
+    assert(big.select(ordered_pairs($"docs")).count() === n * (n - 1) / 2)
+  }
+
   test("rolling_winnow matches an independent JVM recomputation") {
     import graft.functions.RollingWinnow.rolling_winnow
     // independent reference implementation: brute-force k-gram hashes +
