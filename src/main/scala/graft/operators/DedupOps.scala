@@ -242,18 +242,27 @@ object DedupOps extends QueryPack {
       import s.implicits._
       val sh = bounded(Tables.documents(s, d), bound)
         .select($"doc_id", simhash64(toks($"text")).as("simhash"))
+        // a null simhash (null text) must not bucket with other nulls:
+        // the old join formulation dropped null band keys, groupBy keeps
+        // them as a group — filter to preserve the join semantics
+        .filter($"simhash".isNotNull)
       val bands = sh.select($"doc_id", $"simhash",
         posexplode(array((0 to 3).map(b =>
           shiftrightunsigned($"simhash", b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int")
-            .as("hamming"))
+      // join-free candidate stream: group the band index by (band, bkey)
+      // and emit ordered candidate pairs via the OrderedPairs generator,
+      // each pair carrying BOTH simhashes so Hamming verification is a
+      // per-row map — no self-join, no join back for the signatures
+      bands
+        .select(struct($"doc_id", $"simhash").as("dn"),
+          $"band", $"bkey")
+        .groupBy($"band", $"bkey")
+        .agg(sort_array(collect_list($"dn")).as("docs"))
+        .select(graft.functions.OrderedPairs.ordered_pairs($"docs")
+          .as(Seq("doc1", "sim1", "doc2", "sim2")))
+        .select($"doc1", $"doc2",
+          bit_count($"sim1".bitwiseXOR($"sim2")).cast("int").as("hamming"))
         .distinct()
         .filter($"hamming" <= 8)
         .orderBy($"doc1", $"doc2")

@@ -192,16 +192,24 @@ object TextOps extends QueryPack {
           Tables.documents(s, d).filter($"doc_id" < b))
         .select($"doc_id", rolling_winnow(lower($"text"), 24, 8).as("fp"))
         .filter(size($"fp") > 0).cache()
-      val posting = fps.select($"doc_id", explode($"fp").as("h"))
-      val shared = posting.as("a")
-        .join(posting.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      // join-free pair stream, same kernel as the shingle index: group
+      // the inverted fingerprint index by hash, emit ordered pairs via
+      // the OrderedPairs generator with the containment denominator
+      // (n_fp) already on every pair row — no posting self-join and no
+      // joins back to a counts table (the shape that survives 100 TB;
+      // see DedupOps.ngramJaccardPairs for the broadcast-misestimate
+      // hazard this avoids)
+      val byHash = fps
+        .select(struct($"doc_id", size($"fp").cast("long").as("n_fp")).as("dn"),
+          explode($"fp").as("h"))
+        .groupBy($"h")
+        .agg(sort_array(collect_list($"dn")).as("docs"))
+      byHash
+        .select(graft.functions.OrderedPairs.ordered_pairs($"docs")
+          .as(Seq("doc1", "n1", "doc2", "n2")))
+        .filter($"doc1" =!= $"doc2") // same-doc repeats of one fingerprint
+        .groupBy($"doc1", $"n1", $"doc2", $"n2")
         .agg(count("*").as("shared"))
-      val counts = fps.select($"doc_id", size($"fp").cast("long").as("n_fp"))
-      shared
-        .join(counts.toDF("doc1", "n1"), "doc1")
-        .join(counts.toDF("doc2", "n2"), "doc2")
         .select($"doc1", $"doc2",
           round($"shared".cast("decimal(18,2)") / least($"n1", $"n2"), 6)
             .cast("decimal(38,6)").as("containment"))
