@@ -80,7 +80,10 @@ object DedupOps extends QueryPack {
     *    is the strategy to flip on at web scale, where hot shingles make
     *    Σ df² explode; it trades two extra array-payload joins for
     *    immunity to df skew (measured here: direct ~7 s, prefix ~15 s at
-    *    sf0.1 because the fixture has no hot shingles).
+    *    sf0.1 because the fixture has no hot shingles). Candidate pairs
+    *    come from the same join-free OrderedPairs stream as the direct
+    *    strategy — grouped prefix postings, not a posting self-join — so
+    *    the Σ df_prefix² work has no build side to misestimate either.
     *
     * The spec asserts both return identical pairs; the DuckDB oracle is
     * the direct formulation.
@@ -140,14 +143,19 @@ object DedupOps extends QueryPack {
           .withColumn("n", count("*").over(w.partitionBy($"doc_id")))
           .filter($"pos" <= floor($"n" / 2) + 1)
           .select($"doc_id", $"shingle")
-        // candidate generation is a genuine equi-self-join; hint the
-        // sort-merge strategy so the scale-safe choice never depends on
-        // static size estimates of this derived stream
-        prefix.as("a").hint("merge")
-          .join(prefix.as("b"),
-            col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        // candidate generation: group the (far smaller) prefix posting by
+        // shingle and stream ordered pairs out of the OrderedPairs
+        // generator — replaces a sort-merge self-join that sorted the
+        // prefix stream twice and kept a probe side resident; per-shingle
+        // memory stays O(df_prefix) and nothing depends on a static size
+        // estimate of this derived stream
+        prefix
+          .select(struct($"doc_id", lit(0L).as("pad")).as("dn"), $"shingle")
+          .groupBy($"shingle")
+          .agg(sort_array(collect_list($"dn")).as("docs"))
+          .select(graft.functions.OrderedPairs.ordered_pairs($"docs")
+            .as(Seq("doc1", "pad1", "doc2", "pad2")))
+          .select($"doc1", $"doc2")
           .distinct()
           .join(docs.select($"doc_id".as("doc1"), $"sh".as("sh1")), "doc1")
           .join(docs.select($"doc_id".as("doc2"), $"sh".as("sh2")), "doc2")

@@ -64,6 +64,24 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "direct ngram strategy must broadcast nothing:\n" + plan)
   }
 
+  test("prefix-filter ngram strategy: candidates generated, not self-joined") {
+    // The ppjoin-style scale path shares the OrderedPairs pair stream with
+    // the direct strategy: candidate generation must plan as a grouped
+    // Generate, never a posting self-join. The ONLY joins allowed in the
+    // whole plan are the two exact-verify joins that fetch the shingle
+    // arrays for surviving candidate pairs.
+    val plan = operators.DedupOps
+      .ngramJaccardPairs(spark, sf, prefixFilter = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ordered_pairs"),
+      "prefix strategy must stream candidates from OrderedPairs:\n" + plan)
+    val nJoins =
+      "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
+        .findAllIn(plan).length
+    assert(nJoins <= 2,
+      s"prefix strategy must join only for exact-verify (≤2), found $nJoins:\n" + plan)
+  }
+
   test("curation plans keep their scale shapes (broadcast/shuffle guards)") {
     // q_decontaminate: the test-gram index must be the BROADCAST side and
     // the corpus gram stream must reach the join WITHOUT a shuffle — the
