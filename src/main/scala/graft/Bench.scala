@@ -5,11 +5,41 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every declared query at the env-given scale
   * factor and prints one JSON line for the driver.
   *
-  * Each query runs twice: an untimed warm-up pass (JIT + code cache +
-  * parquet footer caches reach steady state) and the timed pass — the
-  * steady-state number is what a long-running cluster job would see.
+  * Contention immunity (VERDICT r6 task 1): two consecutive driver-side
+  * artifacts were inflated by unrelated load on the box (uniform ~2× on
+  * trivial and heavy queries alike), so the run now defends itself twice:
+  *
+  *  - a SETTLE GATE before any timing — if the 1-minute load average is
+  *    above `SPARK_GRAFT_BENCH_LOAD_MAX` (default 8), wait in 5 s steps up
+  *    to `SPARK_GRAFT_BENCH_SETTLE_SEC` (default 180 s) for it to drain;
+  *    both the initial and at-timing load are recorded in the JSON line so
+  *    a contaminated artifact carries its own evidence;
+  *  - each query runs as one untimed warm-up pass (JIT + code cache +
+  *    parquet footer caches reach steady state) and then the MEDIAN OF
+  *    THREE timed passes — a transient spike (GC storm, cron wakeup,
+  *    another JVM's burst) lands on at most one pass and is discarded by
+  *    the median, while the steady-state number a long-running cluster
+  *    job would see is what ships.
   */
 object Bench {
+
+  /** Median of the timed passes — the per-query statistic. Odd pass counts
+    * take the true middle; even take the lower middle (conservative: with
+    * contention-only noise every pass is an over-estimate, so when forced
+    * to choose between two middles the smaller is closer to truth). */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.size - 1) / 2)
+  }
+
+  /** 1-minute load average, or None where /proc is absent (non-Linux). */
+  def loadAvg(): Option[Double] =
+    try {
+      val p = java.nio.file.Paths.get("/proc/loadavg")
+      if (!java.nio.file.Files.exists(p)) None
+      else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split("\\s+").headOption.map(_.toDouble)
+    } catch { case _: Throwable => None }
 
   /** Queries that ran >2x slower than their previously recorded time.
     * Sub-0.5s current timings are fixed-overhead noise at local[32] and are
@@ -60,20 +90,39 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // settle gate: refuse to time against a busy box (the r5/r6 artifact
+    // killer); bounded wait, then proceed regardless but record the load
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "8").toDouble
+    val settleSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SEC", "180").toInt
+    val load0 = loadAvg()
+    val settleDeadline = System.nanoTime() + settleSec * 1000000000L
+    while (loadAvg().exists(_ > loadMax) && System.nanoTime() < settleDeadline)
+      Thread.sleep(5000)
+    val loadAtTiming = loadAvg()
+
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name => // warm-up pass, untimed
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
       spark.sharedState.cacheManager.clearCache()
     }
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.sharedState.cacheManager.clearCache()
-      name -> dt
+    // interleave the timed passes (pass 1 of every query, then pass 2, …)
+    // instead of back-to-back repeats: a multi-second contention burst then
+    // dents the SAME pass index of adjacent queries rather than all three
+    // samples of one query, and the median discards it
+    val samples = (1 to passes).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        name -> dt
+      }.toMap
     }
+    val results = names.map(n => n -> median(samples.map(_(n))))
     // The driver captures only the last ~2000 chars of output; the full-
     // precision JSON line overflowed that window in round 1 (parsed:null).
     // Rounded values + the sf basename keep the whole line under the
@@ -107,7 +156,8 @@ object Bench {
       .mkString("[", ",", "]")
     val ratio = vsPrev(prev, cur).map(r => f(r, 2)).getOrElse("null")
     writeHistory(histPath, cur)
-    println(s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","vs_prev":$ratio,"regressions":$regs,"queries":$qs,"sf":"$sfName"}""")
+    val loadJson = (l: Option[Double]) => l.map(v => f(v, 1)).getOrElse("null")
+    println(s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","vs_prev":$ratio,"regressions":$regs,"passes":$passes,"load_start":${loadJson(load0)},"load_timing":${loadJson(loadAtTiming)},"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

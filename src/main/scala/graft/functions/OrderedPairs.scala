@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, SpecificInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -22,7 +23,19 @@ import org.apache.spark.sql.types._
   * 10× stress timings of the whole ngram family and produced its ±40%
   * run-to-run variance. This generator decodes the posting list ONCE into
   * two primitive long arrays and yields fixed-width 4-long rows, so the
-  * per-shingle allocation is O(df) and per-pair work is four long reads.
+  * per-shingle allocation is O(df) and per-pair work is four long writes
+  * into ONE reused mutable row (VERDICT r6 task 3: the previous version
+  * allocated a boxed GenericInternalRow per pair — Σ df² allocations per
+  * run, the prime suspect behind the 10×-stress GC-lottery tails). Row
+  * reuse is safe under GenerateExec's contract: both the interpreted path
+  * (an UnsafeProjection immediately rebuffers each emitted row) and the
+  * whole-stage path (field accessors are read before the next iterator
+  * step) consume each row before advancing.
+  *
+  * The generator also implements [[doGenCode]] (GenerateExec's
+  * codeGenIterableOnce path), so the Generate node and everything fused
+  * after it stays inside whole-stage codegen instead of falling back to
+  * the iterator boundary a CodegenFallback generator forces.
   *
   * The reference computes near-dup pairs row-at-a-time in Python
   * (conceptually; its corpus fits one process). At 100 TB the pair stream
@@ -30,7 +43,7 @@ import org.apache.spark.sql.types._
   * it deserves a dedicated kernel rather than composed explodes.
   */
 case class OrderedPairs(child: Expression)
-    extends UnaryExpression with Generator with CodegenFallback {
+    extends UnaryExpression with Generator {
 
   override def prettyName: String = "ordered_pairs"
 
@@ -48,8 +61,9 @@ case class OrderedPairs(child: Expression)
       s"ordered_pairs requires array<struct<long,long>>, got ${other.catalogString}")
   }
 
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val arr = child.eval(input).asInstanceOf[ArrayData]
+  /** Shared by eval and the generated code (called via a reference object
+    * from the whole-stage class). Must stay public for Janino. */
+  def pairIterator(arr: ArrayData): Iterator[InternalRow] = {
     if (arr == null) return Iterator.empty
     val n = arr.numElements()
     if (n < 2) return Iterator.empty
@@ -66,14 +80,37 @@ case class OrderedPairs(child: Expression)
     new Iterator[InternalRow] {
       private var i = 0
       private var j = 1
+      // ONE mutable unboxed row per posting list, rewritten per pair
+      private val row = new SpecificInternalRow(
+        Seq(LongType, LongType, LongType, LongType))
       override def hasNext: Boolean = i < n - 1
       override def next(): InternalRow = {
-        val r = new GenericInternalRow(Array[Any](ids(i), ns(i), ids(j), ns(j)))
+        row.setLong(0, ids(i))
+        row.setLong(1, ns(i))
+        row.setLong(2, ids(j))
+        row.setLong(3, ns(j))
         j += 1
         if (j >= n) { i += 1; j = i + 1 }
-        r
+        row
       }
     }
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    pairIterator(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("orderedPairs", this)
+    val iter = ctx.freshName("orderedPairsIter")
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |scala.collection.Iterator<InternalRow> $iter =
+        |  $ref.pairIterator(${childGen.isNull} ? null : ${childGen.value});
+        |""".stripMargin,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(iter, classOf[Iterator[InternalRow]]))
   }
 
   override protected def withNewChildInternal(newChild: Expression): OrderedPairs =

@@ -79,11 +79,16 @@ object DedupOps extends QueryPack {
     *    from those prefix postings, then exact-verify. 100% recall. This
     *    is the strategy to flip on at web scale, where hot shingles make
     *    Σ df² explode; it trades two extra array-payload joins for
-    *    immunity to df skew (measured here: direct ~7 s, prefix ~15 s at
+    *    resistance to df skew (measured here: direct ~7 s, prefix ~15 s at
     *    sf0.1 because the fixture has no hot shingles). Candidate pairs
-    *    come from the same join-free OrderedPairs stream as the direct
-    *    strategy — grouped prefix postings, not a posting self-join — so
-    *    the Σ df_prefix² work has no build side to misestimate either.
+    *    come from the same join-free blocked pair stream as the direct
+    *    strategy ([[PairStreams]] — grouped prefix postings cut into
+    *    per-task blocks, not a posting self-join), so the Σ df_prefix²
+    *    work has no build side to misestimate and no single-task hot-key
+    *    ceiling. Both strategies buffer one posting list per key in a
+    *    non-spillable collect_list buffer — see the PairStreams scaladoc
+    *    for that trade-off; the prefix filter is what keeps df bounded
+    *    enough to make it safe at web scale.
     *
     * The spec asserts both return identical pairs; the DuckDB oracle is
     * the direct formulation.
@@ -99,11 +104,15 @@ object DedupOps extends QueryPack {
     val pairs =
       if (!prefixFilter) {
         // Pair generation WITHOUT a posting-list self-join: one shuffle
-        // groups the inverted index by shingle; the ordered pairs then
-        // stream out of the custom OrderedPairs generator (a native
-        // Catalyst Generator — see functions/OrderedPairs.scala). Same
-        // Σ df² output as the classic self-join but one fewer shuffle and
-        // no join build side; per-shingle memory stays O(df), not O(df²).
+        // groups the inverted index by shingle; pairs then stream out of
+        // the blocked generator kernel (PairStreams → BlockSplit +
+        // BlockPairs, the successor of the single-list OrderedPairs
+        // formulation). Same Σ df² output as the classic self-join but no
+        // join build side, per-shingle memory O(df) not O(df²), and —
+        // r6 task 2 — a hot shingle's emission is cut into ≤cap-element
+        // blocks whose bucket rows redistribute across TASKS, so one
+        // web-scale stop-word shingle can no longer serialize its df²
+        // pairs into a single straggler.
         //
         // Each posting carries (doc_id, n_sh), so the Jaccard denominator
         // is already on every pair row and the pair stream NEVER joins
@@ -112,19 +121,16 @@ object DedupOps extends QueryPack {
         // Catalyst's static size estimate of the Generate → aggregate
         // pair stream is far too small, so the planner chose to BROADCAST
         // the Σ df²-sized pair side into the counts join — fine at sf0.1,
-        // an 8 GiB broadcast abort at sf1. The generator replaced an
-        // earlier posexplode + slice + explode formulation that copied
+        // an 8 GiB broadcast abort at sf1. The generator kernel replaced
+        // an earlier posexplode + slice + explode formulation that copied
         // the whole posting array into every exploded row (O(df³) bytes
         // for a hot shingle) — the GC churn behind the family's ±40%
         // 10×-stress variance.
-        val byShingle = docs
-          .select(struct($"doc_id", size($"sh").cast("long").as("n_sh")).as("dn"),
-            explode($"sh").as("shingle"))
-          .groupBy($"shingle")
-          .agg(sort_array(collect_list($"dn")).as("docs"))
-        byShingle
-          .select(graft.functions.OrderedPairs.ordered_pairs($"docs")
-            .as(Seq("doc1", "n1", "doc2", "n2")))
+        val posting2 = docs.select(
+          struct($"doc_id", size($"sh").cast("long").as("n_sh")).as("dn"),
+          explode($"sh").as("shingle"))
+        PairStreams.blockedPairs(posting2, Seq($"shingle"), $"dn",
+            Seq("doc1", "n1", "doc2", "n2"))
           .groupBy($"doc1", $"n1", $"doc2", $"n2")
           .agg(count("*").as("inter"))
           .select($"doc1", $"doc2",
@@ -142,19 +148,22 @@ object DedupOps extends QueryPack {
             w.partitionBy($"doc_id").orderBy($"df", $"shingle")))
           .withColumn("n", count("*").over(w.partitionBy($"doc_id")))
           .filter($"pos" <= floor($"n" / 2) + 1)
-          .select($"doc_id", $"shingle")
+          .select($"doc_id", $"n".cast("long").as("n_sh"), $"shingle")
         // candidate generation: group the (far smaller) prefix posting by
-        // shingle and stream ordered pairs out of the OrderedPairs
-        // generator — replaces a sort-merge self-join that sorted the
-        // prefix stream twice and kept a probe side resident; per-shingle
-        // memory stays O(df_prefix) and nothing depends on a static size
-        // estimate of this derived stream
-        prefix
-          .select(struct($"doc_id", lit(0L).as("pad")).as("dn"), $"shingle")
-          .groupBy($"shingle")
-          .agg(sort_array(collect_list($"dn")).as("docs"))
-          .select(graft.functions.OrderedPairs.ordered_pairs($"docs")
-            .as(Seq("doc1", "pad1", "doc2", "pad2")))
+        // shingle and stream pairs out of the blocked generator kernel —
+        // replaces a sort-merge self-join that sorted the prefix stream
+        // twice and kept a probe side resident; per-shingle memory stays
+        // O(df_prefix), a hot prefix shingle fans out across tasks, and
+        // nothing depends on a static size estimate of this derived
+        // stream. The payload rides along as the doc's FULL shingle
+        // count, which funds the ppjoin length filter below: for
+        // J >= 0.5, |A∩B| <= min forces max <= 2·min (+1 absorbs the
+        // 6-decimal threshold rounding), so oversize-mismatched
+        // candidates die before the distinct and the exact-verify joins.
+        PairStreams.blockedPairs(
+            prefix.select(struct($"doc_id", $"n_sh").as("dn"), $"shingle"),
+            Seq($"shingle"), $"dn", Seq("doc1", "n1", "doc2", "n2"))
+          .filter(greatest($"n1", $"n2") <= least($"n1", $"n2") * 2 + 1)
           .select($"doc1", $"doc2")
           .distinct()
           .join(docs.select($"doc_id".as("doc1"), $"sh".as("sh1")), "doc1")

@@ -44,6 +44,16 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.vsPrev(Map.empty, cur).isEmpty)
   }
 
+  test("median-of-passes discards a single contention spike") {
+    // r6 task 1: one pass hit by a burst (8.1s vs the steady ~1.2s) must
+    // not become the artifact; the median is the steady-state draw
+    assert(Bench.median(Seq(1.2, 8.1, 1.3)) === 1.3)
+    assert(Bench.median(Seq(8.1, 1.2, 1.1)) === 1.2)
+    assert(Bench.median(Seq(2.0)) === 2.0)
+    // even count: conservative lower middle (contention only inflates)
+    assert(Bench.median(Seq(1.0, 9.0)) === 1.0)
+  }
+
   test("history file roundtrips full-precision timings") {
     val p = java.nio.file.Files.createTempFile("bench_hist", ".json")
     try {

@@ -114,6 +114,56 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(big.select(ordered_pairs($"docs")).count() === n * (n - 1) / 2)
   }
 
+  test("blocked pair kernel reproduces the ordered_pairs multiset at every cap") {
+    import graft.functions.OrderedPairs.ordered_pairs
+    // random posting lists with duplicate dn entries (the winnow
+    // multiplicity case) — the blocked kernel must emit EXACTLY the same
+    // i<j pair multiset as the single-list generator for caps that
+    // divide, straddle, and exceed the list length
+    val rnd = new scala.util.Random(7)
+    val lists = Seq.tabulate(20) { _ =>
+      val n = 1 + rnd.nextInt(40)
+      Seq.fill(n)((rnd.nextInt(8).toLong, rnd.nextInt(5).toLong)).sorted
+    }
+    val df = lists.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("key", "docs")
+    val expected = df
+      .select(ordered_pairs($"docs").as(Seq("id1", "n1", "id2", "n2")))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    for (cap <- Seq(2, 3, 7, 64)) {
+      val posting = df.select($"key", explode($"docs").as("dn"))
+      val got = operators.PairStreams
+        .blockedPairs(posting, Seq($"key"), $"dn", Seq("id1", "n1", "id2", "n2"), cap)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === expected, s"pair multiset diverged at cap=$cap")
+    }
+  }
+
+  test("block_split covers every block pair exactly once; block_pairs streams them") {
+    import graft.functions.BlockedPairs._
+    // 10 elements, cap 4 -> blocks [0..3][4..7][8..9]: 3 intra + 3 cross
+    val df = Seq(Seq.tabulate(10)(i => (i.toLong, (i * 10).toLong))).toDF("docs")
+    val buckets = df
+      .select(block_split($"docs", 4).as(Seq("b1", "b2", "l_id", "l_n", "r_id", "r_n")))
+    val rows = buckets.collect()
+    assert(rows.length === 6)
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSet ===
+      Set((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)))
+    // every cross row is ordered: max(left ids) < min(right ids)
+    rows.filter(r => r.getInt(0) != r.getInt(1)).foreach { r =>
+      assert(r.getSeq[Long](2).max < r.getSeq[Long](4).min)
+    }
+    val pairs = buckets
+      .select(block_pairs($"l_id", $"l_n", $"r_id", $"r_n").as(Seq("id1", "n1", "id2", "n2")))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pairs.length === 45) // 10*9/2
+    assert(pairs.map(p => (p._1, p._3)).toSet ===
+      (for (i <- 0 until 10; j <- i + 1 until 10) yield (i.toLong, j.toLong)).toSet)
+    assert(pairs.forall(p => p._2 === p._1 * 10 && p._4 === p._3 * 10))
+  }
+
   test("rolling_winnow matches an independent JVM recomputation") {
     import graft.functions.RollingWinnow.rolling_winnow
     // independent reference implementation: brute-force k-gram hashes +

@@ -57,15 +57,22 @@ class ScaleTechniquesSpec extends SparkTestBase {
     // carries (doc_id, n_sh) through the inverted index, so the direct
     // strategy must contain NO join of any kind — nothing misestimable
     // can ever be picked as a build side again.
-    val plan = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
-      .queryExecution.executedPlan.toString
+    val df = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+    df.collect() // finalize AQE so codegen stage ids materialize
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "direct ngram strategy must be join-free:\n" + plan)
     assert(!plan.contains("BroadcastExchange"),
       "direct ngram strategy must broadcast nothing:\n" + plan)
+    // r6 task 3: the pair generator implements doGenCode, so Generate and
+    // the partial pair-count aggregate above it must fuse into ONE
+    // whole-stage codegen span (a CodegenFallback generator would break
+    // the span and put an iterator boundary under the hottest operator)
+    assert("""\*\(\d+\) Generate (ordered_pairs|block_pairs)""".r.findFirstIn(plan).isDefined,
+      "pair Generate must be inside whole-stage codegen:\n" + plan)
   }
 
   test("prefix-filter ngram strategy: candidates generated, not self-joined") {
-    // The ppjoin-style scale path shares the OrderedPairs pair stream with
+    // The ppjoin-style scale path shares the blocked pair stream with
     // the direct strategy: candidate generation must plan as a grouped
     // Generate, never a posting self-join. The ONLY joins allowed in the
     // whole plan are the two exact-verify joins that fetch the shingle
@@ -73,13 +80,48 @@ class ScaleTechniquesSpec extends SparkTestBase {
     val plan = operators.DedupOps
       .ngramJaccardPairs(spark, sf, prefixFilter = true)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("ordered_pairs"),
-      "prefix strategy must stream candidates from OrderedPairs:\n" + plan)
+    assert(plan.contains("block_pairs"),
+      "prefix strategy must stream candidates from the blocked pair kernel:\n" + plan)
     val nJoins =
       "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
         .findAllIn(plan).length
     assert(nJoins <= 2,
       s"prefix strategy must join only for exact-verify (≤2), found $nJoins:\n" + plan)
+  }
+
+  test("a hot shingle's pair emission spans multiple tasks (blocked kernel)") {
+    // VERDICT r6 task 2: in the pre-blocked kernel, one grouped posting
+    // list was one generator call in ONE task — a df≈10⁴ stop-word
+    // shingle serialized its ~5·10⁷-pair emission into a single
+    // straggler. Plant exactly that shingle (df = 10 000, cap = 1 024 →
+    // 10 blocks → 55 bucket rows) and prove (a) the bucket rows of the
+    // ONE key land on more than one task after the forced repartition,
+    // (b) the emitted pair multiset is exactly the single-list
+    // ordered_pairs result.
+    val df = 10000
+    val cap = 1024
+    val posting = spark.range(df)
+      .select(lit("the quick brown").as("shingle"),
+        struct($"id".as("doc_id"), lit(100L).as("n")).as("dn"))
+    val buckets = operators.PairStreams
+      .bucketRows(posting, Seq($"shingle"), $"dn", cap)
+    val parts = buckets
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .distinct().collect().map(_.getInt(0))
+    val nBlocks = (df + cap - 1) / cap
+    assert(buckets.count() === nBlocks.toLong * (nBlocks + 1) / 2,
+      "one bucket row per block pair")
+    assert(parts.length > 1,
+      s"hot-shingle buckets must spread over >1 task, got partitions ${parts.toSeq}")
+    // pair-contract equivalence on a size where the direct product is
+    // checkable: every i<j pair exactly once
+    val pairs = operators.PairStreams
+      .blockedPairs(posting.filter($"dn.doc_id" < 300),
+        Seq($"shingle"), $"dn", Seq("id1", "n1", "id2", "n2"), 64)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    assert(pairs.length === 300 * 299 / 2)
+    assert(pairs.toSet ===
+      (for (i <- 0L until 300L; j <- i + 1 until 300L) yield (i, j)).toSet)
   }
 
   test("curation plans keep their scale shapes (broadcast/shuffle guards)") {
