@@ -92,7 +92,11 @@ object BenchStress {
     // round-6: two chained state stores in one plan — per-batch state
     // rows grow with the event volume in stage 1 and with closed-window
     // count in stage 2; watermark propagation is what's being stressed
-    "q_stream_chained")
+    "q_stream_chained",
+    // round-7: the partitioned-fact rewrite grows xREP (hive-partitioned
+    // writer fan-out) and the DPP join must keep pruning to the two
+    // 'web' partition dirs at every replication
+    "q_join_dpp")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,
@@ -106,7 +110,8 @@ object BenchStress {
     "q_scalar_datemath", "q_scalar_math", "q_scalar_json", "q_array_map",
     "q_explode", "q_map_ops", "q_na_ops", "q_null_handling", "q_udf_scala",
     "q_flatmap_shingles", "q_embed_norm", "q_embed_quantize",
-    "q_multimodal_meta", "q_multimodal_features", "q_text_analysis",
+    "q_multimodal_meta", "q_multimodal_features", "q_multimodal_decode",
+    "q_text_analysis",
     "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_token_ids",
     "q_text_fingerprint", "q_text_repetition",
     // single-shuffle aggregations (partial-agg bound, linear map side)

@@ -296,6 +296,64 @@ object JoinOps extends QueryPack {
     "Star query: fact ⋈ fact (SMJ) ⋈ 2 broadcast dims in one plan, " +
       "exact-decimal revenue")
 
+  // ------------------------------------- dynamic partition pruning (DPP)
+  // The #1 scan-reduction lever a 100 TB star schema has: the fact is
+  // hive-partitioned on the join key, the dim carries the selective
+  // predicate, and Catalyst injects the dim's join-key set into the fact
+  // scan's PartitionFilters as a `dynamicpruning` subquery (reusing the
+  // dim's broadcast exchange, so the filter is free). Non-matching fact
+  // partition DIRECTORIES are never listed, opened, or read — at 100 TB
+  // with a date/tenant-partitioned fact this turns a full scan into a
+  // few-percent scan before a single task launches. The partitioned fact
+  // and the channel dim are materialized once per sf (write-once like
+  // bucketedTable) so the measured cost is the pruned join, not the
+  // fixture write. ScaleTechniquesSpec asserts the executed fact scan
+  // carries the `dynamicpruning` partition filter and prunes to the two
+  // 'web' partitions.
+  private[graft] def dppFactDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = java.nio.file.Paths.get("target", "dpp_fact",
+      new java.io.File(d).getName).toAbsolutePath.toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"value", $"event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    dir
+  }
+
+  private[graft] def dppDimDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = java.nio.file.Paths.get("target", "dpp_dim",
+      new java.io.File(d).getName).toAbsolutePath.toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+      Tables.events(s, d).select($"event_type").distinct()
+        .withColumn("channel",
+          when($"event_type".isin("click", "view"), "web")
+            .when($"event_type".isin("purchase", "signup"), "app")
+            .otherwise("ops"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private val joinDpp = QueryDef(
+    "q_join_dpp",
+    (s, d) => {
+      import s.implicits._
+      val fact = s.read.parquet(dppFactDir(s, d))
+      val dim = s.read.parquet(dppDimDir(s, d)).filter($"channel" === "web")
+      fact.join(broadcast(dim), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(count("*").as("n_events"),
+          sum(dec("value")).cast("decimal(38,2)").cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type ORDER BY event_type"""),
+    "Partitioned fact ⋈ filtered dim: dynamic partition pruning skips " +
+      "non-matching fact partition dirs at scan time")
+
   private val joinBucketed = QueryDef(
     "q_join_bucketed",
     (s, d) => {
@@ -321,5 +379,5 @@ object JoinOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(joinBroadcast, joinSmj, joinSemiAnti, joinRangeAsof, joinAsofExec,
-      joinOuter, joinCross, joinBucketed, joinSkewed, joinStar)
+      joinOuter, joinCross, joinBucketed, joinSkewed, joinStar, joinDpp)
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Adversarial-input hardening for the text/dedup tier (VERDICT r6 task 6).
+  *
+  * The fixture corpus is well-formed; 100 TB corpora are not. This spec
+  * builds an edge corpus — empty docs, 1-token docs, whitespace-only, a
+  * >64 KiB single line, ill-formed/unusual Unicode (lone-surrogate
+  * replacement, NUL and control bytes, 4-byte emoji, RTL, CJK with no
+  * spaces), punctuation-only, and a 50-copy identical-document block (the
+  * df=N hot-shingle worst case in miniature) — writes it as
+  * `documents.parquet` in a scratch dir, and runs EVERY declared
+  * text/dedup/clean-pipeline query over it, asserting completion plus
+  * semantic invariants on the known-edge rows.
+  *
+  * Found limits are documented at the assertion site, not hidden.
+  */
+class AdversarialInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** (doc_id, text) edge rows; ids start at 1000 so the identical block
+    * 2000-2049 is disjoint. */
+  private val bigLine = ("lorem ipsum dolor sit amet " * 2600).trim // ~70 KiB, no newline
+  private val edgeRows: Seq[(Long, String)] = Seq(
+    1000L -> "", // empty
+    1001L -> "hello", // single token
+    1002L -> "   \t   ", // whitespace-only
+    1003L -> bigLine, // >64 KiB single line
+    1004L -> "\uFFFD \u0000\u0007 caf\u00e9 \uD83D\uDE00\uD83D\uDE00", // replacement char, NUL + BEL bytes, 4-byte emoji
+    1005L -> "שלום مرحبا", // RTL scripts
+    1006L -> "今日は世界。今日は世界。", // CJK, no spaces
+    1007L -> "!!! ??? ... ;;; ---", // punctuation-only tokens
+    1008L -> "a", // 1-char
+    1009L -> ("x " * 40000).trim // 40k identical 1-char tokens (repetition bomb)
+  ) ++ (0 until 50).map(i => // df=N block: 50 byte-identical docs
+    (2000L + i) -> "the quick brown fox jumps over the lazy dog again and again")
+
+  private lazy val edgeDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_edge_corpus").toString
+    edgeRows.toDF("doc_id", "text")
+      .select($"doc_id", $"text",
+        lit("xx").as("lang"), lit("edge").as("source"),
+        length($"text").cast("long").as("n_chars"))
+      .coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val tier = Seq(
+    "q_text_analysis", "q_text_quality", "q_text_langid", "q_text_tokens",
+    "q_text_token_ids", "q_text_fingerprint", "q_text_fingerprint_winnow",
+    "q_text_repetition", "q_text_boilerplate",
+    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash",
+    "q_dedup_simhash", "q_pipeline_clean", "q_sample_split")
+
+  test("every text/dedup query completes on the edge corpus") {
+    val failures = tier.flatMap { name =>
+      try {
+        SparkEntry.queries(name)(spark, edgeDir).collect(); None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${
+          Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" ")}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"edge corpus broke ${failures.size} queries:\n${failures.mkString("\n")}")
+  }
+
+  test("edge semantics: empty/whitespace docs tokenize to zero, big line survives") {
+    val toks = SparkEntry.queries("q_text_tokens")(spark, edgeDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // split("", " +") yields [""], which the engine must NOT count as a
+    // token; same for whitespace-only (leading-empty artifact of split)
+    assert(toks(1000L).getAs[Int]("n_bpe_tokens") === 0)
+    assert(toks(1002L).getAs[Int]("n_bpe_tokens") === 0)
+    assert(toks(1001L).getAs[Int]("n_ws_tokens") === 1)
+    // the 70 KiB single-line doc is processed, not truncated
+    assert(toks(1003L).getAs[Int]("n_chars") === bigLine.length)
+    assert(toks(1009L).getAs[Int]("n_ws_tokens") === 40000)
+    assert(toks(1009L).getAs[Int]("n_distinct") === 1)
+  }
+
+  test("edge semantics: exact dedup collapses the 50-copy block to one keeper") {
+    val groups = SparkEntry.queries("q_dedup_exact")(spark, edgeDir).collect()
+    val block = groups.filter(_.getAs[Long]("n_copies") === 50L)
+    assert(block.length === 1, "exactly one 50-copy content group")
+    assert(block.head.getAs[Long]("keep_doc") === 2000L, "keeper is min doc_id")
+    assert(groups.length === edgeRows.size - 49, "every other doc is unique")
+  }
+
+  test("edge semantics: the identical block is a complete near-dup clique (df=N in miniature)") {
+    // 50 byte-identical docs share every shingle → J=1 for all C(50,2)
+    // pairs; the blocked pair kernel must emit the full clique and no
+    // pair may leak OUT of the block into the edge singletons
+    val pairs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, edgeDir)
+      .collect()
+    val inBlock = pairs.filter { r =>
+      r.getAs[Long]("doc1") >= 2000L && r.getAs[Long]("doc2") >= 2000L }
+    assert(inBlock.length === 50 * 49 / 2, "full clique among identical docs")
+    assert(inBlock.forall(_.getAs[Double]("jaccard") === 1.0))
+    assert(pairs.length === inBlock.length,
+      s"no cross-block false pairs: ${pairs.length} vs ${inBlock.length}")
+  }
+}

@@ -365,6 +365,29 @@ class ScaleTechniquesSpec extends SparkTestBase {
       s"AQE must split the hot-key partition:\n$plan")
   }
 
+  test("q_join_dpp: the fact scan carries a dynamicpruning partition filter " +
+      "and reads only the matching partitions") {
+    // VERDICT r6 task 4: dynamic partition pruning promoted to a declared
+    // query. The fact is hive-partitioned on event_type; the dim carries
+    // the selective channel predicate; Catalyst must inject the dim's
+    // join-key set into the fact scan's PartitionFilters (reusing the
+    // dim's broadcast), so the three non-'web' partition directories are
+    // never read.
+    val df = q("q_join_dpp")
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted === Seq("click", "view"),
+      "only the two 'web' event types survive the dim filter")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning partition filter:\n$plan")
+    // the pruning filter must sit in PartitionFilters (directory-level,
+    // pre-listing) — not be demoted to a post-scan data filter
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("dynamicpruning"))
+    assert(scanLine.isDefined,
+      s"dynamicpruning must be a PARTITION filter on the fact scan:\n$plan")
+  }
+
   test("stateful streaming runs on the RocksDB state store (production backend)") {
     // The default HDFSBackedStateStore keeps state on the JVM heap — fine
     // locally, a memory wall at 100 TB key cardinality. RocksDB is the
