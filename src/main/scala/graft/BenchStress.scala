@@ -149,11 +149,13 @@ object BenchStress {
     import s.implicits._
     val name = s"${new java.io.File(base).getName}x$rep"
     val dir = Paths.get("target", "stress", name).toAbsolutePath
-    // versioned marker: dirs built before the corpus gained its current
-    // table set carry an old marker name and self-heal by rebuilding
-    // (ADVICE r4; v3 added the customer dim for q_join_skewed)
+    // stamped marker: rebuilds whenever the source corpus regenerates or
+    // the replica layout changes (v3 added the customer dim for
+    // q_join_skewed; v4 switched to FixtureStamp source fingerprints)
     val marker = dir.resolve("_complete_v3")
-    if (Files.exists(marker)) return dir.toString
+    val stamp = graft.FixtureStamp.stamp("v4", base,
+      "documents", "events", "embeddings", "lineitem", "orders", "nation", "customer")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
     Files.createDirectories(dir)
     val reps = s.range(rep).select($"id".cast("int").as("rep"))
 
@@ -167,10 +169,9 @@ object BenchStress {
       .withColumn("n_chars", length($"text").cast(docs.schema("n_chars").dataType))
       .drop("rep"), "documents")
 
-    // events.ts is TIMESTAMP(NANOS); keep it as raw nanos LONG on disk so
-    // Tables.events' legacy-long read path round-trips (Tables.scala:17-28)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write(Tables.load(s, base, "events").crossJoin(reps)
+    // keep ts in whatever raw vintage the corpus shipped (nanos-as-long or
+    // µs-NTZ) so Tables.events' normalize path round-trips on the replica
+    write(Tables.rawEvents(s, base).crossJoin(reps)
       .withColumn("event_id", $"event_id" * rep + $"rep")
       .withColumn("user_id", $"user_id" + $"rep".cast("long") * 1000000L)
       .drop("rep"), "events")
@@ -199,7 +200,7 @@ object BenchStress {
     write(Tables.nation(s, base), "nation")
     write(Tables.customer(s, base), "customer")
 
-    Files.write(marker, Array.empty[Byte])
+    graft.FixtureStamp.complete(marker, stamp)
     dir.toString
   }
 

@@ -14,18 +14,41 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy long mode) and
-    * truncate to microsecond timestamps — integer `div`, never `/`, since
-    * epoch-nanos exceed double's 2^53 exact range. DuckDB keeps ns, so
-    * oracle queries compare at whole-second / epoch_us grain only. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** The fixture corpus has shipped `events.ts` in two vintages: parquet
+    * TIMESTAMP(NANOS) (rounds 1–7), which Spark's vectorized reader only
+    * accepts as a raw long (legacy mode), and TIMESTAMP(MICROS, NTZ)
+    * (round 8+ regeneration). Load raw with the legacy flag on — it only
+    * affects NANOS columns — and let [[normalizeTs]] branch on what
+    * actually arrived. */
+  def rawEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    load(s, d, "events")
   }
+
+  /** Normalize whatever vintage `ts` arrived in to session-zoned
+    * TimestampType at microsecond grain (the type every downstream
+    * window/watermark/unix_micros expression was written against):
+    *  - raw-nanos long → integer `div` (never `/`: epoch-nanos exceed
+    *    double's 2^53 exact range) then timestamp_micros;
+    *  - TIMESTAMP_NTZ → cast, a pure reinterpretation under the UTC
+    *    session timezone every entrypoint pins;
+    *  - TimestampType → already there.
+    * DuckDB reads either vintage natively, so the oracles compare at
+    * epoch_us / whole-second grain unchanged. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(rawEvents(s, d))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

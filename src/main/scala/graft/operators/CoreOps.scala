@@ -89,21 +89,28 @@ object CoreOps extends QueryPack {
     "q_filter_between",
     (s, d) => {
       import s.implicits._
-      // The stored column is TIMESTAMP(NANOS) read as a raw long, so the
-      // semantic BETWEEN below sits behind a timestamp_micros(div) call —
-      // function-wrapped, hence NOT pushable to parquet. The redundant
-      // raw-nanos range first is the classic pushdown helper: the same
-      // window ([lo, hi] = the µs-truncation preimage, so it admits
-      // exactly the rows the BETWEEN keeps) in bare attribute-vs-literal
-      // shape, which reaches PushedFilters and lets the reader skip row
-      // groups — at 100 TB that's the difference between scanning a week
-      // and scanning the full history.
-      val loNs = 1704412800000000000L // 2024-01-05 00:00:00 UTC, epoch-ns
-      val hiNs = 1705017600000000999L // 2024-01-12 00:00:00 UTC + 999 ns
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Tables.load(s, d, "events")
-        .filter($"ts" >= loNs && $"ts" <= hiNs)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // The range predicate must reach PushedFilters in EVERY fixture
+      // vintage — at 100 TB that's the difference between scanning a week
+      // and scanning the full history. With the nanos-vintage corpus the
+      // semantic BETWEEN sits behind a timestamp_micros(div) call —
+      // function-wrapped, hence NOT pushable — so a redundant raw-nanos
+      // range goes first in bare attribute-vs-literal shape ([lo, hi] =
+      // the µs-truncation preimage, admitting exactly the rows the
+      // BETWEEN keeps). With the µs-NTZ vintage the stored column IS the
+      // semantic column, so the BETWEEN itself is applied pre-normalize
+      // and pushes down directly.
+      val raw = Tables.rawEvents(s, d)
+      val pushed = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          val loNs = 1704412800000000000L // 2024-01-05 00:00:00 UTC, epoch-ns
+          val hiNs = 1705017600000000999L // 2024-01-12 00:00:00 UTC + 999 ns
+          raw.filter($"ts" >= loNs && $"ts" <= hiNs)
+        case tsType =>
+          raw.filter($"ts".between(
+            lit("2024-01-05 00:00:00").cast(tsType),
+            lit("2024-01-12 00:00:00").cast(tsType)))
+      }
+      Tables.normalizeTs(pushed)
         .filter($"ts".between(lit("2024-01-05 00:00:00"), lit("2024-01-12 00:00:00")))
         .select($"event_id", $"user_id", $"event_type",
           unix_timestamp($"ts").as("ts_sec"))

@@ -314,10 +314,14 @@ object JoinOps extends QueryPack {
     import s.implicits._
     val dir = java.nio.file.Paths.get("target", "dpp_fact",
       new java.io.File(d).getName).toAbsolutePath.toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+    val marker = java.nio.file.Paths.get(dir, "_stamp")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "events")
+    if (!graft.FixtureStamp.upToDate(marker, stamp)) {
       Tables.events(s, d)
         .select($"event_id", $"user_id", $"value", $"event_type")
         .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      graft.FixtureStamp.complete(marker, stamp)
+    }
     dir
   }
 
@@ -325,13 +329,17 @@ object JoinOps extends QueryPack {
     import s.implicits._
     val dir = java.nio.file.Paths.get("target", "dpp_dim",
       new java.io.File(d).getName).toAbsolutePath.toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+    val marker = java.nio.file.Paths.get(dir, "_stamp")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "events")
+    if (!graft.FixtureStamp.upToDate(marker, stamp)) {
       Tables.events(s, d).select($"event_type").distinct()
         .withColumn("channel",
           when($"event_type".isin("click", "view"), "web")
             .when($"event_type".isin("purchase", "signup"), "app")
             .otherwise("ops"))
         .coalesce(1).write.mode("overwrite").parquet(dir)
+      graft.FixtureStamp.complete(marker, stamp)
+    }
     dir
   }
 

@@ -38,7 +38,8 @@ object SourceOps extends QueryPack {
       .toAbsolutePath
     lastPayloadDir = Some(dir.toString)
     val marker = dir.resolve("_complete")
-    if (Files.exists(marker)) return dir.toString
+    val stamp = graft.FixtureStamp.stamp("v2", d, "events")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
     Files.createDirectories(dir)
     val rows = Tables.events(s, d)
       .orderBy($"event_id").limit(NPayloads)
@@ -58,7 +59,7 @@ object SourceOps extends QueryPack {
     // error path (extract.py:14-19) without failing the scan
     Files.write(dir.resolve("payload_bad.json"),
       "{not json".getBytes(StandardCharsets.UTF_8))
-    Files.write(marker, Array.empty[Byte])
+    graft.FixtureStamp.complete(marker, stamp)
     dir.toString
   }
 

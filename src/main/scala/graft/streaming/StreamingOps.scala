@@ -91,17 +91,18 @@ object StreamingOps extends QueryPack {
     "q_stream_tumbling",
     (s, d) => {
       import s.implicits._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      // The stream source needs an explicit schema; take the RAW batch
+      // schema of whatever fixture vintage is on disk (nanos-as-long or
+      // µs-NTZ — a hand-pinned LongType over a µs column would silently
+      // misread micros as nanos) and normalize ts the same way the batch
+      // loaders do.
+      val rawSchema = Tables.rawEvents(s, d).schema
       // file stream source requires a directory: stream the sf dir with a
       // glob filter so only the events table is picked up
       withStreamPartitions(s, 8) { ss =>
         ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val q = ss.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val q = Tables.normalizeTs(ss.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
           .withWatermark("ts", "10 minutes")
           .groupBy(window($"ts", "5 minutes"), $"event_type")
           .agg(count("*").as("n_events"),
@@ -141,7 +142,8 @@ object StreamingOps extends QueryPack {
     val dir = java.nio.file.Paths.get("target", "stream_in",
       new java.io.File(d).getName).toAbsolutePath
     val marker = dir.resolve("_complete")
-    if (java.nio.file.Files.exists(marker)) return dir.toString
+    val stamp = graft.FixtureStamp.stamp("v2", d, "events")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
     val ev = Tables.events(s, d).select($"ts", $"user_id", $"value")
     ev.coalesce(1).write.mode("overwrite").parquet(dir.toString)
     def parts: Set[java.io.File] = new java.io.File(dir.toString)
@@ -157,7 +159,7 @@ object StreamingOps extends QueryPack {
     val t = System.currentTimeMillis()
     eventParts.foreach(_.setLastModified(t - 60000L))
     (parts -- eventParts).foreach(_.setLastModified(t))
-    java.nio.file.Files.write(marker, Array.empty[Byte])
+    graft.FixtureStamp.complete(marker, stamp)
     dir.toString
   }
 
@@ -603,7 +605,8 @@ object StreamingOps extends QueryPack {
     val dir = java.nio.file.Paths.get("target", "stream_in2",
       new java.io.File(d).getName).toAbsolutePath
     val marker = dir.resolve("_complete")
-    if (java.nio.file.Files.exists(marker)) return dir.toString
+    val stamp = graft.FixtureStamp.stamp("v2", d, "events")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
     val ev = Tables.events(s, d)
       .select($"event_id", $"ts", $"user_id", $"event_type")
     ev.coalesce(1).write.mode("overwrite").parquet(dir.toString)
@@ -611,7 +614,7 @@ object StreamingOps extends QueryPack {
     val far = new java.sql.Timestamp(maxTs.getTime + 86400L * 1000L)
     Seq(Ev2(-1L, far, -1L, "purchase"), Ev2(-2L, far, -1L, "view"))
       .toDF().coalesce(1).write.mode("append").parquet(dir.toString)
-    java.nio.file.Files.write(marker, Array.empty[Byte])
+    graft.FixtureStamp.complete(marker, stamp)
     dir.toString
   }
 
