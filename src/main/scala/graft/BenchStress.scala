@@ -219,11 +219,13 @@ object BenchStress {
     val dir = materialize(spark, base, rep)
 
     // the two ngram-jaccard strategies head-to-head at stress scale: the
-    // df-skew question ("flip the default to prefix-filter?") is decided
-    // by this artifact, not by sf0.1 numbers
+    // df-skew question decided the round-8 default flip TO prefix-filter
+    // (direct 290 s vs prefix 37 s on the regenerated hot-shingle corpus);
+    // the direct formulation stays measured here so a future corpus can
+    // flip it back on evidence
     val extra: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "x_ngram_prefix_filter" ->
-        ((s, d) => operators.DedupOps.ngramJaccardPairs(s, d, prefixFilter = true)),
+      "x_ngram_direct" ->
+        ((s, d) => operators.DedupOps.ngramJaccardPairs(s, d, prefixFilter = false)),
       // the reference DAG end-to-end at 10x payload volume (VERDICT r4
       // task 4): 3000-file landing zone → PayloadJsonSource micro-batches
       // (admission-capped at 256 files/trigger, so the stream takes ~12

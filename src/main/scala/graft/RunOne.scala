@@ -2,21 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Debug/audit utility: run (and optionally explain) named declared
-  * queries against an arbitrary fixture dir.
+/** Dev harness: run ONE declared query (or a named stress extra) against
+  * an arbitrary fixture dir and print wall time, row count, and — with
+  * SPARK_GRAFT_EXPLAIN=1 — the formatted physical plan. The full Bench /
+  * BenchStress mains take minutes to reach a single hot query; this is
+  * the iteration loop for diagnosing one query's plan or straggler.
   *
-  *   sbt "runMain graft.RunOne <sfDir> <query>[,<query>...] [explain]"
-  *
-  * Prints one line per query: name, row count, wall seconds — or the
-  * formatted physical plan when `explain` is given. Used for one-off
-  * scale checks (e.g. against the BenchStress replicated corpus) without
-  * editing the bench harness.
+  *   sbt "runMain graft.RunOne q_dedup_ngram_jaccard target/stress/sf0.1x10"
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RunOne <sfDir> <q1>[,<q2>...] [explain]")
-    val Array(sfDir, names) = args.take(2)
-    val explain = args.length > 2 && args(2) == "explain"
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,24 +23,20 @@ object RunOne {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.split(',').foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (explain) {
-        println(s"==== $name ====")
-        println(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-      } else {
-        val t0 = System.nanoTime()
-        try {
-          val n = df.count()
-          println(f"RUNONE-OK $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.1f")
-        } catch { case e: Throwable =>
-          println(s"RUNONE-FAIL $name: ${e.getClass.getName}: " +
-            String.valueOf(e.getMessage).take(300))
-        }
-      }
-      spark.sharedState.cacheManager.clearCache()
-    }
+    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      SparkEntry.queries.getOrElse(name, name match {
+        case "x_ngram_direct" =>
+          (s, d) => operators.DedupOps.ngramJaccardPairs(s, d, prefixFilter = false)
+        case "x_ngram_prefix_filter" =>
+          (s, d) => operators.DedupOps.ngramJaccardPairs(s, d, prefixFilter = true)
+        case other => sys.error(s"unknown query: $other")
+      })
+    val df = fn(spark, dir)
+    val t0 = System.nanoTime()
+    val n = df.count()
+    printf("RUNONE %s rows=%d sec=%.1f%n", name, n, (System.nanoTime() - t0) / 1e9)
+    // AFTER execution: the AQE-final plan with real stage shapes
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) df.explain("formatted")
     spark.stop()
   }
 }

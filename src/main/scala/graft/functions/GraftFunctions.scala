@@ -75,7 +75,11 @@ object GraftFunctions {
     (FunctionIdentifier("int8_quant_stats"),
       info("int8_quant_stats",
         "int8_quant_stats(array<float>) - int8 quantization code stats struct"),
-      (es: Seq[Expression]) => Int8QuantStats(es.head)))
+      (es: Seq[Expression]) => Int8QuantStats(es.head)),
+    (FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size",
+        "sorted_intersect_size(array<string>, array<string>) - |a ∩ b| of sorted distinct arrays"),
+      (es: Seq[Expression]) => SortedIntersectSize(es.head, es(1))))
 
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -44,7 +44,9 @@ object CleanPipelineOps extends QueryPack {
       // size, the raw pair stream is bounded by Σdf² — broadcasting the
       // latter blew past the 8 GiB broadcast ceiling at 10× scale
       val nearDupLosers = DedupOps
-        .ngramJaccardPairs(s, d, prefixFilter = false)
+        // prefix-filtered since round 8 — same flip as
+        // q_dedup_ngram_jaccard (Σdf² exploded on the hot-shingle corpus)
+        .ngramJaccardPairs(s, d, prefixFilter = true)
         .select($"doc2".as("doc_id")).distinct()
       exactKept
         .join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -40,9 +40,23 @@ object DedupOps extends QueryPack {
       bound: Option[Int] = None): DataFrame = {
     import s.implicits._
     bounded(Tables.documents(s, d), bound)
-      .select($"doc_id", shingles3(toks($"text")).as("sh"))
+      // sorted ascending ONCE per document: every consumer is
+      // order-insensitive (posting explode, MinHash min, size), and the
+      // exact-verify stages can then count intersections with the
+      // codegen'd sorted-merge kernel (functions/IntersectSize.scala)
+      // instead of building a hash set per candidate pair
+      .select($"doc_id", array_sort(shingles3(toks($"text"))).as("sh"))
       .filter(size($"sh") > 0)
   }
+
+  /** Shuffle width for the exact-verify stages. Candidate-pair rows are
+    * two longs — they compress to almost nothing, so AQE's size-based
+    * partition coalescing folds a multi-million-pair stream into one or
+    * two tasks and serializes the CPU-bound per-pair verification (the
+    * stress run measured a single task burning 10+ CPU-minutes). The
+    * stage is compute-bound, not byte-bound: pin an explicit width.  */
+  private def verifyParallelism(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
   // ------------------------------------------------------ exact dedup
   private val dedupExact = QueryDef(
@@ -67,20 +81,28 @@ object DedupOps extends QueryPack {
   /** Exact J >= 0.5 pairs; two physically different, logically identical
     * strategies:
     *
-    *  - DIRECT (default): inverted-index self-join on the shingle key →
+    *  - DIRECT: inverted-index pair stream on the shingle key →
     *    per-pair intersection counts → Jaccard from |A|,|B|,|A∩B|. Work is
     *    Σ df(shingle)², fine while shingle document frequency is bounded
-    *    (true here: the trigram domain is far larger than the corpus).
+    *    (true of the rounds-1–7 corpus; NOT of the round-8 regeneration,
+    *    whose hot trigrams pushed 10× Σdf² to 280M emissions — 290 s vs
+    *    the prefix strategy's 37 s for the identical output, which is why
+    *    prefix-filtered became the declared default in round 8).
     *
     *  - PREFIX-FILTERED (ppjoin-style, Xiao et al. 2008): for J >= 0.5 a
     *    partner has m >= n/2 shingles and overlap >= (n + n/2)/3 = n/2, so
     *    every qualifying pair shares a shingle among each doc's rarest
     *    floor(n/2)+1 shingles (df-ascending order) — candidates come only
     *    from those prefix postings, then exact-verify. 100% recall. This
-    *    is the strategy to flip on at web scale, where hot shingles make
-    *    Σ df² explode; it trades two extra array-payload joins for
-    *    resistance to df skew (measured here: direct ~7 s, prefix ~15 s at
-    *    sf0.1 because the fixture has no hot shingles). Candidate pairs
+    *    is the DEFAULT since round 8: hot shingles make Σ df² explode,
+    *    and the regenerated corpus has them (10× head-to-head: direct
+    *    290 s, prefix 37 s; on the colder rounds-1–7 corpus direct had
+    *    won ~2×). The exact-verify stage uses the codegen'd sorted-merge
+    *    intersection kernel over per-doc pre-sorted shingle arrays
+    *    ([[graft.functions.SortedIntersectSize]]) with the doc side
+    *    broadcast explicitly — per-candidate cost is linear with zero
+    *    allocation, and the misestimated Generate-derived candidate side
+    *    can never become a join build side. Candidate pairs
     *    come from the same join-free blocked pair stream as the direct
     *    strategy ([[PairStreams]] — grouped prefix postings cut into
     *    per-task blocks, not a posting self-join), so the Σ df_prefix²
@@ -166,10 +188,29 @@ object DedupOps extends QueryPack {
           .filter(greatest($"n1", $"n2") <= least($"n1", $"n2") * 2 + 1)
           .select($"doc1", $"doc2")
           .distinct()
-          .join(docs.select($"doc_id".as("doc1"), $"sh".as("sh1")), "doc1")
-          .join(docs.select($"doc_id".as("doc2"), $"sh".as("sh2")), "doc2")
+          // explicit width: see verifyParallelism — candidate rows
+          // compress so well that AQE would coalesce the CPU-bound
+          // verify below into one task. Keyed by doc1 ALONE, not
+          // (doc1, doc2): the distinct above already hash-partitions on
+          // both keys, so a same-keyed repartition is optimized away as
+          // redundant and the coalesce returns; doc1 differs, survives,
+          // and still distributes (partner counts per doc are bounded).
+          .repartition(verifyParallelism(s), $"doc1")
+          // broadcast() the DOC side explicitly: the candidate stream is
+          // Generate-derived, so Catalyst's static size estimate is far
+          // too small and the planner otherwise broadcasts the
+          // Σ-candidates PAIR side (BuildLeft) — the 10× stress plan
+          // shipped a 31M-pair broadcast probed by 50k docs in one task.
+          // (Same misestimate the direct path removed its joins over.)
+          // At corpus scales where docs-with-arrays outgrow a broadcast,
+          // this flips to a doc_id shuffle join; candidates stay bounded
+          // by the prefix+length filters either way.
+          .join(broadcast(docs.select($"doc_id".as("doc1"), $"sh".as("sh1"))), "doc1")
+          .join(broadcast(docs.select($"doc_id".as("doc2"), $"sh".as("sh2"))), "doc2")
           .select($"doc1", $"doc2",
-            jaccardOf(size(array_intersect($"sh1", $"sh2")),
+            jaccardOf(
+              graft.functions.SortedIntersectSize
+                .sorted_intersect_size($"sh1", $"sh2"),
               size($"sh1"), size($"sh2")).as("jaccard"))
       }
     pairs
@@ -181,7 +222,12 @@ object DedupOps extends QueryPack {
 
   private val dedupNgram = QueryDef(
     "q_dedup_ngram_jaccard",
-    (s, d) => ngramJaccardPairs(s, d, prefixFilter = false),
+    // prefix-filtered is the DEFAULT since round 8: the regenerated corpus
+    // has genuinely hot shingles (10× stress head-to-head: direct Σdf²
+    // 290 s vs prefix 37 s for the identical 250,600-pair output) — the
+    // df-skew regime the strategy scaladoc predicted. The stress artifact
+    // keeps both strategies measured (x_ngram_direct).
+    (s, d) => ngramJaccardPairs(s, d, prefixFilter = true),
     Some("""WITH w AS (
         SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w FROM documents),
       docs AS (
@@ -231,13 +277,20 @@ object DedupOps extends QueryPack {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .distinct()
+        // explicit width before the CPU-bound verify (see verifyParallelism;
+        // doc1 alone so the distinct's same-keyed partitioning can't make
+        // the repartition "redundant" and hand the stage back to coalesce)
+        .repartition(verifyParallelism(s), $"doc1")
+      val inter = graft.functions.SortedIntersectSize
+        .sorted_intersect_size($"sh1", $"sh2")
       cand
-        .join(docs.select($"doc_id".as("doc1"), $"sh".as("sh1")), "doc1")
-        .join(docs.select($"doc_id".as("doc2"), $"sh".as("sh2")), "doc2")
+        // explicit broadcast of the doc side — see the prefix-path note:
+        // a misestimated candidate side must never become the build side
+        .join(broadcast(docs.select($"doc_id".as("doc1"), $"sh".as("sh1"))), "doc1")
+        .join(broadcast(docs.select($"doc_id".as("doc2"), $"sh".as("sh2"))), "doc2")
         .select($"doc1", $"doc2",
           round(
-            size(array_intersect($"sh1", $"sh2")).cast("decimal(18,2)") /
-              (size($"sh1") + size($"sh2") - size(array_intersect($"sh1", $"sh2"))),
+            inter.cast("decimal(18,2)") / (size($"sh1") + size($"sh2") - inter),
             6).cast("decimal(38,6)").as("jaccard"))
         .filter($"jaccard" >= lit("0.5").cast("decimal(38,6)"))
         .orderBy($"doc1", $"doc2")

@@ -9,6 +9,31 @@ import org.apache.spark.sql.functions._
 class CustomFunctionsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("sorted_intersect_size equals size(array_intersect) on sorted distinct arrays") {
+    import graft.functions.SortedIntersectSize.sorted_intersect_size
+    // randomized parity over the kernel's whole contract surface:
+    // empty/disjoint/identical/overlapping arrays, plus a trailing null
+    // (array_sort puts nulls last; null matches only null)
+    val rng = new scala.util.Random(7)
+    val cases = (1 to 200).map { i =>
+      def arr() = {
+        val base = Seq.fill(rng.nextInt(12))(s"t${rng.nextInt(10)}").distinct
+        if (i % 17 == 0) base :+ null else base
+      }
+      (arr(), arr())
+    } :+ ((Seq.empty[String], Seq("a"))) :+ ((Seq("a", null), Seq("b", null)))
+    val df = cases.toDF("a", "b")
+      .select(array_sort($"a").as("a"), array_sort($"b").as("b"))
+      .select(
+        sorted_intersect_size($"a", $"b").as("fast"),
+        size(array_intersect($"a", $"b")).as("ref"))
+    assert(df.filter($"fast" =!= $"ref").count() == 0)
+    // null input → null out (BinaryExpression null-safety)
+    val n = Seq((Seq("a"), null: Seq[String])).toDF("a", "b")
+      .select(sorted_intersect_size($"a", $"b")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("word_ngrams equals the declarative HOF formulation") {
     val df = Tables.documents(spark, sf).limit(50)
       .select(split(lower($"text"), " +").as("t"))

@@ -56,8 +56,12 @@ class ScaleTechniquesSpec extends SparkTestBase {
     // static stats through Generate → aggregate are misestimates. The fix
     // carries (doc_id, n_sh) through the inverted index, so the direct
     // strategy must contain NO join of any kind — nothing misestimable
-    // can ever be picked as a build side again.
-    val df = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+    // can ever be picked as a build side again. (Since the round-8
+    // default flip the DECLARED query is the prefix strategy — guarded
+    // by the next test — so the direct formulation is exercised here
+    // explicitly; it remains a first-class strategy and the stress
+    // artifact's x_ngram_direct entry.)
+    val df = operators.DedupOps.ngramJaccardPairs(spark, sf, prefixFilter = false)
     df.collect() // finalize AQE so codegen stage ids materialize
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "direct ngram strategy must be join-free:\n" + plan)
