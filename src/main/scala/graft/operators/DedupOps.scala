@@ -58,6 +58,11 @@ object DedupOps extends QueryPack {
   private def verifyParallelism(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Bit budget for packing (n_sh, pos) into the pair kernel's payload
+    * long — see the prefix strategy below. */
+  private val PosBits = 21
+  private val PosMask = (1L << PosBits) - 1L
+
   // ------------------------------------------------------ exact dedup
   private val dedupExact = QueryDef(
     "q_dedup_exact",
@@ -164,35 +169,58 @@ object DedupOps extends QueryPack {
         // have computed the df table — no broadcast of a vocabulary-sized
         // relation (unbounded at web scale) and nothing misestimable for
         // the planner to pick as a build side
+        // (n_sh, pos) BIT-PACKED into the kernel's single payload long
+        // (n << PosBits | pos): the blocked pair kernel stays a fixed
+        // struct<long,long> stream, and both the length filter AND the
+        // ppjoin positional filter below decode from the emitted payload.
+        // 21 bits each way bounds docs at 2^21 shingles (≈ a 16 MB text)
+        // — far beyond any real document; shingled() would need chunking
+        // before this does.
         val prefix = posting
           .withColumn("df", count("*").over(w.partitionBy($"shingle")))
           .withColumn("pos", row_number().over(
             w.partitionBy($"doc_id").orderBy($"df", $"shingle")))
           .withColumn("n", count("*").over(w.partitionBy($"doc_id")))
           .filter($"pos" <= floor($"n" / 2) + 1)
-          .select($"doc_id", $"n".cast("long").as("n_sh"), $"shingle")
+          .select($"doc_id",
+            (shiftleft($"n".cast("long"), PosBits) + $"pos").as("np"),
+            $"shingle")
         // candidate generation: group the (far smaller) prefix posting by
         // shingle and stream pairs out of the blocked generator kernel —
         // replaces a sort-merge self-join that sorted the prefix stream
         // twice and kept a probe side resident; per-shingle memory stays
         // O(df_prefix), a hot prefix shingle fans out across tasks, and
         // nothing depends on a static size estimate of this derived
-        // stream. The payload rides along as the doc's FULL shingle
-        // count, which funds the ppjoin length filter below: for
-        // J >= 0.5, |A∩B| <= min forces max <= 2·min (+1 absorbs the
-        // 6-decimal threshold rounding), so oversize-mismatched
-        // candidates die before the distinct and the exact-verify joins.
+        // stream. The payload funds TWO candidate killers before the
+        // verify joins:
+        //  - length filter: for J >= 0.5, |A∩B| <= min forces
+        //    max <= 2·min (+1 absorbs the 6-decimal threshold rounding);
+        //  - positional filter (the other half of ppjoin): overlap from
+        //    the first shared prefix token onward is at most
+        //    1 + min(n1-p1, n2-p2), and J >= 0.5 needs overlap >=
+        //    ceil((n1+n2)/3) (−1 rounding slack). min(p1)/min(p2) over a
+        //    pair's emissions only loosens the bound — always safe. Hot
+        //    shingles sort LAST in every prefix (df-ascending), so pairs
+        //    sharing only hot shingles die here — exactly the candidate
+        //    class the regenerated corpus exploded.
         PairStreams.blockedPairs(
-            prefix.select(struct($"doc_id", $"n_sh").as("dn"), $"shingle"),
-            Seq($"shingle"), $"dn", Seq("doc1", "n1", "doc2", "n2"))
+            prefix.select(struct($"doc_id", $"np").as("dn"), $"shingle"),
+            Seq($"shingle"), $"dn", Seq("doc1", "np1", "doc2", "np2"))
+          .select($"doc1", shiftright($"np1", PosBits).as("n1"),
+            $"np1".bitwiseAND(PosMask).as("p1"),
+            $"doc2", shiftright($"np2", PosBits).as("n2"),
+            $"np2".bitwiseAND(PosMask).as("p2"))
           .filter(greatest($"n1", $"n2") <= least($"n1", $"n2") * 2 + 1)
+          .groupBy($"doc1", $"n1", $"doc2", $"n2")
+          .agg(min($"p1").as("p1"), min($"p2").as("p2"))
+          .filter(lit(1L) + least($"n1" - $"p1", $"n2" - $"p2") >=
+            ceil(($"n1" + $"n2") / lit(3.0)).cast("long") - 1L)
           .select($"doc1", $"doc2")
-          .distinct()
           // explicit width: see verifyParallelism — candidate rows
           // compress so well that AQE would coalesce the CPU-bound
-          // verify below into one task. Keyed by doc1 ALONE, not
-          // (doc1, doc2): the distinct above already hash-partitions on
-          // both keys, so a same-keyed repartition is optimized away as
+          // verify below into one task. Keyed by doc1 ALONE: the
+          // dedup aggregation above already hash-partitions on its full
+          // key set, so a same-keyed repartition is optimized away as
           // redundant and the coalesce returns; doc1 differs, survives,
           // and still distributes (partner counts per doc are bounded).
           .repartition(verifyParallelism(s), $"doc1")
