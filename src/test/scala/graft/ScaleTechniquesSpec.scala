@@ -91,6 +91,31 @@ class ScaleTechniquesSpec extends SparkTestBase {
         .findAllIn(plan).length
     assert(nJoins <= 2,
       s"prefix strategy must join only for exact-verify (≤2), found $nJoins:\n" + plan)
+    // Round-8 regression guard: the Generate-derived candidate stream
+    // misestimates tiny, and the planner once picked IT as the broadcast
+    // build side — a 31M-pair broadcast probed by the doc table in one
+    // task at 10×. The explicit broadcast() must put the DOC side (and
+    // only it) inside every BroadcastExchange: no broadcast SUBTREE may
+    // contain the pair Generate.
+    // AdaptiveSparkPlanExec and QueryStageExec are traversal leaves, so
+    // node-walking can't see inside stages; run the query and parse the
+    // FINAL plan's indented tree text instead (stages nest in toString).
+    val df2 = operators.DedupOps.ngramJaccardPairs(spark, sf, prefixFilter = true)
+    df2.collect()
+    val finalPlan = df2.queryExecution.executedPlan.toString
+    val lines = finalPlan.linesIterator.toArray
+    def opCol(l: String): Int = l.indexWhere(c => !" :+-".contains(c))
+    val bxSubtrees = lines.indices
+      .filter(i => lines(i).contains("BroadcastExchange") ||
+        lines(i).contains("BroadcastQueryStage"))
+      .map { i =>
+        val c0 = opCol(lines(i))
+        lines.drop(i + 1).takeWhile(l => opCol(l) > c0)
+      }
+    assert(bxSubtrees.nonEmpty,
+      "verify joins must broadcast the doc side:\n" + finalPlan)
+    assert(!bxSubtrees.exists(_.exists(_.contains("block_pairs"))),
+      "the candidate pair stream must never be a broadcast build side:\n" + finalPlan)
   }
 
   test("a hot shingle's pair emission spans multiple tasks (blocked kernel)") {
