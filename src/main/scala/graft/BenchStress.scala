@@ -114,11 +114,18 @@ object BenchStress {
     "q_text_analysis",
     "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_token_ids",
     "q_text_fingerprint", "q_text_repetition",
+    // MG sketch: vocabulary-bounded O(capacity) state per buffer — the
+    // whole point is that it does NOT scale with input
+    "q_text_heavy_hitters",
     // single-shuffle aggregations (partial-agg bound, linear map side)
     "q_agg_avg_window5m", "q_agg_collect", "q_agg_cube", "q_agg_distinct",
     "q_agg_dropdup", "q_agg_hll", "q_agg_percentile",
     "q_agg_percentile_approx", "q_agg_sliding_window", "q_agg_stats",
-    "q_rollup_cube", "q_salted_agg", "q_custom_decimal_avg", "q_pivot_wide",
+    "q_rollup_cube", "q_salted_agg", "q_custom_decimal_avg",
+    // bounded-heap top-k agg: linear scan + k-row partials; its
+    // super-linear consumer (q_simsearch_cosine's 400M-row scored
+    // stream) is already in StressQueries
+    "q_custom_topk_agg", "q_pivot_wide",
     "q_unpivot", "q_grouped_map", "q_window_fallback", "q_throttle_dedup",
     "q_session_window_batch",
     // window functions: one shuffle + per-partition sort, linear
@@ -141,6 +148,7 @@ object BenchStress {
     "q_dedup_minhash_audit", "q_dedup_simhash_audit",
     "q_text_fingerprint_winnow_audit", "q_dedup_embedding_audit",
     "q_simsearch_ann_srp_audit", "q_simsearch_ivf_audit",
+    "q_text_heavy_hitters_audit",
     // watermarked single-window streams already covered by
     // q_stream_tumbling; combine is a 5-row formatting step
     "q_stream_combine")

@@ -79,7 +79,18 @@ object GraftFunctions {
     (FunctionIdentifier("sorted_intersect_size"),
       info("sorted_intersect_size",
         "sorted_intersect_size(array<string>, array<string>) - |a ∩ b| of sorted distinct arrays"),
-      (es: Seq[Expression]) => SortedIntersectSize(es.head, es(1))))
+      (es: Seq[Expression]) => SortedIntersectSize(es.head, es(1))),
+    (FunctionIdentifier("top_k_pairs"),
+      info("top_k_pairs",
+        "top_k_pairs(score, id, k) - bounded per-group top-k aggregate; " +
+          "array<struct<score,id>> ordered (score DESC, id ASC)"),
+      // bare AggregateFunction: the analyzer wraps it in AggregateExpression
+      (es: Seq[Expression]) => TopKPairs(es.head, es(1), intLit(es(2), "k"))),
+    (FunctionIdentifier("freq_items_sketch"),
+      info("freq_items_sketch",
+        "freq_items_sketch(item, capacity) - Misra-Gries frequent-items " +
+          "aggregate; array<struct<item,cnt>> ordered (cnt DESC, item ASC)"),
+      (es: Seq[Expression]) => FreqItemsSketch(es.head, intLit(es(1), "capacity"))))
 
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -316,7 +316,61 @@ object AuditOps extends QueryPack {
     SimilarityOps.ivfResults,
     "IVF-ANN recall audit: nprobe=2 recovers >= 10 of the 50 exact top-K")
 
+  // ------------------------------------------- heavy-hitters audit
+  // The Misra–Gries sketch in its REAL regime: capacity 8 against a
+  // 31-token vocabulary, so decrements genuinely fire. The surviving
+  // counter SET depends on arrival/merge order (inherent to MG), but the
+  // published guarantees do not — the audit pins exactly those:
+  //   le_ok:      every estimate ≤ its true count;
+  //   floor_ok:   every estimate ≥ true − n/(cap+1)  (checked in exact
+  //               integer arithmetic: est·(cap+1) + n ≥ true·(cap+1));
+  //   hitters_ok: every token with true count > n/(cap+1) is present.
+  // Bounded to the standard doc_id < DocAuditWindow audit window; the
+  // deterministic scalars (n_toks, n_terms) are oracle-recomputed.
+  private val MGCap = 8
+  private val heavyHittersAudit = QueryDef(
+    "q_text_heavy_hitters_audit",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .filter($"doc_id" < DocAuditWindow)
+        .select(explode(split(lower($"text"), " +")).as("term"))
+        .filter($"term" =!= "")
+      val stats = toks.agg(count("*").as("n_toks"),
+        countDistinct($"term").as("n_terms"))
+      val sk = toks.agg(graft.functions.FreqItemsSketch
+        .freq_items_sketch($"term", MGCap).as("hh"))
+      val est = sk.select(explode($"hh").as("e"))
+        .select($"e.item".as("term"), $"e.cnt".as("est"))
+      val exact = toks.groupBy($"term").agg(count("*").as("tc"))
+      val joined = est.join(exact, Seq("term"), "left")
+        .join(broadcast(stats.select($"n_toks")))
+        .select($"term", $"est", coalesce($"tc", lit(0L)).as("tc"), $"n_toks")
+      val flags = joined.agg(
+        (lit(1L) - coalesce(max(($"est" > $"tc").cast("long")), lit(0L)))
+          .as("le_ok"),
+        (lit(1L) - coalesce(max(
+          ($"est" * lit(MGCap + 1) + $"n_toks" < $"tc" * lit(MGCap + 1))
+            .cast("long")), lit(0L))).as("floor_ok"))
+      val hitFlag = exact.join(broadcast(stats.select($"n_toks")))
+        .filter($"tc" * lit(MGCap + 1) > $"n_toks")
+        .join(est.select($"term", lit(1L).as("in_sk")), Seq("term"), "left")
+        .agg((lit(1L) - coalesce(max($"in_sk".isNull.cast("long")), lit(0L)))
+          .as("hitters_ok"))
+      stats.join(broadcast(flags)).join(broadcast(hitFlag))
+        .select($"n_toks", $"n_terms", $"le_ok", $"floor_ok", $"hitters_ok")
+    },
+    Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_toks,
+        CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+        CAST(1 AS BIGINT) AS le_ok, CAST(1 AS BIGINT) AS floor_ok,
+        CAST(1 AS BIGINT) AS hitters_ok
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS term
+        FROM documents WHERE doc_id < $DocAuditWindow)
+      WHERE term <> ''"""),
+    "Misra-Gries guarantee audit: capacity 8 vs 31-token vocabulary, " +
+      "order-invariant bound flags")
+
   override def defs: Seq[QueryDef] =
     Seq(hllAudit, pctAudit, minhashAudit, simhashAudit, winnowAudit,
-      embeddingAudit, srpAudit, ivfAudit)
+      embeddingAudit, srpAudit, ivfAudit, heavyHittersAudit)
 }

@@ -82,5 +82,37 @@ object CustomOps extends QueryPack {
       FROM part ORDER BY p_partkey"""),
     "Registered Scala UDF (slugify) — the user-code extension surface")
 
-  override def defs: Seq[QueryDef] = Seq(decimalAvg, flatmapShingles, udfScala)
+  // Native TypedImperativeAggregate tier: bounded-heap grouped top-k
+  // (functions/TopKPairs) — partial+final aggregation keeps k rows per
+  // (group, partition); the input stream is never sorted or shuffled
+  // (contrast q_winfunc_rank, which sorts each window partition). The
+  // same kernel is the scale fix for q_simsearch_cosine's 400M-row
+  // scored stream. li_id = l_orderkey*10 + l_linenumber (unique:
+  // l_linenumber ∈ 1..7) makes the (price DESC, id ASC) rank total.
+  private val topkAgg = QueryDef(
+    "q_custom_topk_agg",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          ($"l_orderkey" * 10 + $"l_linenumber").cast("long").as("li_id"),
+          $"l_extendedprice".as("price"))
+        .groupBy($"l_returnflag")
+        .agg(graft.functions.TopKPairs.top_k_pairs($"price", $"li_id", 3).as("tk"))
+        .select($"l_returnflag", posexplode($"tk"))
+        .select($"l_returnflag", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("li_id"), $"col.score".as("price"))
+        .orderBy($"l_returnflag", $"rank")
+    },
+    Some("""SELECT l_returnflag,
+      CAST(row_number() OVER (PARTITION BY l_returnflag
+        ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS BIGINT) AS rank,
+      CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS li_id,
+      l_extendedprice AS price
+      FROM lineitem QUALIFY rank <= 3 ORDER BY l_returnflag, rank"""),
+    "Native TypedImperativeAggregate: bounded-heap grouped top-k " +
+      "(no sort, map-side k-row partials)")
+
+  override def defs: Seq[QueryDef] =
+    Seq(decimalAvg, flatmapShingles, udfScala, topkAgg)
 }

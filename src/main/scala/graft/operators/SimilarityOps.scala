@@ -40,7 +40,16 @@ object SimilarityOps extends QueryPack {
     * ONCE (decimal_scale6) before the scoring join, so the |queries| ×
     * |corpus| hot loop is pure long multiply-adds — bit-identical to
     * scoring with decimal_dot, several times faster (the per-pair
-    * BigDecimal conversions were the dominant cost). */
+    * BigDecimal conversions were the dominant cost).
+    *
+    * The top-k itself is the bounded-heap aggregate
+    * ([[graft.functions.TopKPairs]], rank order (dot DESC, cid ASC)):
+    * the scored stream is consumed on the fly by a partial aggregate
+    * holding k candidates per (query, partition) — it is never sorted,
+    * shuffled, or spilled. The previous two-phase rank-window formulation
+    * sorted the full |queries| × |corpus| stream inside each task; at the
+    * 10× stress scale (400M scored rows) that sort's spill was the whole
+    * query's GC lottery (5.7–160 s draws, BENCH_NOTES round 8). */
   private[graft] def exactTopK(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       import graft.functions.ScaledDot.{decimal_scale6, scaled_dot}
@@ -52,19 +61,15 @@ object SimilarityOps extends QueryPack {
         .join(broadcast(queries))
         .filter($"qid" =!= $"cid")
         .select($"qid", $"cid", scaled_dot($"qvec", $"cvec").as("dot"))
-      // two-phase top-k: local heads per input partition, then global
-      val localW = Window.partitionBy($"qid", $"pid")
-        .orderBy($"dot".desc, $"cid")
-      val globalW = Window.partitionBy($"qid").orderBy($"dot".desc, $"cid")
       scored
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrn", row_number().over(localW))
-        .filter($"lrn" <= K).drop("pid", "lrn")
-        .withColumn("rank", row_number().over(globalW).cast("long"))
-        .filter($"rank" <= K)
+        .groupBy($"qid")
+        .agg(graft.functions.TopKPairs.top_k_pairs($"dot", $"cid", K).as("tk"))
+        .select($"qid", posexplode($"tk"))
+        .select($"qid", $"col.id".as("cid"),
+          // ranking decided on the exact decimal dot; ship as double
+          $"col.score".cast("double").as("dot"),
+          ($"pos" + 1).cast("long").as("rank"))
         .orderBy($"qid", $"rank")
-        // ranking decided on the exact decimal dot; ship as double
-        .withColumn("dot", $"dot".cast("double"))
   }
 
   private val simsearchCosine = QueryDef(

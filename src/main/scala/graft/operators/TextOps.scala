@@ -374,7 +374,48 @@ object TextOps extends QueryPack {
     "C4-style boilerplate contamination: inverted index + df threshold + " +
       "broadcast semi-join back; no pairwise work")
 
+  // ------------------------------------------------- heavy hitters
+  // Misra–Gries frequent-items sketch (functions/FreqItemsSketch): top
+  // tokens per language in ONE pass with O(capacity) state per buffer —
+  // no per-token shuffle. Declared in the EXACT regime (capacity 1024 ≫
+  // the fixture's 31-token vocabulary, so no decrement ever fires and the
+  // sketch equals the exact count map deterministically — DuckDB-oracle-
+  // able); the production sketch regime (capacity < vocabulary) is
+  // driver-audited by q_text_heavy_hitters_audit's order-invariant
+  // guarantee flags. At 100 TB the token domain (urls, hosts, n-grams) is
+  // billions of keys: a groupBy-count shuffles all of them, while this
+  // aggregate ships `capacity` counters per partition.
+  private[graft] val HeavyHittersCap = 1024
+  private val textHeavyHitters = QueryDef(
+    "q_text_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"lang", explode(toks($"text")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"lang")
+        .agg(graft.functions.FreqItemsSketch
+          .freq_items_sketch($"term", HeavyHittersCap).as("hh"))
+        .select($"lang", posexplode($"hh"))
+        .filter($"pos" < 10)
+        .select($"lang", ($"pos" + 1).cast("long").as("rank"),
+          $"col.item".as("term"), $"col.cnt".as("n"))
+        .orderBy($"lang", $"rank")
+    },
+    Some("""SELECT lang,
+        CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS BIGINT) AS rank,
+        term, n
+      FROM (
+        SELECT lang, term, count(*) AS n FROM (
+          SELECT lang, unnest(regexp_split_to_array(lower(text), ' +')) AS term
+          FROM documents)
+        WHERE term <> '' GROUP BY lang, term)
+      QUALIFY rank <= 10 ORDER BY lang, rank"""),
+    "Misra-Gries heavy hitters per language (exact regime; sketch regime " +
+      "audited)")
+
   override def defs: Seq[QueryDef] =
     Seq(textAnalysis, textTokens, textQuality, textLangId, textFingerprint,
-      textWinnow, textTokenIds, textRepetition, textBoilerplate)
+      textWinnow, textTokenIds, textRepetition, textBoilerplate,
+      textHeavyHitters)
 }
