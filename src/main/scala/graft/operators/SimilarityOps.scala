@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QueryDef, QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float unit
@@ -105,21 +104,28 @@ object SimilarityOps extends QueryPack {
   private def cosDouble(a: Column, b: Column): Column =
     graft.functions.DoubleDot.double_dot(a, b)
 
-  /** The SRP-LSH bucket-probe ANN result (audit subject). */
+  /** The SRP-LSH bucket-probe ANN result (audit subject). Top-k per query
+    * via the bounded-heap aggregate (no rank-window sort of the bucket
+    * stream — a bucket holds ~N/256 of the corpus, which at 100 TB is far
+    * too much to sort per query). Empty-bucket queries survive as a
+    * (cid NULL, cos NULL, rank NULL) row via posexplode_outer — same row
+    * count as the previous rank-window formulation. */
   private[graft] def srpAnnResults(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val sigs = Tables.embeddings(s, d)
         .select($"vec_id", $"embedding", srpSig($"embedding").as("sig"))
       val queries = sigs.filter($"vec_id" < NQ)
         .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"sig".as("qsig"))
-      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
       broadcast(queries)
         .join(sigs.select($"vec_id".as("cid"), $"embedding".as("cvec"), $"sig"),
           $"qsig" === $"sig" && $"qid" =!= $"cid", "left")
         .select($"qid", $"qsig", $"cid",
           round(cosDouble($"qvec", $"cvec"), 6).as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= K)
+        .groupBy($"qid", $"qsig")
+        .agg(graft.functions.TopKPairs.top_k_pairs($"cos", $"cid", K).as("tk"))
+        .select($"qid", $"qsig", posexplode_outer($"tk"))
+        .select($"qid", $"qsig", $"col.id".as("cid"), $"col.score".as("cos"),
+          ($"pos" + 1).cast("long").as("rank"))
         .orderBy($"qid", $"rank")
   }
 
@@ -293,16 +299,27 @@ object SimilarityOps extends QueryPack {
             probeLists(cents, v.map(_.toDouble).toArray, IvfNProbe)
               .map(p => (id, graft.functions.ScaledDot.scale6(v), p))
         }.toDF("qid", "qvec", "list")
-      val w = Window.partitionBy($"qid").orderBy($"dot".desc, $"cid")
+      // top-k per query via the bounded-heap aggregate — the probed
+      // candidate stream (|queries| × N·nprobe/lists rows at scale) is
+      // never sorted. The heap id packs (cid, list) into one long
+      // (list < IvfK); unpacking after the explode restores both columns,
+      // and the packed order is monotone in cid (each cid appears in at
+      // most one list), so the (dot DESC, cid ASC) tie-break is preserved.
       broadcast(queries)
         .join(assigned, Seq("list"))
         .filter($"qid" =!= $"cid")
-        .select($"qid", $"cid", $"list",
+        .select($"qid",
+          ($"cid" * lit(IvfK.toLong) + $"list".cast("long")).as("packed"),
           graft.functions.ScaledDot.scaled_dot($"qvec", $"cvec").as("dot"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= K)
+        .groupBy($"qid")
+        .agg(graft.functions.TopKPairs.top_k_pairs($"dot", $"packed", K).as("tk"))
+        .select($"qid", posexplode($"tk"))
+        .select($"qid",
+          expr(s"CAST(col.id div $IvfK AS BIGINT)").as("cid"),
+          expr(s"CAST(col.id % $IvfK AS INT)").as("list"),
+          $"col.score".cast("double").as("dot"),
+          ($"pos" + 1).cast("long").as("rank"))
         .orderBy($"qid", $"rank")
-        .withColumn("dot", $"dot".cast("double"))
   }
 
   private val simsearchIvf = QueryDef(
