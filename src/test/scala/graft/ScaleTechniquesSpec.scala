@@ -211,7 +211,8 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // audit companions: bounded-window all-pairs / 1-row flag attachments
       "q_dedup_embedding_audit", // 200-vector audit window, constant work
       "q_simsearch_ann_srp_audit", // 1-row recall flag crossJoin
-      "q_simsearch_ivf_audit" // 1-row recall flag crossJoin
+      "q_simsearch_ivf_audit", // 1-row recall flag crossJoin
+      "q_text_heavy_hitters_audit" // 1-row stats/flag attachments
     )
     // conservatively "pushable": plain comparison/IN/string-match shapes
     // over a bare attribute and literals — what parquet filter conversion
