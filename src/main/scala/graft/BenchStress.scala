@@ -96,7 +96,15 @@ object BenchStress {
     // round-7: the partitioned-fact rewrite grows xREP (hive-partitioned
     // writer fan-out) and the DPP join must keep pruning to the two
     // 'web' partition dirs at every replication
-    "q_join_dpp")
+    "q_join_dpp",
+    // round-8: iterative tier. Components' round count grows with the
+    // near-dup graph's structure (xREP multiplies both edges and
+    // component sizes); k-means/semdedup assignment is linear xREP but
+    // semdedup's within-cluster pair term is quadratic in cluster size
+    // at fixed K — exactly the regime the stress run must watch; span
+    // dedup is keyed-linear x W but its dup-gram set grows with REP
+    "q_dedup_components", "q_cluster_kmeans", "q_cluster_semdedup",
+    "q_text_span_dedup")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,

@@ -14,9 +14,9 @@ object SparkEntry {
   /** All operator families the engine declares. */
   val packs: Seq[QueryPack] = Seq(
     CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps,
-    TextOps, DedupOps, SimilarityOps, CustomOps, MultimodalOps,
-    TypedOps, SourceOps, CleanPipelineOps, CurationOps, AuditOps,
-    graft.streaming.StreamingOps)
+    TextOps, DedupOps, GraphOps, ClusterOps, SimilarityOps, CustomOps,
+    MultimodalOps, TypedOps, SourceOps, CleanPipelineOps, CurationOps,
+    AuditOps, graft.streaming.StreamingOps)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)

@@ -69,7 +69,62 @@ object WordNGrams {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Positional sibling of [[ngrams]]: ALL n-grams in token order with
+    * multiplicity preserved, so element k is the gram starting at token k
+    * (`posexplode` recovers (start-position, gram) exactly). Span-level
+    * operators (duplicated-span removal) need the position ↦ gram map that
+    * the distinct-set kernel deliberately destroys. */
+  def ngramsSeq(arr: ArrayData, n: Int): GenericArrayData = {
+    val total = arr.numElements() - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](total)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < total) {
+      var k = 0
+      while (k < n) {
+        val e = arr.getUTF8String(i + k)
+        parts(k) = if (e == null) UTF8String.EMPTY_UTF8 else e
+        k += 1
+      }
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Column-API entry point: distinct ordered n-grams of a token array. */
   def word_ngrams(c: Column, n: Int): Column =
     ColumnBridge.column(WordNGrams(ColumnBridge.expression(c), n))
+
+  /** Column-API entry point: positional n-grams (all, in order). */
+  def word_ngrams_seq(c: Column, n: Int): Column =
+    ColumnBridge.column(WordNGramsSeq(ColumnBridge.expression(c), n))
+}
+
+/** ALL ordered word n-grams with multiplicity, element k = gram starting
+  * at token k — see [[WordNGrams.ngramsSeq]]. Same codegen shape as the
+  * distinct kernel: one static call, surrounding operators stay fused. */
+case class WordNGramsSeq(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams_seq"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams_seq requires array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNGrams.ngramsSeq(input.asInstanceOf[ArrayData], this.n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNGrams.ngramsSeq($c, ${this.n});")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGramsSeq =
+    copy(child = newChild)
 }

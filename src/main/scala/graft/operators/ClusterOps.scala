@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryPack, Tables}
+
+/** Corpus-scale embedding clustering: distributed Lloyd's k-means, and the
+  * SemDeDup-style semantic dedup that consumes it (Abbas et al. 2023:
+  * cluster the embedding space, then drop near-identical members within
+  * each cluster — the clustering bounds the pairwise work that a naive
+  * all-pairs cosine pass cannot).
+  *
+  * Contrast with [[SimilarityOps]]' IVF coarse quantizer: that k-means
+  * fits on a BOUNDED driver-side sample (4096 vectors) because a
+  * quantizer only needs approximate centroids. This operator is the
+  * corpus-scale training loop itself — every iteration assigns EVERY
+  * vector distributedly (broadcast centroids, map-side argmin) and
+  * recomputes centroids with a keyed aggregation; the only driver
+  * materialization is K×dim centroid sums per iteration (kilobytes at
+  * any corpus size). That per-iteration collect-broadcast cycle is
+  * exactly how Spark MLlib's KMeans runs at scale.
+  *
+  * Determinism contract (what makes a float-heavy iterative algorithm
+  * DuckDB-oracle-able): all arithmetic happens in the scale-6 unscaled
+  * integer domain — vectors enter through the same
+  * `BigDecimal.valueOf(x).setScale(6, HALF_UP)` conversion as the
+  * similarity tier ([[graft.functions.DecimalScale6]]), distances are
+  * exact integer Σ(aᵢ−bᵢ)² (scale 12 unscaled, fits a long: ≤ 64·(4e6)²
+  * ≈ 1e15), argmin ties break on cluster id, and centroid means round
+  * HALF_UP in pure integer arithmetic. No step depends on float
+  * summation order, so any partitioning of the corpus produces
+  * bit-identical centroids.
+  *
+  * The reference has no clustering operator; this is part of the
+  * LLM-training-data tier (SURVEY §2.3).
+  */
+object ClusterOps extends QueryPack {
+
+  private[graft] val K = 8
+  private[graft] val Dim = 64
+  private[graft] val Iters = 3
+  /** SemDeDup similarity threshold. The published algorithm tunes ε per
+    * corpus; the synthetic fixture has no true semantic duplicates (max
+    * pairwise cosine ≈ 0.51), so the threshold marks the extreme tail of
+    * the similarity distribution rather than a universal constant. */
+  private val SemTau = "0.35"
+
+  /** Exact integer squared L2 distance between two scale-6 unscaled long
+    * vectors (scale-12 unscaled result). */
+  private def dist2(a: Column, c: Column): Column =
+    aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** HALF_UP (ties away from zero) integer mean — the scale-6 unscaled
+    * form of `round(sum/cnt, 6)`. Pure integer so both engines agree. */
+  private def halfUpDiv(sum: Long, cnt: Long): Long = {
+    val a = math.abs(sum)
+    val q = (2L * a + cnt) / (2L * cnt)
+    if (sum >= 0) q else -q
+  }
+
+  /** The scale-6 corpus view: (vec_id, sa array<long>). Cached — the
+    * training loop scans it Iters+1 times. */
+  private def scaledCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .filter($"embedding".isNotNull && size($"embedding") === Dim)
+      .select($"vec_id",
+        graft.functions.ScaledDot.decimal_scale6($"embedding").as("sa"))
+      .cache()
+  }
+
+  /** One distributed assignment pass under the given centroids: returns
+    * (vec_id, cluster, d2). The K-row centroid relation is broadcast
+    * (deliberate tiny-side BNLJ, same class as the query-vector attach
+    * in q_simsearch_cosine); the argmin is a map-side-combined keyed
+    * aggregation with a lexicographic (d2, cluster) tie-break. */
+  private def assign(s: SparkSession, sv: DataFrame,
+      cents: Seq[(Long, Array[Long])]): DataFrame = {
+    import s.implicits._
+    val centDf = cents.map { case (c, a) => (c, a.toSeq) }
+      .toDF("cluster", "carr")
+    sv.crossJoin(broadcast(centDf))
+      .select($"vec_id", $"cluster", dist2($"sa", $"carr").as("d2"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2", $"cluster")).as("b"))
+      .select($"vec_id", $"b.cluster".as("cluster"), $"b.d2".as("d2"))
+  }
+
+  /** Lloyd's iterations; returns the final centroids. Each iteration is
+    * two Spark jobs (assignment+sums aggregation collapsed into one
+    * action) and one K×Dim-row driver collect. */
+  private[graft] def fitCentroids(s: SparkSession, sv: DataFrame)
+      : Seq[(Long, Array[Long])] = {
+    import s.implicits._
+    // deterministic init: the first K vectors by id are the seed
+    // centroids (both engines express this as `vec_id < K`)
+    var cents: Seq[(Long, Array[Long])] = sv.filter($"vec_id" < K)
+      .limit(K) // K rows by construction; syntactic bound for the collect
+      .select($"vec_id", $"sa").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1).map { case (c, a) => (c, a.toArray) }.toSeq
+    for (_ <- 0 until Iters) {
+      // K×Dim centroid sums — kilobytes at any corpus size
+      val sums = assign(s, sv, cents).join(sv, "vec_id")
+        .select($"cluster", posexplode($"sa"))
+        .toDF("cluster", "pos", "x")
+        .groupBy($"cluster", $"pos")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("c"))
+        .as[(Long, Int, Long, Long)]
+        .collect()
+      val byCluster = sums.groupBy(_._1)
+      cents = cents.map { case (c, old) =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val arr = old.clone()
+            rows.foreach { case (_, pos, sx, cnt) =>
+              arr(pos) = halfUpDiv(sx, cnt) }
+            (c, arr)
+          case None => (c, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** Shared DuckDB replica of the training loop: CTEs up to
+    * `assign$Iters` (the final assignment) and `cent$Iters` (the final
+    * centroids), all in exact integer arithmetic. */
+  private def kmeansCtes: String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""e_rows AS (
+        SELECT vec_id, t.dim AS dim,
+          CAST(CAST(CAST(embedding[t.dim] AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS el
+        FROM embeddings, range(1, ${Dim + 1}) t(dim)
+        WHERE len(embedding) = $Dim),
+      cent0 AS (SELECT vec_id AS cluster, dim, el AS cl FROM e_rows WHERE vec_id < $K)"""
+    for (k <- 0 to Iters) {
+      parts += s"""dist$k AS (
+        SELECT e.vec_id, c.cluster, SUM((e.el - c.cl) * (e.el - c.cl)) AS d2
+        FROM e_rows e JOIN cent$k c USING (dim) GROUP BY 1, 2),
+      assign$k AS (
+        SELECT vec_id, cluster, d2 FROM (
+          SELECT vec_id, cluster, d2,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+          FROM dist$k) WHERE rn = 1)"""
+      if (k < Iters)
+        parts += s"""cent${k + 1} AS (
+        SELECT a.cluster, e.dim,
+          CAST(CASE WHEN SUM(e.el) >= 0
+            THEN (2 * SUM(e.el) + COUNT(*)) // (2 * COUNT(*))
+            ELSE -((2 * -SUM(e.el) + COUNT(*)) // (2 * COUNT(*))) END AS BIGINT) AS cl
+        FROM assign$k a JOIN e_rows e USING (vec_id)
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT cluster, dim, cl FROM cent$k
+        WHERE cluster NOT IN (SELECT DISTINCT cluster FROM assign$k))"""
+    }
+    parts.result().mkString(",\n")
+  }
+
+  // ------------------------------------------------------ k-means
+  private val clusterKmeans = QueryDef(
+    "q_cluster_kmeans",
+    (s, d) => {
+      import s.implicits._
+      val sv = scaledCorpus(s, d)
+      val cents = fitCentroids(s, sv)
+      val stats = assign(s, sv, cents)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_vecs"), sum($"d2").as("sse12"))
+      val cnorm = cents.map { case (c, a) => (c, a.map(math.abs).sum) }
+        .toDF("cluster", "cnorm1_6")
+      cnorm.join(broadcast(stats), Seq("cluster"), "left")
+        .select($"cluster",
+          coalesce($"n_vecs", lit(0L)).as("n_vecs"),
+          coalesce($"sse12", lit(0L)).as("sse12"),
+          $"cnorm1_6")
+        .orderBy($"cluster")
+    },
+    Some(s"""WITH $kmeansCtes
+      SELECT c.cluster, CAST(COALESCE(s.n_vecs, 0) AS BIGINT) AS n_vecs,
+        CAST(COALESCE(s.sse12, 0) AS BIGINT) AS sse12, c.cnorm1_6
+      FROM (SELECT cluster, CAST(SUM(ABS(cl)) AS BIGINT) AS cnorm1_6
+            FROM cent$Iters GROUP BY 1) c
+      LEFT JOIN (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+                 CAST(SUM(d2) AS BIGINT) AS sse12
+                 FROM assign$Iters GROUP BY 1) s USING (cluster)
+      ORDER BY c.cluster"""),
+    s"Distributed Lloyd's k-means (K=$K, $Iters iterations) over the " +
+      "embedding corpus, integer-exact and partitioning-invariant")
+
+  // ------------------------------------------------------ SemDeDup
+  // Within-cluster pairwise similarity only: the k-means partition bounds
+  // the quadratic term at Σ|cluster|² ≈ N²/K. The fixture's K=8 is sized
+  // to its 500–2000 vectors; production SemDeDup scales K with the corpus
+  // (the paper uses ~100k clusters for LAION-scale data), keeping both
+  // the per-cluster pair count and the join-key cardinality healthy.
+  // Drop rule: a vector is dropped iff some LOWER-id member of its
+  // cluster scores decimal-dot >= SemTau against it — deterministic and
+  // engine-portable (the iterative keep-the-centroid-closest variant
+  // would need float-order-dependent chains).
+  private val clusterSemdedup = QueryDef(
+    "q_cluster_semdedup",
+    (s, d) => {
+      import s.implicits._
+      val sv = scaledCorpus(s, d)
+      val cents = fitCentroids(s, sv)
+      val asg = assign(s, sv, cents).join(sv, "vec_id")
+        .select($"vec_id", $"cluster", $"sa")
+      val dropped = asg.as("a").join(asg.as("b"),
+          $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
+        .filter(graft.functions.ScaledDot.scaled_dot($"a.sa", $"b.sa") >=
+          lit(SemTau).cast("decimal(38,6)"))
+        .select($"b.vec_id".as("vec_id")).distinct()
+      asg.join(dropped.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cluster",
+          ($"hit".isNull).cast("long").as("keep"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH $kmeansCtes,
+      wsa AS (SELECT a.vec_id, a.cluster, e.embedding
+              FROM assign$Iters a JOIN embeddings e USING (vec_id)),
+      sem_dropped AS (
+        SELECT DISTINCT b.vec_id AS v
+        FROM wsa a JOIN wsa b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE CAST(round(list_sum(list_transform(range(1, ${Dim + 1}),
+          i -> CAST(CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+             * CAST(CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(20,12)))), 6)
+          AS DECIMAL(38,6)) >= $SemTau)
+      SELECT a.vec_id, a.cluster,
+        CAST(CASE WHEN p.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM assign$Iters a LEFT JOIN sem_dropped p ON a.vec_id = p.v
+      ORDER BY a.vec_id"""),
+    "SemDeDup semantic dedup: within-k-means-cluster pairwise decimal " +
+      s"dot >= $SemTau drops the higher id")
+
+  override def defs: Seq[QueryDef] = Seq(clusterKmeans, clusterSemdedup)
+}

@@ -261,7 +261,93 @@ object CurationOps extends QueryPack {
     "Deterministic corpus shuffle: md5 shard + within-shard rank, " +
       "reproducible across engines and cluster layouts")
 
+  // ------------------------------------------- duplicated-span removal
+  // Exact substring-level dedup (Lee et al. 2022, "Deduplicating Training
+  // Data Makes Language Models Better"): document-level near-dup keeps
+  // one of two 90%-identical docs, but repeated SPANS (boilerplate
+  // sentences, license headers, quoted chunks) recur across otherwise
+  // distinct documents and survive it. This op removes every token run
+  // covered by a W-token gram that occurs >= 2 times corpus-wide and
+  // reassembles the remaining text.
+  //
+  // Scale shape: positional grams stream from the one-pass codegen
+  // kernel (word_ngrams_seq), duplicate grams come from ONE keyed
+  // aggregation on the gram (vocabulary-bounded output), occurrences
+  // join back on the same gram key (no broadcast of the unbounded gram
+  // table), and coverage expansion is a W-factor sequence explode of the
+  // duplicated occurrences only. Everything is keyed shuffles linear in
+  // |corpus tokens| x W — no pairwise term anywhere. (The suffix-array
+  // formulation in the paper finds variable-length spans; the fixed-W
+  // gram formulation is its standard scalable approximation: any
+  // duplicated span of length >= W is covered by its W-grams.)
+  private val SpanW = 5
+  private val textSpanDedup = QueryDef(
+    "q_text_span_dedup",
+    (s, d) => {
+      import s.implicits._
+      // empty tokens removed so empty/whitespace-only docs behave
+      // (split("", " +") yields [""] — same artifact in DuckDB)
+      val docs = Tables.documents(s, d)
+        .select($"doc_id",
+          array_remove(split(lower($"text"), " +"), "").as("w"))
+      val grams = docs
+        .select($"doc_id", posexplode(
+          graft.functions.WordNGrams.word_ngrams_seq($"w", SpanW)))
+        .toDF("doc_id", "pos", "gram") // pos = 0-based start token
+      val dup = grams.groupBy($"gram")
+        .agg(count(lit(1)).as("occ")).filter($"occ" >= 2).select($"gram")
+      val covered = grams.join(dup, "gram")
+        .select($"doc_id",
+          explode(sequence($"pos", $"pos" + lit(SpanW - 1))).as("cp"))
+        .distinct()
+      val toks = docs.select($"doc_id", posexplode($"w")).toDF("doc_id", "pos", "tok")
+      val kept = toks.join(covered,
+        toks("doc_id") === covered("doc_id") && toks("pos") === covered("cp"),
+        "left_anti")
+      val keptAgg = kept.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(
+          collect_list(struct($"pos", $"tok"))), x => x("tok")), " ")
+          .as("cleaned"))
+      docs.select($"doc_id", size($"w").cast("long").as("n_toks"))
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_toks",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"cleaned", lit("")).as("cleaned"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH w AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), ' +'),
+          x -> x <> '') AS w FROM documents),
+      toks AS (
+        SELECT doc_id, pos, w[pos] AS tok FROM (
+          SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM w) t),
+      grams AS (
+        SELECT doc_id, pos,
+          array_to_string(w[pos : pos + ${SpanW - 1}], ' ') AS gram FROM (
+          SELECT doc_id, w, unnest(range(1, len(w) - ${SpanW - 2})) AS pos
+          FROM w) t),
+      dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+      cov AS (
+        SELECT DISTINCT doc_id, cp FROM (
+          SELECT g.doc_id, unnest(range(g.pos, g.pos + $SpanW)) AS cp
+          FROM grams g JOIN dup USING (gram)) t),
+      kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM toks t
+        LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cp
+        WHERE c.doc_id IS NULL),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        FROM kept GROUP BY doc_id)
+      SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_toks,
+        CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        COALESCE(agg.cleaned, '') AS cleaned
+      FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id"""),
+    s"Exact duplicated-span removal: $SpanW-gram occurrences appearing " +
+      ">= 2x corpus-wide have their token ranges cut, text reassembled")
+
   override def defs: Seq[QueryDef] =
     Seq(mergeUpsert, sampleStratified, packSequences, redactScrub,
-      decontaminate, shuffleDeterministic)
+      decontaminate, shuffleDeterministic, textSpanDedup)
 }

@@ -121,7 +121,8 @@ object DedupOps extends QueryPack {
     * the direct formulation.
     */
   def ngramJaccardPairs(s: SparkSession, d: String,
-      prefixFilter: Boolean, bound: Option[Int] = None): DataFrame = {
+      prefixFilter: Boolean, bound: Option[Int] = None,
+      presentation: Boolean = true): DataFrame = {
     import s.implicits._
     val docs = shingled(s, d, bound).cache()
     val posting = docs.select($"doc_id", explode($"sh").as("shingle"))
@@ -241,22 +242,23 @@ object DedupOps extends QueryPack {
                 .sorted_intersect_size($"sh1", $"sh2"),
               size($"sh1"), size($"sh2")).as("jaccard"))
       }
-    pairs
+    val thresholded = pairs
       .filter($"jaccard" >= lit("0.5").cast("decimal(38,6)"))
+    // presentation=false: a downstream operator (connected components)
+    // consumes the raw pair set — skip the range-exchange sort + cast
+    // that only exist for the declared query's deterministic dump
+    if (!presentation) thresholded.select($"doc1", $"doc2")
+    else thresholded
       .orderBy($"doc1", $"doc2")
       // threshold + order decided on the exact decimal; ship as double
       .withColumn("jaccard", $"jaccard".cast("double"))
   }
 
-  private val dedupNgram = QueryDef(
-    "q_dedup_ngram_jaccard",
-    // prefix-filtered is the DEFAULT since round 8: the regenerated corpus
-    // has genuinely hot shingles (10× stress head-to-head: direct Σdf²
-    // 290 s vs prefix 37 s for the identical 250,600-pair output) — the
-    // df-skew regime the strategy scaladoc predicted. The stress artifact
-    // keeps both strategies measured (x_ngram_direct).
-    (s, d) => ngramJaccardPairs(s, d, prefixFilter = true),
-    Some("""WITH w AS (
+  /** Shared DuckDB CTE body recomputing the exact J >= 0.5 3-gram pair
+    * set — the dedupNgram oracle's formulation, factored so downstream
+    * oracles (GraphOps' connected components) build on the identical pair
+    * definition. Exposes `jpairs(doc1, doc2, j DECIMAL(38,6))`. */
+  private[graft] val NgramPairCtes: String = """w AS (
         SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w FROM documents),
       docs AS (
         SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
@@ -268,13 +270,25 @@ object DedupOps extends QueryPack {
         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
         FROM posting a JOIN posting b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT doc1, doc2,
-        CAST(CAST(round(CAST(i AS DECIMAL(18,2)) / (c1.n_sh + c2.n_sh - i), 6) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
-      FROM inter
-      JOIN counts c1 ON doc1 = c1.doc_id
-      JOIN counts c2 ON doc2 = c2.doc_id
-      WHERE CAST(round(CAST(i AS DECIMAL(18,2)) / (c1.n_sh + c2.n_sh - i), 6) AS DECIMAL(38,6)) >= 0.5
+        GROUP BY 1, 2),
+      jpairs AS (
+        SELECT doc1, doc2,
+          CAST(round(CAST(i AS DECIMAL(18,2)) / (c1.n_sh + c2.n_sh - i), 6) AS DECIMAL(38,6)) AS j
+        FROM inter
+        JOIN counts c1 ON doc1 = c1.doc_id
+        JOIN counts c2 ON doc2 = c2.doc_id)"""
+
+  private val dedupNgram = QueryDef(
+    "q_dedup_ngram_jaccard",
+    // prefix-filtered is the DEFAULT since round 8: the regenerated corpus
+    // has genuinely hot shingles (10× stress head-to-head: direct Σdf²
+    // 290 s vs prefix 37 s for the identical 250,600-pair output) — the
+    // df-skew regime the strategy scaladoc predicted. The stress artifact
+    // keeps both strategies measured (x_ngram_direct).
+    (s, d) => ngramJaccardPairs(s, d, prefixFilter = true),
+    Some(s"""WITH $NgramPairCtes
+      SELECT doc1, doc2, CAST(j AS DOUBLE) AS jaccard FROM jpairs
+      WHERE j >= 0.5
       ORDER BY doc1, doc2"""),
     "Exact 3-gram Jaccard near-dup pairs via inverted shingle index")
 

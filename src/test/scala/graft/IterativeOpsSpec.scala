@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ClusterOps, DedupOps, GraphOps}
+
+/** The round-8 iterative tier: connected components (large-star/small-star),
+  * distributed k-means, SemDeDup, and duplicated-span removal — each
+  * cross-checked against an independent in-test reference implementation
+  * on the collected sf0.001 fixture (bounded), plus structural invariants.
+  */
+class IterativeOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- helpers
+
+  /** Reference union-find. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  // ------------------------------------------------ connected components
+
+  test("connectedComponents matches union-find on synthetic graphs " +
+      "(chain, clique, forest, self-loops)") {
+    val edges: Seq[(Long, Long)] =
+      // a 60-node path (forces multiple contraction rounds)
+      (0L until 59L).map(i => (i, i + 1)) ++
+      // an 8-clique offset at 100
+      (for (i <- 100L to 107L; j <- (i + 1) to 107L) yield (i, j)) ++
+      // two isolated pairs + duplicate + reversed + self-loop noise
+      Seq((200L, 201L), (300L, 301L), (301L, 300L), (300L, 301L),
+        (400L, 400L))
+    val got = GraphOps
+      .connectedComponents(spark, edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val want = ufComponents(edges.filter(e => e._1 != e._2))
+    assert(got === want)
+  }
+
+  test("q_dedup_components matches union-find over the declared pair set") {
+    val pairs = DedupOps
+      .ngramJaccardPairs(spark, sf, prefixFilter = true, presentation = false)
+      .as[(Long, Long)].collect().toSeq
+    val want = ufComponents(pairs)
+    val rows = q("q_dedup_components")
+      .select($"doc_id", $"component", $"n_members", $"is_canonical")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(r => r._1 -> r._2).toMap === want)
+    // group sizes + canonical flags are consistent with the labels
+    val sizes = want.values.groupBy(identity).map { case (c, g) => c -> g.size }
+    rows.foreach { case (id, comp, n, canon) =>
+      assert(n === sizes(comp).toLong)
+      assert(canon === (if (id == comp) 1L else 0L))
+      assert(comp <= id) // label is the component MIN
+    }
+  }
+
+  test("connectedComponents of an empty edge set is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraphOps.connectedComponents(spark, empty).count() === 0L)
+  }
+
+  // ------------------------------------------------------------ k-means
+
+  /** Reference Lloyd's in plain Scala over the production scale-6
+    * vectors: same init (first K ids), same exact integer distance,
+    * same HALF_UP integer mean — but accumulated in arbitrary map order,
+    * which is exactly the partitioning-invariance claim. */
+  private def refKmeans(vecs: Seq[(Long, Array[Long])], k: Int, iters: Int)
+      : (Map[Long, Long], Map[Long, Long], Map[Long, (Long, Array[Long])]) = {
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def halfUp(s: Long, c: Long): Long = {
+      val q = (2 * math.abs(s) + c) / (2 * c); if (s >= 0) q else -q
+    }
+    var cents: Seq[(Long, Array[Long])] =
+      vecs.filter(_._1 < k).sortBy(_._1).map { case (c, a) => (c, a.clone()) }
+    def assign(): Map[Long, (Long, Long)] = vecs.map { case (id, v) =>
+      val (bd, bc) = cents.map { case (c, ca) => (d2(v, ca), c) }.min
+      id -> (bc, bd)
+    }.toMap
+    for (_ <- 0 until iters) {
+      val asg = assign()
+      cents = cents.map { case (c, old) =>
+        val members = vecs.filter(v => asg(v._1)._1 == c)
+        if (members.isEmpty) (c, old)
+        else (c, Array.tabulate(old.length) { i =>
+          halfUp(members.map(_._2(i)).sum, members.size.toLong) })
+      }
+    }
+    val fin = assign()
+    (fin.map { case (id, (c, _)) => id -> c },
+      fin.map { case (id, (_, d)) => id -> d },
+      cents.map(c => c._1 -> c).toMap)
+  }
+
+  private lazy val scaledVecs: Seq[(Long, Array[Long])] =
+    Tables.embeddings(spark, sf)
+      .filter(size($"embedding") === ClusterOps.Dim)
+      .select($"vec_id",
+        graft.functions.ScaledDot.decimal_scale6($"embedding"))
+      .as[(Long, Seq[Long])].collect().toSeq
+      .map { case (id, a) => (id, a.toArray) }
+
+  test("q_cluster_kmeans matches the reference integer Lloyd's loop") {
+    val (asg, dists, cents) =
+      refKmeans(scaledVecs, ClusterOps.K, ClusterOps.Iters)
+    val wantStats = asg.groupBy(_._2).map { case (c, g) =>
+      c -> (g.size.toLong, g.keys.map(dists).sum) }
+    val rows = q("q_cluster_kmeans")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length === ClusterOps.K)
+    rows.foreach { case (c, n, sse, cnorm) =>
+      val (wn, wsse) = wantStats.getOrElse(c, (0L, 0L))
+      assert(n === wn, s"cluster $c size")
+      assert(sse === wsse, s"cluster $c sse")
+      assert(cnorm === cents(c)._2.map(math.abs).sum, s"cluster $c cnorm")
+    }
+    assert(rows.map(_._2).sum === scaledVecs.size.toLong)
+  }
+
+  test("q_cluster_semdedup keep flags match the reference drop rule") {
+    val (asg, _, _) = refKmeans(scaledVecs, ClusterOps.K, ClusterOps.Iters)
+    // reference decimal dot: exact scale-12 integer sum, HALF_UP to
+    // scale 6, threshold 0.35 (= 350000 unscaled)
+    def dot6(a: Array[Long], b: Array[Long]): Long = {
+      val s12 = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val (q, r) = s12 /% BigInt(1000000)
+      val half = if (s12 >= 0) (if (r * 2 >= 1000000) 1 else 0)
+                 else (if (-r * 2 >= 1000000) -1 else 0)
+      (q + half).toLong
+    }
+    val byId = scaledVecs.toMap
+    val wantDropped = scaledVecs.flatMap { case (id, v) =>
+      val lower = scaledVecs.filter(o =>
+        o._1 < id && asg(o._1) == asg(id))
+      if (lower.exists(o => dot6(o._2, v) >= 350000L)) Some(id) else None
+    }.toSet
+    val rows = q("q_cluster_semdedup")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length === scaledVecs.size)
+    rows.foreach { case (id, c, keep) =>
+      assert(c === asg(id), s"vec $id cluster")
+      assert(keep === (if (wantDropped(id)) 0L else 1L), s"vec $id keep")
+    }
+    assert(byId.size === rows.length)
+  }
+
+  // ------------------------------------------------- span-level dedup
+
+  test("q_text_span_dedup matches a reference recompute and its invariants") {
+    val w = 5
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" +").filter(_.nonEmpty).toSeq }
+    val gramCount = scala.collection.mutable.Map[String, Int]()
+    val grams = docs.map { case (id, toks) =>
+      val g = (0 to toks.length - w).map(i => toks.slice(i, i + w).mkString(" "))
+      g.foreach(x => gramCount(x) = gramCount.getOrElse(x, 0) + 1)
+      id -> g
+    }.toMap
+    val want = docs.map { case (id, toks) =>
+      val covered = grams(id).zipWithIndex.collect {
+        case (g, i) if gramCount(g) >= 2 => i until (i + w)
+      }.flatten.toSet
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !covered(i) => t }
+      id -> (toks.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }.toMap
+    val rows = q("q_text_span_dedup")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.length === docs.length)
+    rows.foreach { case (id, nToks, nKept, cleaned) =>
+      val (wn, wk, wc) = want(id)
+      assert(nToks === wn, s"doc $id n_toks")
+      assert(nKept === wk, s"doc $id n_kept")
+      assert(cleaned === wc, s"doc $id cleaned")
+      assert(nKept <= nToks)
+    }
+    // the op actually bites on this corpus
+    assert(rows.exists(r => r._3 < r._2), "no span was ever removed")
+  }
+}

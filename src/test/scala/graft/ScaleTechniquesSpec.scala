@@ -212,7 +212,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_dedup_embedding_audit", // 200-vector audit window, constant work
       "q_simsearch_ann_srp_audit", // 1-row recall flag crossJoin
       "q_simsearch_ivf_audit", // 1-row recall flag crossJoin
-      "q_text_heavy_hitters_audit" // 1-row stats/flag attachments
+      "q_text_heavy_hitters_audit", // 1-row stats/flag attachments
+      // K-row centroid broadcast against the corpus (the MLlib k-means
+      // assignment shape — kilobytes at any corpus size)
+      "q_cluster_kmeans", "q_cluster_semdedup"
     )
     // conservatively "pushable": plain comparison/IN/string-match shapes
     // over a bare attribute and literals — what parquet filter conversion
@@ -313,7 +316,11 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "operators/SourceOps.scala" -> 1,
       // IVF: .limit(IvfSampleCap) k-means training sample (bounded
       // regardless of corpus size) + the NQ-row query-vector fetch
-      "operators/SimilarityOps.scala" -> 2)
+      "operators/SimilarityOps.scala" -> 2,
+      // k-means training loop: .limit(K) seed fetch + the K×Dim-row
+      // per-iteration centroid-sum collect (kilobytes at any corpus size
+      // — the MLlib collect-broadcast iteration shape)
+      "operators/ClusterOps.scala" -> 2)
     val base = java.nio.file.Paths.get("src", "main", "scala", "graft")
     val offenders = java.nio.file.Files.walk(base).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
