@@ -159,7 +159,11 @@ object BenchStress {
     "q_text_heavy_hitters_audit",
     // watermarked single-window streams already covered by
     // q_stream_tumbling; combine is a 5-row formatting step
-    "q_stream_combine")
+    "q_stream_combine",
+    // round-8: two keyed aggs + vocab join + per-doc bounded rank window
+    // — linear in tokens; and a single one-pass profile aggregation
+    // whose Expand factor is the fixed column count
+    "q_text_salient_terms", "q_profile_table")
 
   def materialize(s: SparkSession, base: String, rep: Int): String = {
     import s.implicits._

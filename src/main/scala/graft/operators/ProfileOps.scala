@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryPack, Tables}
+
+/** Table profiling — the ANALYZE/summarize pass every lake pipeline runs
+  * before trusting a new drop of data: per-column null counts, exact
+  * distinct cardinalities, and min/max, in ONE pass over the table.
+  *
+  * Scale shape: a single aggregation; the multiple exact
+  * `count(DISTINCT)` columns plan through Catalyst's Expand (one
+  * input row → one row per distinct-aggregate), so the whole profile is
+  * one shuffle whose volume is bounded by Σ per-column cardinalities,
+  * not rows × columns. (At 100 TB you would swap exact distincts for
+  * `approx_count_distinct` sketches — the declared exact form is what a
+  * DuckDB oracle can replay; the plan shape is identical.)
+  *
+  * Output rendering: every min/max leaves as VARCHAR with an
+  * engine-portable exact rendering — BIGINT as-is, DOUBLE through
+  * DECIMAL(18,2) (fixed scale keeps trailing zeros identical), and
+  * TIMESTAMP as epoch seconds — computed numerically FIRST (a lexical
+  * min over rendered strings would order '10' < '9') and rendered after
+  * aggregation.
+  */
+object ProfileOps extends QueryPack {
+
+  /** (column name, numeric min/max expression, post-agg renderer). */
+  private def profiled(): Seq[(String, Column => Column)] = Seq(
+    "l_orderkey" -> ((c: Column) => c.cast("string")),
+    "l_quantity" -> ((c: Column) => c.cast("decimal(18,2)").cast("string")),
+    "l_extendedprice" -> ((c: Column) => c.cast("decimal(18,2)").cast("string")),
+    "l_returnflag" -> ((c: Column) => c),
+    "l_linestatus" -> ((c: Column) => c),
+    "l_shipdate" -> ((c: Column) =>
+      unix_timestamp(c.cast("timestamp")).cast("string")))
+
+  private val profileTable = QueryDef(
+    "q_profile_table",
+    (s, d) => {
+      import s.implicits._
+      val cols = profiled()
+      val aggs = cols.flatMap { case (c, _) => Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).as(s"${c}__mn"),
+        max(col(c)).as(s"${c}__mx"))
+      }
+      val row = Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val entries = array(cols.map { case (c, render) =>
+        struct(lit(c).as("col_name"),
+          col(s"${c}__nn").as("n_null"),
+          col(s"${c}__nd").as("n_distinct"),
+          coalesce(render(col(s"${c}__mn")), lit("")).as("min_s"),
+          coalesce(render(col(s"${c}__mx")), lit("")).as("max_s"))
+      }: _*)
+      row.select($"n_rows", explode(entries).as("e"))
+        .select($"e.col_name".as("col_name"), $"n_rows",
+          $"e.n_null".as("n_null"), $"e.n_distinct".as("n_distinct"),
+          $"e.min_s".as("min_s"), $"e.max_s".as("max_s"))
+        .orderBy($"col_name")
+    },
+    Some {
+      val selects = Seq(
+        ("l_orderkey", "CAST(%s AS VARCHAR)"),
+        ("l_quantity", "CAST(CAST(%s AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("l_extendedprice", "CAST(CAST(%s AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("l_returnflag", "%s"),
+        ("l_linestatus", "%s"),
+        ("l_shipdate", "CAST(CAST(epoch(%s) AS BIGINT) AS VARCHAR)")
+      ).map { case (c, fmt) =>
+        val mn = fmt.format(s"min($c)")
+        val mx = fmt.format(s"max($c)")
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) - count($c) AS BIGINT) AS n_null,
+          CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          COALESCE($mn, '') AS min_s, COALESCE($mx, '') AS max_s
+        FROM lineitem"""
+      }
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "One-pass table profile: per-column nulls, exact distincts, " +
+      "portable-rendered min/max (Expand-planned multi-distinct)")
+
+  override def defs: Seq[QueryDef] = Seq(profileTable)
+}

@@ -414,8 +414,62 @@ object TextOps extends QueryPack {
     "Misra-Gries heavy hitters per language (exact regime; sketch regime " +
       "audited)")
 
+  // ------------------------------------------------ salient terms
+  // TF-IDF-class per-document term salience: score = tf / (df + 1),
+  // top 5 terms per doc. The inverse-document-frequency weight is kept
+  // RATIONAL (no log): a float ln() is the one place the classic weight
+  // would leave the engine's cross-engine determinism contract (libm
+  // ulp differences can flip a rounded score across a tie), and the
+  // rational weight preserves the property that matters — rare terms
+  // outrank common ones at equal tf. Plan shape: two keyed aggregations
+  // (tf on (doc, term); df on term — vocabulary-bounded), one shuffle
+  // join back on the term key, and a rank-limit window that Spark
+  // collapses to WindowGroupLimit partials before the exchange.
+  private val textSalientTerms = QueryDef(
+    "q_text_salient_terms",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(split(lower($"text"), " +")).as("term"))
+        .filter($"term" =!= "")
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      tf.join(df, "term")
+        .withColumn("score",
+          round($"tf".cast("decimal(18,2)") / ($"df" + 1L), 6)
+            .cast("decimal(38,6)"))
+        .withColumn("rank", row_number().over(
+          w.partitionBy($"doc_id")
+            .orderBy($"score".desc, $"term".asc)))
+        .filter($"rank" <= 5)
+        .select($"doc_id", $"term", $"tf", $"df",
+          $"score".cast("double").as("score"), $"rank".cast("long").as("rank"))
+        .orderBy($"doc_id", $"rank")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), ' +')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id, tf.term AS term, tf, df,
+          CAST(round(CAST(tf AS DECIMAL(18,2)) / (df + 1), 6) AS DECIMAL(38,6)) AS sc
+        FROM tf JOIN df USING (term)),
+      ranked AS (
+        SELECT doc_id, term, tf, df, sc,
+          row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, term, tf, df, CAST(sc AS DOUBLE) AS score,
+        CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"""),
+    "Per-doc salient terms: rational tf/(df+1) weight, top 5, " +
+      "deterministic (score, term) tie-break")
+
   override def defs: Seq[QueryDef] =
     Seq(textAnalysis, textTokens, textQuality, textLangId, textFingerprint,
       textWinnow, textTokenIds, textRepetition, textBoilerplate,
-      textHeavyHitters)
+      textHeavyHitters, textSalientTerms)
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q_text_salient_terms + q_profile_table: reference recomputes and
+  * structural invariants. */
+class SalienceProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q_text_salient_terms matches a local recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" +").filter(_.nonEmpty).toSeq }
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (id, t, g.size.toLong) } }
+    val df = tf.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+    def score(tfv: Long, dfv: Long): BigDecimal =
+      (BigDecimal(tfv).setScale(2) / BigDecimal(dfv + 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = tf.groupBy(_._1).toSeq.flatMap { case (id, terms) =>
+      terms.toSeq.map { case (_, t, v) => (t, v, df(t), score(v, df(t))) }
+        .sortBy { case (t, _, _, sc) => (-sc, t) }
+        .take(5).zipWithIndex
+        .map { case ((t, v, d, sc), i) =>
+          (id, i + 1L) -> (t, v, d, sc.toDouble) }
+    }.toMap
+    val rows = q("q_text_salient_terms")
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+    assert(rows.length === want.size)
+    rows.foreach { case (id, term, tfv, dfv, sc, rank) =>
+      val (wt, wtf, wdf, wsc) = want((id, rank))
+      assert(term === wt, s"doc $id rank $rank term")
+      assert(tfv === wtf && dfv === wdf, s"doc $id rank $rank tf/df")
+      assert(sc === wsc, s"doc $id rank $rank score")
+    }
+  }
+
+  test("q_profile_table: invariants against the raw table") {
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    val rows = q("q_profile_table")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(rows.length === 6)
+    rows.foreach { case (c, nRows, nNull, nDist, mn, mx) =>
+      assert(nRows === n, s"$c n_rows")
+      assert(nNull === li.filter(col(c).isNull).count(), s"$c n_null")
+      assert(nDist === li.select(c).distinct().na.drop().count(), s"$c n_distinct")
+      assert(mn.nonEmpty && mx.nonEmpty)
+    }
+    // numeric columns: rendered min <= max as NUMBERS (the render must
+    // not have fallen back to lexical ordering)
+    rows.filter(r => Set("l_orderkey", "l_quantity", "l_extendedprice")
+        .contains(r._1))
+      .foreach { case (c, _, _, _, mn, mx) =>
+        assert(BigDecimal(mn) <= BigDecimal(mx), s"$c min<=max") }
+  }
+}
