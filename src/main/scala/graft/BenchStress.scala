@@ -127,7 +127,7 @@ object BenchStress {
     "q_text_heavy_hitters",
     // single-shuffle aggregations (partial-agg bound, linear map side)
     "q_agg_avg_window5m", "q_agg_collect", "q_agg_cube", "q_agg_distinct",
-    "q_agg_dropdup", "q_agg_hll", "q_agg_percentile",
+    "q_agg_dropdup", "q_agg_hll", "q_agg_sketch_rollup", "q_agg_percentile",
     "q_agg_percentile_approx", "q_agg_sliding_window", "q_agg_stats",
     "q_rollup_cube", "q_salted_agg", "q_custom_decimal_avg",
     // bounded-heap top-k agg: linear scan + k-row partials; its
@@ -152,7 +152,8 @@ object BenchStress {
     "q_source_payload_json", "q_stream_source_payload",
     // driver-gate audit companions: their cost profile IS the audited
     // op's (already stressed) plus a bounded window / one-row reduction
-    "q_agg_hll_audit", "q_agg_percentile_approx_audit",
+    "q_agg_hll_audit", "q_agg_sketch_rollup_audit",
+    "q_agg_percentile_approx_audit",
     "q_dedup_minhash_audit", "q_dedup_simhash_audit",
     "q_text_fingerprint_winnow_audit", "q_dedup_embedding_audit",
     "q_simsearch_ann_srp_audit", "q_simsearch_ivf_audit",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregation family (SURVEY §2.2 ext tier) — generalizes the reference's
@@ -95,6 +96,48 @@ object AggOps extends QueryPack {
     },
     None,
     "HyperLogLog++ distinct: constant memory per group at any scale")
+
+  // ------------------------------------- re-aggregatable sketch rollup
+  // The incremental-aggregation pattern a 100 TB warehouse lives on:
+  // materialize a BOUNDED DataSketches HLL partial per day
+  // (hll_sketch_agg), then answer the month/total question by UNIONING
+  // the partials (hll_union_agg) — never re-scanning raw events. A plain
+  // approx_count_distinct result is a NUMBER and cannot be re-aggregated
+  // (distincts don't add); the sketch column is what makes rollup,
+  // backfill, and late-partition merge O(partials) instead of O(raw).
+  // Estimates are a pure function of the input value SET (register-wise
+  // max is commutative), so any partitioning/merge order yields the
+  // same declared output. No DuckDB oracle (DataSketches-specific);
+  // q_agg_sketch_rollup_audit pins the error/consistency invariants
+  // against the exact recompute.
+  private[graft] val SketchLgK = 12
+  private[graft] def dailySketches(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"user_id")
+      .groupBy($"day")
+      .agg(hll_sketch_agg($"user_id", lit(SketchLgK)).as("sk"),
+        count(lit(1)).as("n_events"))
+  }
+  private val aggSketchRollup = QueryDef(
+    "q_agg_sketch_rollup",
+    (s, d) => {
+      import s.implicits._
+      val daily = dailySketches(s, d)
+      val perDay = daily.select(
+        date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_events",
+        hll_sketch_estimate($"sk").as("est_users"))
+      // the rollup: union the per-day partials, never the raw events
+      val total = daily.agg(
+        sum($"n_events").as("n_events"),
+        hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est_users"))
+        .select(lit("total").as("day"), $"n_events", $"est_users")
+      perDay.unionByName(total).orderBy($"day")
+    },
+    None,
+    "Re-aggregatable distinct: daily DataSketches HLL partials unioned " +
+      "into the total without re-scanning raw events")
 
   // -------------------------------------------------- rollup + grouping
   private val rollupCube = QueryDef(
@@ -378,7 +421,8 @@ object AggOps extends QueryPack {
     "Sliding (overlapping) windows: 10-min size, 5-min slide")
 
   override def defs: Seq[QueryDef] =
-    Seq(aggGroupBy, aggDistinct, aggDropDup, aggHll, rollupCube,
+    Seq(aggGroupBy, aggDistinct, aggDropDup, aggHll, aggSketchRollup,
+      rollupCube,
       aggGroupingSets, saltedAgg, aggPercentile, aggPercentileApprox,
       aggCollect, aggStats, aggCube, aggSliding)
 }

@@ -45,6 +45,49 @@ object AuditOps extends QueryPack {
       FROM events GROUP BY event_type ORDER BY event_type"""),
     "HLL audit: exact distinct (oracle-recomputed) + in-bound flag")
 
+  // ------------------------------------------- sketch-rollup audit
+  // The DataSketches HLL daily partials (q_agg_sketch_rollup, lgK=12):
+  // every per-day estimate AND the union-of-partials total must sit
+  // within ±5% of the exact distinct count (at fixture cardinalities
+  // the sketch is still in exact sparse mode, so the flag has slack
+  // only the algorithm breaking outright would consume). The union flag
+  // is the one that matters: it proves re-aggregating PARTIALS answers
+  // the total-question correctly without re-scanning raw events.
+  private val sketchRollupAudit = QueryDef(
+    "q_agg_sketch_rollup_audit",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(to_date($"ts").as("day"), $"user_id")
+      val daily = AggOps.dailySketches(s, d)
+      val perDay = daily
+        .select($"day", $"n_events", hll_sketch_estimate($"sk").as("est"))
+        .join(ev.groupBy($"day")
+          .agg(countDistinct($"user_id").as("exact_users")), "day")
+        .select(date_format($"day", "yyyy-MM-dd").as("day"),
+          $"exact_users", $"n_events",
+          (abs($"est" - $"exact_users") <= $"exact_users" * lit(0.05))
+            .cast("long").as("est_ok"))
+      val total = daily
+        .agg(sum($"n_events").as("n_events"),
+          hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est"))
+        .join(ev.agg(countDistinct($"user_id").as("exact_users")))
+        .select(lit("total").as("day"), $"exact_users", $"n_events",
+          (abs($"est" - $"exact_users") <= $"exact_users" * lit(0.05))
+            .cast("long").as("est_ok"))
+      perDay.unionByName(total).orderBy($"day")
+    },
+    Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        CAST(count(*) AS BIGINT) AS n_events, CAST(1 AS BIGINT) AS est_ok
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'total', CAST(count(DISTINCT user_id) AS BIGINT),
+        CAST(count(*) AS BIGINT), CAST(1 AS BIGINT)
+      FROM events
+      ORDER BY day"""),
+    "Sketch-rollup audit: exact per-day + total distincts " +
+      "(oracle-recomputed) with union-of-partials error flags")
+
   // ------------------------------------------- approx-percentile audit
   // GK sketch with accuracy 10000 (rank error <= n/10000): each estimate
   // must land between the exact quantiles at p ± 0.02 — a ~200x margin.
@@ -371,6 +414,6 @@ object AuditOps extends QueryPack {
       "order-invariant bound flags")
 
   override def defs: Seq[QueryDef] =
-    Seq(hllAudit, pctAudit, minhashAudit, simhashAudit, winnowAudit,
-      embeddingAudit, srpAudit, ivfAudit, heavyHittersAudit)
+    Seq(hllAudit, sketchRollupAudit, pctAudit, minhashAudit, simhashAudit,
+      winnowAudit, embeddingAudit, srpAudit, ivfAudit, heavyHittersAudit)
 }

@@ -421,10 +421,14 @@ object TextOps extends QueryPack {
   // would leave the engine's cross-engine determinism contract (libm
   // ulp differences can flip a rounded score across a tie), and the
   // rational weight preserves the property that matters — rare terms
-  // outrank common ones at equal tf. Plan shape: two keyed aggregations
-  // (tf on (doc, term); df on term — vocabulary-bounded), one shuffle
-  // join back on the term key, and a rank-limit window that Spark
-  // collapses to WindowGroupLimit partials before the exchange.
+  // outrank common ones at equal tf. Plan shape: one scan, one keyed
+  // aggregation (tf on (doc, term)), then df attached by a count window
+  // over the term partition — the same join-free df idiom as the ppjoin
+  // prefix path (DedupOps): no vocabulary-sized build side for the
+  // planner to (mis)broadcast, no duplicated tf subtree (the join
+  // formulation re-computed the whole scan+aggregate once per side) —
+  // and a rank-limit window that Spark collapses to WindowGroupLimit
+  // partials before its exchange.
   private val textSalientTerms = QueryDef(
     "q_text_salient_terms",
     (s, d) => {
@@ -434,8 +438,7 @@ object TextOps extends QueryPack {
         .select($"doc_id", explode(split(lower($"text"), " +")).as("term"))
         .filter($"term" =!= "")
       val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      tf.join(df, "term")
+      tf.withColumn("df", count(lit(1)).over(w.partitionBy($"term")))
         .withColumn("score",
           round($"tf".cast("decimal(18,2)") / ($"df" + 1L), 6)
             .cast("decimal(38,6)"))

@@ -213,6 +213,7 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_simsearch_ann_srp_audit", // 1-row recall flag crossJoin
       "q_simsearch_ivf_audit", // 1-row recall flag crossJoin
       "q_text_heavy_hitters_audit", // 1-row stats/flag attachments
+      "q_agg_sketch_rollup_audit", // 1-row exact-total attach
       // K-row centroid broadcast against the corpus (the MLlib k-means
       // assignment shape — kilobytes at any corpus size)
       "q_cluster_kmeans", "q_cluster_semdedup"
