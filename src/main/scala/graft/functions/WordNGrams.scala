@@ -49,6 +49,21 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
 object WordNGrams {
   private val sep = UTF8String.fromString(" ")
 
+  /** Gram assembly shared by the distinct and positional kernels: the
+    * n-gram starting at token i, with the null→empty substitution —
+    * kept in ONE place so the two kernels can never diverge on
+    * null/empty handling. */
+  private def gramAt(arr: ArrayData, i: Int, n: Int,
+      parts: Array[UTF8String]): UTF8String = {
+    var k = 0
+    while (k < n) {
+      val e = arr.getUTF8String(i + k)
+      parts(k) = if (e == null) UTF8String.EMPTY_UTF8 else e
+      k += 1
+    }
+    UTF8String.concatWs(sep, parts: _*)
+  }
+
   /** The kernel — static so generated code can call it directly. */
   def ngrams(arr: ArrayData, n: Int): GenericArrayData = {
     val total = arr.numElements() - n + 1
@@ -57,13 +72,7 @@ object WordNGrams {
     val parts = new Array[UTF8String](n)
     var i = 0
     while (i < total) {
-      var k = 0
-      while (k < n) {
-        val e = arr.getUTF8String(i + k)
-        parts(k) = if (e == null) UTF8String.EMPTY_UTF8 else e
-        k += 1
-      }
-      seen.add(UTF8String.concatWs(sep, parts: _*))
+      seen.add(gramAt(arr, i, n, parts))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
@@ -81,13 +90,7 @@ object WordNGrams {
     val parts = new Array[UTF8String](n)
     var i = 0
     while (i < total) {
-      var k = 0
-      while (k < n) {
-        val e = arr.getUTF8String(i + k)
-        parts(k) = if (e == null) UTF8String.EMPTY_UTF8 else e
-        k += 1
-      }
-      out(i) = UTF8String.concatWs(sep, parts: _*)
+      out(i) = gramAt(arr, i, n, parts)
       i += 1
     }
     new GenericArrayData(out)

@@ -60,11 +60,17 @@ object ClusterOps extends QueryPack {
   }
 
   /** The scale-6 corpus view: (vec_id, sa array<long>). Cached — the
-    * training loop scans it Iters+1 times. */
+    * training loop scans it Iters+1 times. Rows with a NULL element are
+    * excluded (mirrored in the oracle's e_rows filter): decimal_scale6
+    * encodes a null element as the ScaledDot.NullSentinel long, whose
+    * square overflows the integer distance under ANSI — the clustering
+    * kernel works on whole vectors only, unlike the dot kernel's
+    * documented per-element skip rule. */
   private def scaledCorpus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d)
-      .filter($"embedding".isNotNull && size($"embedding") === Dim)
+      .filter($"embedding".isNotNull && size($"embedding") === Dim &&
+        !exists($"embedding", _.isNull))
       .select($"vec_id",
         graft.functions.ScaledDot.decimal_scale6($"embedding").as("sa"))
       .cache()
@@ -132,7 +138,8 @@ object ClusterOps extends QueryPack {
         SELECT vec_id, t.dim AS dim,
           CAST(CAST(CAST(embedding[t.dim] AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS el
         FROM embeddings, range(1, ${Dim + 1}) t(dim)
-        WHERE len(embedding) = $Dim),
+        WHERE len(embedding) = $Dim
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0),
       cent0 AS (SELECT vec_id AS cluster, dim, el AS cl FROM e_rows WHERE vec_id < $K)"""
     for (k <- 0 to Iters) {
       parts += s"""dist$k AS (

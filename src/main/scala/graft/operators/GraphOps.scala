@@ -63,6 +63,7 @@ object GraphOps extends QueryPack {
     }
 
     var edges = canon(edges0.toDF("a", "b")).localCheckpoint()
+    var prevEdges = edges
     var prev = sig(edges)
     var converged = prev._1 == 0L // empty graph: nothing to contract
     var rounds = 0
@@ -87,8 +88,16 @@ object GraphOps extends QueryPack {
           .union(m2.select($"u".as("a"), $"m".as("b")))).localCheckpoint()
       edges = afterSmall
       val cur = sig(edges)
-      converged = cur == prev
+      // signature match is the cheap gate; the fixpoint DECLARATION is
+      // exact — equal cardinality (from the signature) plus an empty
+      // one-sided set difference proves set equality, so a 64-bit hash
+      // collision can never terminate contraction on a non-star edge
+      // set. Runs at most once per converged round; both sides are
+      // already localCheckpointed, so the except job is cheap.
+      converged = cur == prev &&
+        edges.except(prevEdges).limit(1).count() == 0L
       prev = cur
+      prevEdges = edges
       rounds += 1
     }
     require(converged,

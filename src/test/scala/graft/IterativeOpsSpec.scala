@@ -155,6 +155,29 @@ class IterativeOpsSpec extends SparkTestBase {
     assert(byId.size === rows.length)
   }
 
+  test("k-means tier excludes rows with null elements instead of crashing") {
+    // decimal_scale6 encodes a null element as a sentinel long whose
+    // square would overflow the integer distance under ANSI; the corpus
+    // view must drop such rows (both engines filter identically)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_null_emb").toString
+    val dim = ClusterOps.Dim
+    val rows = (0L until 20L).map { id =>
+      val v = (0 until dim).map(j =>
+        if (id == 13L && j == 7) null
+        else java.lang.Float.valueOf((id * dim + j) % 97 / 97.0f))
+      (id, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_cluster_kmeans")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum === 19L) // all rows but the null-element one
+    val sem = SparkEntry.queries("q_cluster_semdedup")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(sem.length === 19 && !sem.exists(_._1 == 13L))
+  }
+
   // ------------------------------------------------- span-level dedup
 
   test("q_text_span_dedup matches a reference recompute and its invariants") {
