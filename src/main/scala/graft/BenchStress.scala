@@ -162,9 +162,10 @@ object BenchStress {
     // q_stream_tumbling; combine is a 5-row formatting step
     "q_stream_combine",
     // round-8: two keyed aggs + vocab join + per-doc bounded rank window
-    // — linear in tokens; and a single one-pass profile aggregation
-    // whose Expand factor is the fixed column count
-    "q_text_salient_terms", "q_profile_table")
+    // — linear in tokens; a single one-pass profile aggregation whose
+    // Expand factor is the fixed column count; and the z-order bucket
+    // aggregation (pure map + one bounded-output shuffle)
+    "q_text_salient_terms", "q_profile_table", "q_layout_zorder")
 
   def materialize(s: SparkSession, base: String, rep: Int): String = {
     import s.implicits._

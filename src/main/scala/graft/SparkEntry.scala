@@ -16,7 +16,7 @@ object SparkEntry {
     CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps,
     TextOps, DedupOps, GraphOps, ClusterOps, SimilarityOps, CustomOps,
     MultimodalOps, TypedOps, SourceOps, CleanPipelineOps, CurationOps,
-    ProfileOps, AuditOps, graft.streaming.StreamingOps)
+    ProfileOps, LayoutOps, AuditOps, graft.streaming.StreamingOps)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)
