@@ -104,7 +104,10 @@ object BenchStress {
     // at fixed K — exactly the regime the stress run must watch; span
     // dedup is keyed-linear x W but its dup-gram set grows with REP
     "q_dedup_components", "q_cluster_kmeans", "q_cluster_semdedup",
-    "q_text_span_dedup")
+    "q_text_span_dedup",
+    // round-8: the delta-vs-base probe's candidate volume is
+    // |delta prefix| x base-df — exactly the product xREP multiplies
+    "q_dedup_incremental")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,

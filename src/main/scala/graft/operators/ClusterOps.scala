@@ -46,10 +46,13 @@ object ClusterOps extends QueryPack {
   private val SemTau = "0.35"
 
   /** Exact integer squared L2 distance between two scale-6 unscaled long
-    * vectors (scale-12 unscaled result). */
+    * vectors (scale-12 unscaled result) — the codegen'd
+    * [[graft.functions.LongDist2]] kernel: the assignment stage scores
+    * |corpus| × K pairs per iteration, and the declarative
+    * aggregate∘zip_with formulation walked two interpreted boxed
+    * lambdas per element. */
   private def dist2(a: Column, c: Column): Column =
-    aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.LongDist2.long_dist2(a, c)
 
   /** HALF_UP (ties away from zero) integer mean — the scale-6 unscaled
     * form of `round(sum/cnt, 6)`. Pure integer so both engines agree. */

@@ -386,6 +386,98 @@ object DedupOps extends QueryPack {
     None,
     "SimHash64 (custom expression) banded near-dup pairs, Hamming ≤ 8")
 
+  // --------------------------------------------- incremental near-dup
+  // The daily-ingest shape: the corpus (base) is already deduped and
+  // indexed; a new batch (delta) arrives and must be checked against it
+  // WITHOUT re-pairing base×base — candidate work is |delta prefix
+  // postings| ⋈ base index, never Σ df² over the whole corpus. The
+  // delta side carries a single-sided ppjoin prefix: for J >= 0.5 a
+  // partner shares >= ceil(|A|/2) shingles with delta doc A, so (by
+  // pigeonhole, under ANY total shingle order) A's floor(|A|/2)+1
+  // rarest-by-base-df shingles must hit the partner's FULL posting list
+  // — 100% recall, with base-df order steering the prefix away from hot
+  // shingles. Fixture split: doc_id % 10 == 0 is the delta batch.
+  private val dedupIncremental = QueryDef(
+    "q_dedup_incremental",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = shingled(s, d).cache()
+      val isDelta = $"doc_id" % 10 === 0
+      val base = docs.filter(!isDelta)
+      val delta = docs.filter(isDelta)
+      val basePost = base.select($"doc_id".as("bid"),
+        size($"sh").cast("long").as("nb"), explode($"sh").as("shingle"))
+      // the base index's per-shingle df — the statistic a production
+      // index maintains; delta-only shingles get df 0 (rarest)
+      val baseDf = basePost.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val deltaPrefix = delta
+        .select($"doc_id".as("did"), size($"sh").cast("long").as("nd"),
+          explode($"sh").as("shingle"))
+        .join(baseDf, Seq("shingle"), "left").na.fill(0L, Seq("df"))
+        .withColumn("pos", row_number().over(
+          w.partitionBy($"did").orderBy($"df", $"shingle")))
+        .filter($"pos" <= floor($"nd" / 2) + 1)
+        .select($"did", $"nd", $"shingle")
+      val cands = deltaPrefix.join(basePost, "shingle")
+        // same length filter (+1 absorbs the 6-decimal threshold round)
+        .filter(greatest($"nd", $"nb") <= least($"nd", $"nb") * 2 + 1)
+        .select($"did", $"bid").distinct()
+        .repartition(verifyParallelism(s), $"did")
+      val jaccardOf = (inter: Column, n1: Column, n2: Column) =>
+        round(inter.cast("decimal(18,2)") / (n1 + n2 - inter), 6)
+          .cast("decimal(38,6)")
+      val dups = cands
+        .join(delta.select($"doc_id".as("did"), $"sh".as("shd")), "did")
+        .join(base.select($"doc_id".as("bid"), $"sh".as("shb")), "bid")
+        .select($"did", jaccardOf(
+          graft.functions.SortedIntersectSize
+            .sorted_intersect_size($"shd", $"shb"),
+          size($"shd"), size($"shb")).as("j"))
+        .filter($"j" >= lit("0.5").cast("decimal(38,6)"))
+        .groupBy($"did")
+        .agg(count(lit(1)).as("n_dups"), max($"j").as("bj"))
+      delta.select($"doc_id")
+        .join(dups.withColumnRenamed("did", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_dups", lit(0L)).as("n_dups"),
+          coalesce($"bj".cast("double"), lit(0.0)).as("best_jaccard"),
+          ($"n_dups".isNotNull).cast("long").as("is_dup"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w FROM documents),
+      docs AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM w WHERE len(w) >= 3),
+      base AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
+               FROM docs WHERE doc_id % 10 <> 0),
+      delta AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
+                FROM docs WHERE doc_id % 10 = 0),
+      bp AS (SELECT doc_id AS bid, unnest(sh) AS shingle FROM base),
+      dp AS (SELECT doc_id AS did, unnest(sh) AS shingle FROM delta),
+      inter AS (
+        SELECT d.did, b.bid, count(*) AS i
+        FROM dp d JOIN bp b USING (shingle) GROUP BY 1, 2),
+      j AS (
+        SELECT did, CAST(round(CAST(i AS DECIMAL(18,2)) / (dn.n + bn.n - i), 6)
+          AS DECIMAL(38,6)) AS jj
+        FROM inter
+        JOIN delta dn ON did = dn.doc_id
+        JOIN base bn ON bid = bn.doc_id),
+      dups AS (
+        SELECT did, CAST(count(*) AS BIGINT) AS n_dups, max(jj) AS bj
+        FROM j WHERE jj >= 0.5 GROUP BY did)
+      SELECT d.doc_id, COALESCE(p.n_dups, 0) AS n_dups,
+        COALESCE(CAST(p.bj AS DOUBLE), 0.0) AS best_jaccard,
+        CAST(CASE WHEN p.did IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+      FROM delta d LEFT JOIN dups p ON d.doc_id = p.did
+      ORDER BY d.doc_id"""),
+    "Incremental near-dup: delta batch checked against the base index " +
+      "via a single-sided prefix probe - no base-by-base pair work")
+
   override def defs: Seq[QueryDef] =
-    Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash)
+    Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
+      dedupIncremental)
 }

@@ -155,6 +155,37 @@ class IterativeOpsSpec extends SparkTestBase {
     assert(byId.size === rows.length)
   }
 
+  test("q_dedup_incremental equals the full pair set restricted to " +
+      "delta-vs-base pairs (single-sided prefix probe loses nothing)") {
+    val full = q("q_dedup_ngram_jaccard")
+      .as[(Long, Long, Double)].collect()
+    // cross pairs: exactly one endpoint in the delta batch (%10 == 0);
+    // both-delta pairs are out of scope (delta-internal dedup is the
+    // ordinary batch path)
+    val cross = full.flatMap { case (a, b, j) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (true, false) => Some(a -> j)
+        case (false, true) => Some(b -> j)
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (id, g) =>
+      id -> (g.length.toLong, g.map(_._2).max) }
+    val rows = q("q_dedup_incremental")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nDups, bj, isDup) =>
+      assert(id % 10 === 0L)
+      cross.get(id) match {
+        case Some((wn, wj)) =>
+          assert(nDups === wn, s"doc $id n_dups")
+          assert(bj === wj, s"doc $id best_jaccard")
+          assert(isDup === 1L)
+        case None =>
+          assert(nDups === 0L && bj === 0.0 && isDup === 0L, s"doc $id clean")
+      }
+    }
+  }
+
   test("k-means tier excludes rows with null elements instead of crashing") {
     // decimal_scale6 encodes a null element as a sentinel long whose
     // square would overflow the integer distance under ANSI; the corpus
