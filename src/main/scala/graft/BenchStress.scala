@@ -106,8 +106,9 @@ object BenchStress {
     "q_dedup_components", "q_cluster_kmeans", "q_cluster_semdedup",
     "q_text_span_dedup",
     // round-8: the delta-vs-base probe's candidate volume is
-    // |delta prefix| x base-df — exactly the product xREP multiplies
-    "q_dedup_incremental")
+    // |delta prefix| x base-df — exactly the product xREP multiplies;
+    // SCD-2's per-key version windows grow with the replicated user set
+    "q_dedup_incremental", "q_scd2_build")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,

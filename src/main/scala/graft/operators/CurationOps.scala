@@ -353,7 +353,62 @@ object CurationOps extends QueryPack {
     s"Exact duplicated-span removal: $SpanW-gram occurrences appearing " +
       ">= 2x corpus-wide have their token ranges cut, text reassembled")
 
+  // ------------------------------------------------- SCD Type-2 build
+  // The warehouse history pattern the latest-wins merge (q_merge_upsert)
+  // deliberately discards: instead of keeping only the current row per
+  // key, keep every VERSION with its validity interval. Built
+  // declaratively from the event stream: per user, consecutive runs of
+  // the same event_type collapse to one version row whose valid_from is
+  // the run's first event and valid_to the next run's start (NULL-free:
+  // the open current version carries a sentinel far-future bound so
+  // every output column hashes as plain BIGINT). One shuffle on the
+  // key; the run-collapse and both interval bounds come from lag/lead
+  // windows inside that same partition — no self-join, which is how
+  // SCD-2 must be built at 100 TB (the naive formulation joins the
+  // change stream to itself on key + adjacent-time).
+  private val CurrentSentinel = 32503680000L // 3000-01-01 epoch s
+  private val scd2Build = QueryDef(
+    "q_scd2_build",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+      val wv = Window.partitionBy($"user_id")
+        .orderBy($"valid_from_s", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id",
+          unix_timestamp($"ts").as("ts_s"), $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNull || $"prev" =!= $"event_type")
+        .select($"user_id", $"event_id", $"event_type",
+          $"ts_s".as("valid_from_s"))
+        .withColumn("valid_to_s",
+          coalesce(lead($"valid_from_s", 1).over(wv), lit(CurrentSentinel)))
+        .withColumn("is_current",
+          ($"valid_to_s" === CurrentSentinel).cast("long"))
+        .drop($"event_id")
+        .orderBy($"user_id", $"valid_from_s", $"event_type")
+    },
+    Some(s"""WITH e AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+        FROM events),
+      runs AS (
+        SELECT user_id, event_id, event_type, ts_s AS valid_from_s
+        FROM e WHERE prev IS NULL OR prev <> event_type),
+      v AS (
+        SELECT user_id, event_type, valid_from_s,
+          COALESCE(lead(valid_from_s) OVER (PARTITION BY user_id
+              ORDER BY valid_from_s, event_id),
+            $CurrentSentinel) AS valid_to_s
+        FROM runs)
+      SELECT user_id, event_type, valid_from_s, valid_to_s,
+        CAST(CASE WHEN valid_to_s = $CurrentSentinel THEN 1 ELSE 0 END AS BIGINT)
+          AS is_current
+      FROM v ORDER BY user_id, valid_from_s, event_type"""),
+    "SCD Type-2 dimension build: per-key version intervals from the " +
+      "change stream via lag/lead windows, no self-join")
+
   override def defs: Seq[QueryDef] =
     Seq(mergeUpsert, sampleStratified, packSequences, redactScrub,
-      decontaminate, shuffleDeterministic, textSpanDedup)
+      decontaminate, shuffleDeterministic, textSpanDedup, scd2Build)
 }
