@@ -123,7 +123,11 @@ object AggOps extends QueryPack {
     "q_agg_sketch_rollup",
     (s, d) => {
       import s.implicits._
-      val daily = dailySketches(s, d)
+      // cached: `daily` feeds two plan branches (perDay + the unioned
+      // total) — without it the raw-events scan and the HLL sketch
+      // aggregation run twice, at odds with the op's own "never re-scan
+      // raw events" framing (ADVICE r8)
+      val daily = dailySketches(s, d).cache()
       val perDay = daily.select(
         date_format($"day", "yyyy-MM-dd").as("day"),
         $"n_events",

@@ -58,7 +58,8 @@ object AuditOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d).select(to_date($"ts").as("day"), $"user_id")
-      val daily = AggOps.dailySketches(s, d)
+      // cached for the same two-branch reason as the declared query
+      val daily = AggOps.dailySketches(s, d).cache()
       val perDay = daily
         .select($"day", $"n_events", hll_sketch_estimate($"sk").as("est"))
         .join(ev.groupBy($"day")

@@ -42,11 +42,10 @@ object CleanPipelineOps extends QueryPack {
         .filter($"doc_id" === $"keep")
       // distinct BEFORE the anti join: the loser set is bounded by corpus
       // size, the raw pair stream is bounded by Σdf² — broadcasting the
-      // latter blew past the 8 GiB broadcast ceiling at 10× scale
-      val nearDupLosers = DedupOps
-        // prefix-filtered since round 8 — same flip as
-        // q_dedup_ngram_jaccard (Σdf² exploded on the hot-shingle corpus)
-        .ngramJaccardPairs(s, d, prefixFilter = true)
+      // latter blew past the 8 GiB broadcast ceiling at 10× scale.
+      // Reads the SHARED materialized pair set (DedupOps.sharedNgramPairs)
+      // instead of recomputing pair generation (VERDICT r8 task 3).
+      val nearDupLosers = DedupOps.sharedNgramPairs(s, d)
         .select($"doc2".as("doc_id")).distinct()
       exactKept
         .join(nearDupLosers, Seq("doc_id"), "left_anti")

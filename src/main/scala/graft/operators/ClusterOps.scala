@@ -175,9 +175,14 @@ object ClusterOps extends QueryPack {
       import s.implicits._
       val sv = scaledCorpus(s, d)
       val cents = fitCentroids(s, sv)
+      // eager K-row materialization of the final assignment stats, so the
+      // corpus cache can be RELEASED here instead of accumulating one
+      // cached copy per cluster query across a bench run (ADVICE r8)
       val stats = assign(s, sv, cents)
         .groupBy($"cluster")
         .agg(count(lit(1)).as("n_vecs"), sum($"d2").as("sse12"))
+        .localCheckpoint()
+      sv.unpersist(false)
       val cnorm = cents.map { case (c, a) => (c, a.map(math.abs).sum) }
         .toDF("cluster", "cnorm1_6")
       cnorm.join(broadcast(stats), Seq("cluster"), "left")
@@ -215,8 +220,15 @@ object ClusterOps extends QueryPack {
       import s.implicits._
       val sv = scaledCorpus(s, d)
       val cents = fitCentroids(s, sv)
+      // eagerly materialized ONCE: `asg` feeds both sides of the pair
+      // self-join below plus the final keep projection — without the
+      // checkpoint the |corpus|×K crossJoin+argmin subtree executed
+      // three times (ADVICE r8). Eager also lets the corpus cache be
+      // released here rather than accumulating across a bench run.
       val asg = assign(s, sv, cents).join(sv, "vec_id")
         .select($"vec_id", $"cluster", $"sa")
+        .localCheckpoint()
+      sv.unpersist(false)
       val dropped = asg.as("a").join(asg.as("b"),
           $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
         .filter(graft.functions.ScaledDot.scaled_dot($"a.sa", $"b.sa") >=

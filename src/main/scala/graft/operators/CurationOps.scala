@@ -386,7 +386,12 @@ object CurationOps extends QueryPack {
         .withColumn("is_current",
           ($"valid_to_s" === CurrentSentinel).cast("long"))
         .drop($"event_id")
-        .orderBy($"user_id", $"valid_from_s", $"event_type")
+        // valid_to_s in the sort keys makes the order TOTAL: two runs of
+        // the same event_type can start in the same second (A,B,A all at
+        // ts T), identical on the first three keys but with different
+        // valid_to_s — without it Spark and DuckDB may order them
+        // differently (ADVICE r8)
+        .orderBy($"user_id", $"valid_from_s", $"event_type", $"valid_to_s")
     },
     Some(s"""WITH e AS (
         SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type,
@@ -404,7 +409,7 @@ object CurationOps extends QueryPack {
       SELECT user_id, event_type, valid_from_s, valid_to_s,
         CAST(CASE WHEN valid_to_s = $CurrentSentinel THEN 1 ELSE 0 END AS BIGINT)
           AS is_current
-      FROM v ORDER BY user_id, valid_from_s, event_type"""),
+      FROM v ORDER BY user_id, valid_from_s, event_type, valid_to_s"""),
     "SCD Type-2 dimension build: per-key version intervals from the " +
       "change stream via lag/lead windows, no self-join")
 

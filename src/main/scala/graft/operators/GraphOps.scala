@@ -116,8 +116,10 @@ object GraphOps extends QueryPack {
     "q_dedup_components",
     (s, d) => {
       import s.implicits._
-      val pairs = DedupOps
-        .ngramJaccardPairs(s, d, prefixFilter = true, presentation = false)
+      // the SHARED materialized pair set (DedupOps.sharedNgramPairs) —
+      // pair generation is the engine's most expensive stage and must
+      // not be recomputed per consumer (VERDICT r8 task 3)
+      val pairs = DedupOps.sharedNgramPairs(s, d).select($"doc1", $"doc2")
       val comp = connectedComponents(s, pairs)
       val w = org.apache.spark.sql.expressions.Window.partitionBy($"component")
       comp

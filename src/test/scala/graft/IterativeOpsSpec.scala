@@ -49,7 +49,7 @@ class IterativeOpsSpec extends SparkTestBase {
   test("q_dedup_components matches union-find over the declared pair set") {
     val pairs = DedupOps
       .ngramJaccardPairs(spark, sf, prefixFilter = true, presentation = false)
-      .as[(Long, Long)].collect().toSeq
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSeq
     val want = ufComponents(pairs)
     val rows = q("q_dedup_components")
       .select($"doc_id", $"component", $"n_members", $"is_canonical")

@@ -58,14 +58,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(jac.count(_ >= 0.9) >= 25, "planted near-dups cluster at >= 0.9")
   }
 
-  test("prefix-filtered ngram strategy returns identical pairs to direct") {
-    val pf = operators.DedupOps.ngramJaccardPairs(spark, sf, prefixFilter = true)
+  test("prefix, direct, and the shared declared pair set are identical") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
       .select($"doc1", $"doc2", $"jaccard".cast("string"))
       .as[(Long, Long, String)].collect().toSet
-    val direct = q("q_dedup_ngram_jaccard")
-      .select($"doc1", $"doc2", $"jaccard".cast("string"))
-      .as[(Long, Long, String)].collect().toSet
+    val pf = pairSet(operators.DedupOps
+      .ngramJaccardPairs(spark, sf, prefixFilter = true))
+    val direct = pairSet(operators.DedupOps
+      .ngramJaccardPairs(spark, sf, prefixFilter = false))
+    // the declared query reads the shared localCheckpoint materialization
+    val declared = pairSet(q("q_dedup_ngram_jaccard"))
     assert(pf === direct)
+    assert(declared === direct)
   }
 
   test("q_dedup_minhash: sound (subset of exact pairs) with high recall") {

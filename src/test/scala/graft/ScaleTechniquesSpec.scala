@@ -91,49 +91,57 @@ class ScaleTechniquesSpec extends SparkTestBase {
         .findAllIn(plan).length
     assert(nJoins <= 2,
       s"prefix strategy must join only for exact-verify (≤2), found $nJoins:\n" + plan)
-    // Round-8 regression guard: the Generate-derived candidate stream
-    // misestimates tiny, and the planner once picked IT as the broadcast
-    // build side — a 31M-pair broadcast probed by the doc table in one
-    // task at 10×. The explicit broadcast() must put the DOC side (and
-    // only it) inside every BroadcastExchange: no broadcast SUBTREE may
-    // contain the pair Generate.
+    // Round-9 build-side guard (VERDICT r8 task 1): the Generate-derived
+    // candidate stream misestimates tiny, and an unhinted planner once
+    // picked IT as the broadcast build side — a 31M-pair broadcast probed
+    // by the doc table in one task at 10×. Round 8's fix (broadcast the
+    // docs side) traded that for an 8 GiB broadcast cliff on the full
+    // docs-with-shingles relation at real corpus scale. The current form
+    // SHUFFLE_HASH-hints the docs side: both verify joins must plan as
+    // ShuffledHashJoin with the DOC side (the join's right/hinted input)
+    // as the build side — the pair stream never builds and nothing
+    // corpus-sized is ever broadcast.
     // AdaptiveSparkPlanExec and QueryStageExec are traversal leaves, so
-    // node-walking can't see inside stages; run the query and parse the
-    // FINAL plan's indented tree text instead (stages nest in toString).
+    // node-walking can't see inside stages; run the query and inspect the
+    // FINAL plan's text instead (stages nest in toString).
     val df2 = operators.DedupOps.ngramJaccardPairs(spark, sf, prefixFilter = true)
     df2.collect()
     val finalPlan = df2.queryExecution.executedPlan.toString
-    val lines = finalPlan.linesIterator.toArray
-    def opCol(l: String): Int = l.indexWhere(c => !" :+-".contains(c))
-    val bxSubtrees = lines.indices
-      .filter(i => lines(i).contains("BroadcastExchange") ||
-        lines(i).contains("BroadcastQueryStage"))
-      .map { i =>
-        val c0 = opCol(lines(i))
-        lines.drop(i + 1).takeWhile(l => opCol(l) > c0)
-      }
-    assert(bxSubtrees.nonEmpty,
-      "verify joins must broadcast the doc side:\n" + finalPlan)
-    assert(!bxSubtrees.exists(_.exists(_.contains("block_pairs"))),
-      "the candidate pair stream must never be a broadcast build side:\n" + finalPlan)
+    // (the AQE plan's toString repeats each node in its == Initial Plan ==
+    // section, so assert on the join KINDS present, not a line count)
+    val shjLines = finalPlan.linesIterator
+      .filter(_.contains("ShuffledHashJoin")).toSeq
+    assert(shjLines.nonEmpty &&
+        !finalPlan.contains("SortMergeJoin") &&
+        !finalPlan.contains("BroadcastHashJoin"),
+      "both verify joins must be ShuffledHashJoin:\n" + finalPlan)
+    assert(shjLines.forall(_.contains("BuildRight")),
+      "the docs (hinted, right) side must be the SHJ build side — the " +
+        "pair stream never builds:\n" + finalPlan)
+    assert(!finalPlan.contains("BroadcastExchange"),
+      "nothing corpus-sized may be broadcast in the verify stage:\n" + finalPlan)
   }
 
-  test("a hot shingle's pair emission spans multiple tasks (blocked kernel)") {
-    // VERDICT r6 task 2: in the pre-blocked kernel, one grouped posting
-    // list was one generator call in ONE task — a df≈10⁴ stop-word
-    // shingle serialized its ~5·10⁷-pair emission into a single
-    // straggler. Plant exactly that shingle (df = 10 000, cap = 1 024 →
-    // 10 blocks → 55 bucket rows) and prove (a) the bucket rows of the
-    // ONE key land on more than one task after the forced repartition,
-    // (b) the emitted pair multiset is exactly the single-list
+  test("a hot shingle's pair emission spans multiple tasks with a HARD buffer ceiling (blocked kernel)") {
+    // VERDICT r6 task 2 + r8 task 2: in the pre-blocked kernel, one
+    // grouped posting list was one generator call in ONE task; in the
+    // round-8 kernel the emission was blocked but the per-key
+    // collect_list still buffered the FULL df-element posting list (a
+    // documented, unenforced ceiling). Plant a df≈10⁵ stop-word shingle
+    // (cap = 1 024 → 98 blocks → 4 851 bucket rows) and prove (a) the
+    // bucket rows of the ONE key land on more than one task after the
+    // forced repartition, (b) NO collected bucket holds more than 2·cap
+    // postings — the buffer ceiling is structural, not documented —
+    // (c) the emitted pair multiset is exactly the single-list
     // ordered_pairs result.
-    val df = 10000
+    val df = 100000
     val cap = 1024
     val posting = spark.range(df)
       .select(lit("the quick brown").as("shingle"),
         struct($"id".as("doc_id"), lit(100L).as("n")).as("dn"))
     val buckets = operators.PairStreams
       .bucketRows(posting, Seq($"shingle"), $"dn", cap)
+      .cache()
     val parts = buckets
       .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
       .distinct().collect().map(_.getInt(0))
@@ -142,6 +150,12 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "one bucket row per block pair")
     assert(parts.length > 1,
       s"hot-shingle buckets must spread over >1 task, got partitions ${parts.toSeq}")
+    val maxBucket = buckets
+      .select(max(size($"l_id") + size($"r_id"))).head().getInt(0)
+    assert(maxBucket <= 2 * cap,
+      s"df=$df shingle must never buffer more than 2·cap postings in " +
+        s"one aggregation group, got $maxBucket")
+    buckets.unpersist(false)
     // pair-contract equivalence on a size where the direct product is
     // checkable: every i<j pair exactly once
     val pairs = operators.PairStreams
