@@ -74,6 +74,10 @@ object BenchStress {
     "q_shuffle_deterministic",
     "q_variant_extract",
     "q_agg_grouping_sets",
+    // round-9: BPE learning scans the corpus once for the word dict, then
+    // iterates on the vocab-sized dict — the 10x point proves the loop
+    // cost stays vocab-bound while the corpus scan scales linearly
+    "q_text_bpe",
     "q_sink_text_roundtrip",
     "q_redact_scrub",
     "q_sample_stratified",
@@ -124,6 +128,9 @@ object BenchStress {
     "q_flatmap_shingles", "q_embed_norm", "q_embed_quantize",
     "q_multimodal_meta", "q_multimodal_features", "q_multimodal_decode",
     "q_text_analysis",
+    // hashed-ngram linear scorer: a zero-shuffle per-row map, same class
+    // as the heuristic quality gate
+    "q_text_quality_model",
     "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_token_ids",
     "q_text_fingerprint", "q_text_repetition",
     // MG sketch: vocabulary-bounded O(capacity) state per buffer — the

@@ -14,9 +14,10 @@ object SparkEntry {
   /** All operator families the engine declares. */
   val packs: Seq[QueryPack] = Seq(
     CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps,
-    TextOps, DedupOps, GraphOps, ClusterOps, SimilarityOps, CustomOps,
-    MultimodalOps, TypedOps, SourceOps, CleanPipelineOps, CurationOps,
-    ProfileOps, LayoutOps, AuditOps, graft.streaming.StreamingOps)
+    TextOps, BpeOps, DedupOps, GraphOps, ClusterOps, SimilarityOps,
+    CustomOps, MultimodalOps, TypedOps, SourceOps, CleanPipelineOps,
+    CurationOps, ProfileOps, LayoutOps, AuditOps,
+    graft.streaming.StreamingOps)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)

@@ -32,9 +32,17 @@ object CleanPipelineOps extends QueryPack {
       import s.implicits._
       val t = toks($"text")
       val quality = round(size(array_distinct(t)).cast("decimal(18,2)") / size(t), 6)
+      // round-9 addition: the MODEL quality gate (hashed-ngram linear
+      // scorer, TextOps.modelRawScore) composes after the heuristic TTR
+      // gate — both are pushed per-row filters, still zero extra shuffle
+      val (mn, mraw) = TextOps.modelRawScore($"text")
       val gated = Tables.documents(s, d)
         .withColumn("ttr", quality)
         .filter($"ttr" >= lit("0.30").cast("decimal(38,6)"))
+        .withColumn("mn", mn).withColumn("mraw", mraw)
+        .filter(TextOps.modelScore($"mn", $"mraw") >=
+          lit(0).cast("decimal(38,6)"))
+        .drop("mn", "mraw")
       val exactKept = gated
         .withColumn("chash", md5(regexp_replace(lower($"text"), "\\s+", " ")))
         .withColumn("keep", min($"doc_id").over(
@@ -56,13 +64,20 @@ object CleanPipelineOps extends QueryPack {
             .cast("decimal(38,6)").cast("double").as("avg_ttr"))
         .orderBy($"lang")
     },
-    Some("""WITH gated AS (
+    Some {
+      val g = TextOps.modelSqlGrams("text")
+      val scoreSql = TextOps.modelSqlScore(
+        s"CAST(len($g) AS BIGINT)", TextOps.modelSqlRaw(g))
+      // raw interpolator: the SQL contains regex escapes (\s+) that the
+      // s-interpolator would reject as invalid escape sequences
+      raw"""WITH gated AS (
         SELECT doc_id, lang, n_chars, text,
           round(CAST(len(list_distinct(regexp_split_to_array(lower(text), ' +'))) AS DECIMAL(18,2))
             / len(regexp_split_to_array(lower(text), ' +')), 6) AS ttr
         FROM documents
         WHERE round(CAST(len(list_distinct(regexp_split_to_array(lower(text), ' +'))) AS DECIMAL(18,2))
-            / len(regexp_split_to_array(lower(text), ' +')), 6) >= 0.30),
+            / len(regexp_split_to_array(lower(text), ' +')), 6) >= 0.30
+          AND $scoreSql >= 0),
       exact_kept AS (
         SELECT * FROM (
           SELECT g.*, min(doc_id) OVER (PARTITION BY
@@ -91,9 +106,10 @@ object CleanPipelineOps extends QueryPack {
         CAST(CAST(round(CAST(sum(ttr) AS DECIMAL(38,6)) / count(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS avg_ttr
       FROM exact_kept
       WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-      GROUP BY lang ORDER BY lang"""),
-    "End-to-end cleaning pipeline: quality gate -> exact dedup -> " +
-      "near-dup purge -> per-language corpus stats, one Catalyst plan")
+      GROUP BY lang ORDER BY lang"""
+    },
+    "End-to-end cleaning pipeline: quality gates (heuristic + model) -> " +
+      "exact dedup -> near-dup purge -> per-language corpus stats")
 
   // ------------------------- deterministic split + systematic sample
   // The corpus-management tail of every training pipeline: carve

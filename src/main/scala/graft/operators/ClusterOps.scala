@@ -36,7 +36,23 @@ import graft.{QueryDef, QueryPack, Tables}
   */
 object ClusterOps extends QueryPack {
 
-  private[graft] val K = 8
+  /** K scales with the corpus (VERDICT r8 task 6): SemDeDup's Σ|c|² ≈
+    * N²/K pair bound and the per-cluster join-key cardinality only hold
+    * at 100× if K grows with N — the published pipelines use ~100k
+    * clusters at LAION scale. ⌈√N⌉ keeps BOTH the expected per-cluster
+    * size (N/K ≈ √N) and the cluster count sublinear; the floor keeps
+    * the fixture behavior stable and the cap bounds the K×Dim driver
+    * state (4096 · 64 longs ≈ 2 MB). */
+  private[graft] def effectiveK(n: Long): Int =
+    math.max(8, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** The K each declared query actually used this run, recorded so the
+    * lazily-rendered oracle (QueryDef.oracleFn) replays the SAME
+    * training loop — the corpus-count → K computation cannot happen in
+    * static SQL. */
+  private val lastK =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
   private[graft] val Dim = 64
   private[graft] val Iters = 3
   /** SemDeDup similarity threshold. The published algorithm tunes ε per
@@ -99,13 +115,13 @@ object ClusterOps extends QueryPack {
   /** Lloyd's iterations; returns the final centroids. Each iteration is
     * two Spark jobs (assignment+sums aggregation collapsed into one
     * action) and one K×Dim-row driver collect. */
-  private[graft] def fitCentroids(s: SparkSession, sv: DataFrame)
+  private[graft] def fitCentroids(s: SparkSession, sv: DataFrame, k: Int)
       : Seq[(Long, Array[Long])] = {
     import s.implicits._
     // deterministic init: the first K vectors by id are the seed
     // centroids (both engines express this as `vec_id < K`)
-    var cents: Seq[(Long, Array[Long])] = sv.filter($"vec_id" < K)
-      .limit(K) // K rows by construction; syntactic bound for the collect
+    var cents: Seq[(Long, Array[Long])] = sv.filter($"vec_id" < k)
+      .limit(k) // K rows by construction; syntactic bound for the collect
       .select($"vec_id", $"sa").as[(Long, Seq[Long])]
       .collect().sortBy(_._1).map { case (c, a) => (c, a.toArray) }.toSeq
     for (_ <- 0 until Iters) {
@@ -134,8 +150,9 @@ object ClusterOps extends QueryPack {
 
   /** Shared DuckDB replica of the training loop: CTEs up to
     * `assign$Iters` (the final assignment) and `cent$Iters` (the final
-    * centroids), all in exact integer arithmetic. */
-  private def kmeansCtes: String = {
+    * centroids), all in exact integer arithmetic. `k` is the run's
+    * effective cluster count (recorded by the query fn). */
+  private def kmeansCtes(k: Int): String = {
     val parts = Seq.newBuilder[String]
     parts += s"""e_rows AS (
         SELECT vec_id, t.dim AS dim,
@@ -143,7 +160,7 @@ object ClusterOps extends QueryPack {
         FROM embeddings, range(1, ${Dim + 1}) t(dim)
         WHERE len(embedding) = $Dim
           AND len(list_filter(embedding, x -> x IS NULL)) = 0),
-      cent0 AS (SELECT vec_id AS cluster, dim, el AS cl FROM e_rows WHERE vec_id < $K)"""
+      cent0 AS (SELECT vec_id AS cluster, dim, el AS cl FROM e_rows WHERE vec_id < $k)"""
     for (k <- 0 to Iters) {
       parts += s"""dist$k AS (
         SELECT e.vec_id, c.cluster, SUM((e.el - c.cl) * (e.el - c.cl)) AS d2
@@ -174,7 +191,9 @@ object ClusterOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val sv = scaledCorpus(s, d)
-      val cents = fitCentroids(s, sv)
+      val k = effectiveK(sv.count())
+      lastK("q_cluster_kmeans") = k
+      val cents = fitCentroids(s, sv, k)
       // eager K-row materialization of the final assignment stats, so the
       // corpus cache can be RELEASED here instead of accumulating one
       // cached copy per cluster query across a bench run (ADVICE r8)
@@ -192,7 +211,10 @@ object ClusterOps extends QueryPack {
           $"cnorm1_6")
         .orderBy($"cluster")
     },
-    Some(s"""WITH $kmeansCtes
+    None,
+    s"Distributed Lloyd's k-means (K=ceil(sqrt(N)), $Iters iterations) " +
+      "over the embedding corpus, integer-exact and partitioning-invariant",
+    oracleFn = Some(() => s"""WITH ${kmeansCtes(lastK.getOrElse("q_cluster_kmeans", 8))}
       SELECT c.cluster, CAST(COALESCE(s.n_vecs, 0) AS BIGINT) AS n_vecs,
         CAST(COALESCE(s.sse12, 0) AS BIGINT) AS sse12, c.cnorm1_6
       FROM (SELECT cluster, CAST(SUM(ABS(cl)) AS BIGINT) AS cnorm1_6
@@ -200,9 +222,7 @@ object ClusterOps extends QueryPack {
       LEFT JOIN (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
                  CAST(SUM(d2) AS BIGINT) AS sse12
                  FROM assign$Iters GROUP BY 1) s USING (cluster)
-      ORDER BY c.cluster"""),
-    s"Distributed Lloyd's k-means (K=$K, $Iters iterations) over the " +
-      "embedding corpus, integer-exact and partitioning-invariant")
+      ORDER BY c.cluster"""))
 
   // ------------------------------------------------------ SemDeDup
   // Within-cluster pairwise similarity only: the k-means partition bounds
@@ -219,7 +239,9 @@ object ClusterOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val sv = scaledCorpus(s, d)
-      val cents = fitCentroids(s, sv)
+      val k = effectiveK(sv.count())
+      lastK("q_cluster_semdedup") = k
+      val cents = fitCentroids(s, sv, k)
       // eagerly materialized ONCE: `asg` feeds both sides of the pair
       // self-join below plus the final keep projection — without the
       // checkpoint the |corpus|×K crossJoin+argmin subtree executed
@@ -239,7 +261,10 @@ object ClusterOps extends QueryPack {
           ($"hit".isNull).cast("long").as("keep"))
         .orderBy($"vec_id")
     },
-    Some(s"""WITH $kmeansCtes,
+    None,
+    "SemDeDup semantic dedup: within-k-means-cluster pairwise decimal " +
+      s"dot >= $SemTau drops the higher id (K=ceil(sqrt(N)))",
+    oracleFn = Some(() => s"""WITH ${kmeansCtes(lastK.getOrElse("q_cluster_semdedup", 8))},
       wsa AS (SELECT a.vec_id, a.cluster, e.embedding
               FROM assign$Iters a JOIN embeddings e USING (vec_id)),
       sem_dropped AS (
@@ -253,9 +278,7 @@ object ClusterOps extends QueryPack {
       SELECT a.vec_id, a.cluster,
         CAST(CASE WHEN p.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM assign$Iters a LEFT JOIN sem_dropped p ON a.vec_id = p.v
-      ORDER BY a.vec_id"""),
-    "SemDeDup semantic dedup: within-k-means-cluster pairwise decimal " +
-      s"dot >= $SemTau drops the higher id")
+      ORDER BY a.vec_id"""))
 
   override def defs: Seq[QueryDef] = Seq(clusterKmeans, clusterSemdedup)
 }

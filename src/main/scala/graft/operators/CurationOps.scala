@@ -177,6 +177,15 @@ object CurationOps extends QueryPack {
   // map-side broadcast join over the corpus gram stream + one groupBy
   // per flagged doc. The corpus is never shuffled and no pairwise doc
   // comparison exists; at 100 TB this is the only viable shape.
+  /** Contamination decision threshold: a doc is contaminated iff at
+    * least this fraction of its distinct 4-grams hits the held-out
+    * index. Any-hit (the pre-round-9 rule) is brittle both ways at web
+    * scale — one boilerplate 4-gram flags an innocent doc, while a
+    * paraphrased leak that shares many grams is indistinguishable from
+    * it; the published decontamination setups (GPT-3 appendix C,
+    * FineWeb) use overlap fractions for exactly this reason. */
+  private val DecontamThreshold = "0.20"
+
   private val decontaminate = QueryDef(
     "q_decontaminate",
     (s, d) => {
@@ -188,18 +197,26 @@ object CurationOps extends QueryPack {
         .filter(size($"sh") > 0)
       val testGrams = sh.filter($"doc_id" % 50 === 0)
         .select(explode($"sh").as("g")).distinct()
-      sh.filter($"doc_id" % 50 =!= 0)
-        .select($"doc_id", size($"sh").cast("long").as("n_sh"),
-          explode($"sh").as("g"))
+      val corpus = sh.filter($"doc_id" % 50 =!= 0)
+      // only the HIT stream (bounded by the index size × corpus hits)
+      // shuffles to the per-doc count; the corpus gram stream reaches
+      // the broadcast join map-side, unshuffled
+      val hits = corpus
+        .select($"doc_id", explode($"sh").as("g"))
         .join(broadcast(testGrams), Seq("g"))
-        .groupBy($"doc_id", $"n_sh")
+        .groupBy($"doc_id")
         .agg(count("*").as("n_hits")) // grams are distinct per doc
+      val overlapDec = round($"n_hits".cast("decimal(18,2)") / $"n_sh", 6)
+        .cast("decimal(38,6)")
+      corpus.select($"doc_id", size($"sh").cast("long").as("n_sh"))
+        .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_hits"))
         .select($"doc_id", $"n_sh", $"n_hits",
-          round($"n_hits".cast("decimal(18,2)") / $"n_sh", 6)
-            .cast("decimal(38,6)").cast("double").as("overlap"))
+          overlapDec.cast("double").as("overlap"),
+          (overlapDec >= lit(DecontamThreshold).cast("decimal(38,6)"))
+            .cast("long").as("contaminated"))
         .orderBy($"doc_id")
     },
-    Some("""WITH w AS (
+    Some(s"""WITH w AS (
         SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w
         FROM documents),
       docs AS (
@@ -207,15 +224,22 @@ object CurationOps extends QueryPack {
           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
         FROM w WHERE len(w) >= 4),
       tg AS (SELECT DISTINCT unnest(sh) AS g FROM docs WHERE doc_id % 50 = 0),
-      corpus AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
-        unnest(sh) AS g FROM docs WHERE doc_id % 50 <> 0)
-      SELECT doc_id, n_sh, CAST(count(*) AS BIGINT) AS n_hits,
-        CAST(CAST(round(CAST(count(*) AS DECIMAL(18,2)) / n_sh, 6)
-          AS DECIMAL(38,6)) AS DOUBLE) AS overlap
-      FROM corpus JOIN tg USING (g)
-      GROUP BY doc_id, n_sh ORDER BY doc_id"""),
+      cg AS (SELECT doc_id, unnest(sh) AS g FROM docs WHERE doc_id % 50 <> 0),
+      hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM cg JOIN tg USING (g) GROUP BY doc_id),
+      res AS (
+        SELECT d.doc_id, CAST(len(d.sh) AS BIGINT) AS n_sh,
+          COALESCE(h.n_hits, 0) AS n_hits,
+          CAST(round(CAST(COALESCE(h.n_hits, 0) AS DECIMAL(18,2))
+            / len(d.sh), 6) AS DECIMAL(38,6)) AS ov
+        FROM docs d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 <> 0)
+      SELECT doc_id, n_sh, n_hits, CAST(ov AS DOUBLE) AS overlap,
+        CAST(CASE WHEN ov >= $DecontamThreshold THEN 1 ELSE 0 END AS BIGINT)
+          AS contaminated
+      FROM res ORDER BY doc_id"""),
     "Test-set 4-gram decontamination: broadcast test-gram index, " +
-      "map-side join, no corpus shuffle")
+      "map-side join, overlap-fraction contamination decision")
 
   // ------------------------------------ deterministic corpus shuffle
   // Training-data ordering must be a reproducible function of the DATA,

@@ -251,8 +251,14 @@ object SimilarityOps extends QueryPack {
     }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
   }
 
-  /** IVF index parameters: 16 lists, probe 2, train on a BOUNDED sample. */
-  private val IvfK = 16
+  /** IVF index parameters: list count scales with the corpus (VERDICT r8
+    * task 6 — N/K per-list probe cost only stays sublinear if K grows;
+    * FAISS practice is K ≈ √N lists), probe 2, train on a BOUNDED
+    * sample. The floor keeps fixture behavior stable; the cap is the
+    * training-sample size (seeding needs k distinct sample vectors). */
+  private[graft] def ivfK(n: Long): Int =
+    math.max(16, math.min(IvfSampleCap,
+      math.ceil(math.sqrt(n.toDouble)).toInt))
   private val IvfIters = 5
   private val IvfNProbe = 2
   private[graft] val IvfSampleCap = 4096
@@ -277,7 +283,11 @@ object SimilarityOps extends QueryPack {
   private[graft] def ivfResults(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-      val cents = kmeansFit(ivfTrainingSample(s, d), IvfK, IvfIters)
+      val sample = ivfTrainingSample(s, d)
+      // corpus-count job is a column-pruned parquet scan (cheap); the
+      // quantizer is still trained on the bounded sample only
+      val k = math.min(ivfK(emb.count()), sample.length)
+      val cents = kmeansFit(sample, k, IvfIters)
       // distributed assignment: codegen kernel over Tungsten rows — the
       // corpus never deserializes; the quantizer (k*dim doubles —
       // kilobytes) is a bound reference object in the generated code
@@ -302,21 +312,21 @@ object SimilarityOps extends QueryPack {
       // top-k per query via the bounded-heap aggregate — the probed
       // candidate stream (|queries| × N·nprobe/lists rows at scale) is
       // never sorted. The heap id packs (cid, list) into one long
-      // (list < IvfK); unpacking after the explode restores both columns,
+      // (list < k); unpacking after the explode restores both columns,
       // and the packed order is monotone in cid (each cid appears in at
       // most one list), so the (dot DESC, cid ASC) tie-break is preserved.
       broadcast(queries)
         .join(assigned, Seq("list"))
         .filter($"qid" =!= $"cid")
         .select($"qid",
-          ($"cid" * lit(IvfK.toLong) + $"list".cast("long")).as("packed"),
+          ($"cid" * lit(k.toLong) + $"list".cast("long")).as("packed"),
           graft.functions.ScaledDot.scaled_dot($"qvec", $"cvec").as("dot"))
         .groupBy($"qid")
         .agg(graft.functions.TopKPairs.top_k_pairs($"dot", $"packed", K).as("tk"))
         .select($"qid", posexplode($"tk"))
         .select($"qid",
-          expr(s"CAST(col.id div $IvfK AS BIGINT)").as("cid"),
-          expr(s"CAST(col.id % $IvfK AS INT)").as("list"),
+          expr(s"CAST(col.id div $k AS BIGINT)").as("cid"),
+          expr(s"CAST(col.id % $k AS INT)").as("list"),
           $"col.score".cast("double").as("dot"),
           ($"pos" + 1).cast("long").as("rank"))
         .orderBy($"qid", $"rank")
@@ -326,8 +336,8 @@ object SimilarityOps extends QueryPack {
     "q_simsearch_ivf",
     (s, d) => ivfResults(s, d),
     None,
-    "IVF ANN: deterministic k-means coarse quantizer (16 lists), " +
-      "nprobe=2 probe, exact decimal rerank")
+    "IVF ANN: deterministic k-means coarse quantizer (ceil(sqrt(N)) " +
+      "lists), nprobe=2 probe, exact decimal rerank")
 
   // --------------------------------------------- embedding norms
   // Vector hygiene op every embedding pipeline needs: exact squared L2

@@ -102,6 +102,99 @@ object TextOps extends QueryPack {
       FROM t ORDER BY doc_id"""),
     "Per-doc quality heuristics: type-token ratio, stopword ratio, score")
 
+  // --------------------------------- model-based quality scoring
+  // The CCNet/fastText-class pipeline stage (Wenzek et al. 2020; Joulin
+  // et al. 2017 — public formulations): a LINEAR scorer over hashed
+  // bag-of-ngram features, applied as a pure per-row map. The feature
+  // hash and the weight table are both fixed public formulas so the
+  // DuckDB oracle recomputes the identical score:
+  //   bucket(g) = int(first 8 hex digits of md5(g)) mod 2^16
+  //   w(g)      = (bucket(g) · 2654435761) mod 2001 − 1000   (Knuth's
+  //               multiplicative constant; milli-units in [−1, 1])
+  //   score     = Σ w(g) / (1000 · n_grams)   over word uni+bigrams
+  // All arithmetic is integer until the final exact-decimal division —
+  // no float summation order anywhere. ZERO shuffles: the whole scorer
+  // is array expressions inside one projection; the only exchange in the
+  // plan is the presentation sort. (A trained-weight deployment swaps the
+  // weight formula for a broadcast lookup; the plan shape is unchanged.)
+  private[operators] val QmBuckets = 65536L
+  private[operators] val QmKnuth = 2654435761L
+  private[operators] val QmMod = 2001L
+
+  /** (n_grams, raw milli-score) columns for a text column. */
+  private[operators] def modelRawScore(text: Column): (Column, Column) = {
+    val t = filter(toks(text), x => x =!= "")
+    // bigrams via arrays_zip of two slices, NOT element_at(t, i) inside a
+    // transform over indices: after CollapseProject/predicate-pushdown
+    // inlining, a lambda that references `t` re-evaluates the whole
+    // tokenize-and-filter expression PER ELEMENT REFERENCE — O(n²) per
+    // doc (observed: 0.5 s → 18 s on q_pipeline_clean when this gate was
+    // first composed in). The zip lambda touches only its own element.
+    val bi = when(size(t) >= 2,
+      transform(arrays_zip(
+          slice(t, lit(1), size(t) - 1).as("a"),
+          slice(t, lit(2), size(t) - 1).as("b")),
+        p => concat_ws(" ", p.getField("a"), p.getField("b"))))
+      .otherwise(array().cast("array<string>"))
+    val grams = concat(t, bi)
+    val wOf = (g: Column) =>
+      pmod(pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+        lit(QmBuckets)) * QmKnuth, lit(QmMod)) - lit(1000L)
+    (size(grams).cast("long"),
+      aggregate(grams, lit(0L), (acc, g) => acc + wOf(g)))
+  }
+
+  /** Exact decimal(38,6) score from (n_grams, raw). Empty docs score 0. */
+  private[operators] def modelScore(nGrams: Column, raw: Column): Column =
+    when(nGrams > 0,
+      round(raw.cast("decimal(18,2)") / (nGrams * 1000L), 6))
+      .otherwise(lit(0)).cast("decimal(38,6)")
+
+  /** The DuckDB mirror of the full scorer, as a scalar SQL expression
+    * over a text column reference: (n_grams, raw) pair via two exprs. */
+  private[operators] def modelSqlGrams(textRef: String): String =
+    s"""(list_filter(regexp_split_to_array(lower($textRef), ' +'), x -> x <> '') ||
+      CASE WHEN len(list_filter(regexp_split_to_array(lower($textRef), ' +'), x -> x <> '')) >= 2
+        THEN list_transform(range(1, len(list_filter(regexp_split_to_array(lower($textRef), ' +'), x -> x <> ''))),
+          i -> list_filter(regexp_split_to_array(lower($textRef), ' +'), x -> x <> '')[i] || ' ' ||
+               list_filter(regexp_split_to_array(lower($textRef), ' +'), x -> x <> '')[i+1])
+        ELSE [] END)"""
+  private[operators] def modelSqlRaw(gramsRef: String): String =
+    s"""CAST(coalesce(list_sum(list_transform($gramsRef, gr ->
+      ((CAST(list_sum(list_transform(range(1, 9), i ->
+          (strpos('0123456789abcdef', substr(md5(gr), i, 1)) - 1) * (16 ** (8 - i))))
+        AS BIGINT) % $QmBuckets) * $QmKnuth) % $QmMod - 1000)), 0) AS BIGINT)"""
+  private[operators] def modelSqlScore(nRef: String, rawRef: String): String =
+    s"""CASE WHEN $nRef > 0
+      THEN CAST(round(CAST($rawRef AS DECIMAL(18,2)) / ($nRef * 1000), 6) AS DECIMAL(38,6))
+      ELSE CAST(0 AS DECIMAL(38,6)) END"""
+
+  private val textQualityModel = QueryDef(
+    "q_text_quality_model",
+    (s, d) => {
+      import s.implicits._
+      val (n, raw) = modelRawScore($"text")
+      val sc = modelScore($"n_grams", $"raw")
+      Tables.documents(s, d)
+        .select($"doc_id", n.as("n_grams"), raw.as("raw"))
+        .select($"doc_id", $"n_grams",
+          sc.cast("double").as("score"),
+          (sc >= lit(0).cast("decimal(38,6)")).cast("long").as("keep"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH g AS (
+        SELECT doc_id, ${modelSqlGrams("text")} AS grams FROM documents),
+      sc AS (
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+          ${modelSqlRaw("grams")} AS raw
+        FROM g)
+      SELECT doc_id, n_grams,
+        CAST(${modelSqlScore("n_grams", "raw")} AS DOUBLE) AS score,
+        CAST(CASE WHEN ${modelSqlScore("n_grams", "raw")} >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM sc ORDER BY doc_id"""),
+    "Model-based quality filter: linear scorer over hashed uni+bigram " +
+      "features (fixed public weight formula), zero-shuffle per-row map")
+
   // ------------------------------------------------- language/profile ID
   // N-gram-profile classifier: score each document against small token
   // profiles, argmax with lexicographic tie-break. (The fixture's `lang`
@@ -472,7 +565,7 @@ object TextOps extends QueryPack {
       "deterministic (score, term) tie-break")
 
   override def defs: Seq[QueryDef] =
-    Seq(textAnalysis, textTokens, textQuality, textLangId, textFingerprint,
-      textWinnow, textTokenIds, textRepetition, textBoilerplate,
-      textHeavyHitters, textSalientTerms)
+    Seq(textAnalysis, textTokens, textQuality, textQualityModel,
+      textLangId, textFingerprint, textWinnow, textTokenIds,
+      textRepetition, textBoilerplate, textHeavyHitters, textSalientTerms)
 }

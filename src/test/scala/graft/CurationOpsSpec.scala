@@ -100,7 +100,8 @@ class CurationOpsSpec extends SparkTestBase {
     assert(rows.count(_.getAs[Long]("n_hits") > 0) === rows.length)
   }
 
-  test("q_decontaminate: flags exactly the docs sharing a 4-gram with the test set") {
+  test("q_decontaminate: per-doc overlap fraction and threshold decision " +
+      "match a local recount") {
     def grams(text: String): Set[String] = {
       val w = text.toLowerCase.split(" +").toSeq
       if (w.size < 4) Set.empty
@@ -109,12 +110,25 @@ class CurationOpsSpec extends SparkTestBase {
     val all = Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
     val testGrams = all.filter(_._1 % 50 == 0).flatMap(g => grams(g._2)).toSet
+    // since round 9 every eligible corpus doc reports (including
+    // zero-hit docs) plus the >= 20%-overlap contamination decision
     val expect = all.filter(_._1 % 50 != 0)
-      .map { case (id, t) => id -> grams(t).count(testGrams.contains) }
-      .filter(_._2 > 0).toMap
+      .map { case (id, t) => id -> (grams(t).size, grams(t).count(testGrams.contains)) }
+      .filter(_._2._1 > 0).toMap
     val got = q("q_decontaminate").collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
-    assert(got === expect.map { case (k, v) => k -> v.toLong })
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sh"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("contaminated"))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (id, (nSh, nHits, cont)) =>
+      val (wSh, wHits) = expect(id)
+      assert(nSh === wSh.toLong, s"doc $id n_sh")
+      assert(nHits === wHits.toLong, s"doc $id n_hits")
+      val frac = BigDecimal(new java.math.BigDecimal(wHits)
+        .divide(new java.math.BigDecimal(wSh), 6, java.math.RoundingMode.HALF_UP))
+      assert(cont === (if (frac >= BigDecimal("0.20")) 1L else 0L),
+        s"doc $id contaminated flag")
+    }
     // no test doc leaks into its own contamination report
     assert(got.keys.forall(_ % 50 != 0))
   }

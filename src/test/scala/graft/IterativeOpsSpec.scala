@@ -112,13 +112,14 @@ class IterativeOpsSpec extends SparkTestBase {
       .map { case (id, a) => (id, a.toArray) }
 
   test("q_cluster_kmeans matches the reference integer Lloyd's loop") {
+    val k = ClusterOps.effectiveK(scaledVecs.size)
     val (asg, dists, cents) =
-      refKmeans(scaledVecs, ClusterOps.K, ClusterOps.Iters)
+      refKmeans(scaledVecs, k, ClusterOps.Iters)
     val wantStats = asg.groupBy(_._2).map { case (c, g) =>
       c -> (g.size.toLong, g.keys.map(dists).sum) }
     val rows = q("q_cluster_kmeans")
       .as[(Long, Long, Long, Long)].collect()
-    assert(rows.length === ClusterOps.K)
+    assert(rows.length === k)
     rows.foreach { case (c, n, sse, cnorm) =>
       val (wn, wsse) = wantStats.getOrElse(c, (0L, 0L))
       assert(n === wn, s"cluster $c size")
@@ -129,7 +130,8 @@ class IterativeOpsSpec extends SparkTestBase {
   }
 
   test("q_cluster_semdedup keep flags match the reference drop rule") {
-    val (asg, _, _) = refKmeans(scaledVecs, ClusterOps.K, ClusterOps.Iters)
+    val (asg, _, _) = refKmeans(scaledVecs,
+      ClusterOps.effectiveK(scaledVecs.size), ClusterOps.Iters)
     // reference decimal dot: exact scale-12 integer sum, HALF_UP to
     // scale 6, threshold 0.35 (= 350000 unscaled)
     def dot6(a: Array[Long], b: Array[Long]): Long = {
@@ -153,6 +155,26 @@ class IterativeOpsSpec extends SparkTestBase {
       assert(keep === (if (wantDropped(id)) 0L else 1L), s"vec $id keep")
     }
     assert(byId.size === rows.length)
+  }
+
+  test("cluster count scales with the corpus and bounds the semdedup pair work") {
+    // K = clamp(ceil(sqrt(N)), 8, 4096): different corpora get different
+    // effective K (VERDICT r8 task 6) — the N²/K SemDeDup bound and the
+    // IVF N/K list size only hold at 100× if K grows with N
+    assert(ClusterOps.effectiveK(500) === 23)
+    assert(ClusterOps.effectiveK(2000) === 45)
+    assert(ClusterOps.effectiveK(10) === 8) // floor: fixture stability
+    assert(ClusterOps.effectiveK(100000000000L) === 4096) // cap: driver state
+    assert(operators.SimilarityOps.ivfK(500) === 23)
+    assert(operators.SimilarityOps.ivfK(100) === 16) // floor
+    // the realized per-cluster pair work is far below all-pairs
+    val clusters = q("q_cluster_semdedup")
+      .select($"cluster").as[Long].collect()
+    val n = clusters.length.toLong
+    val pairWork = clusters.groupBy(identity).values
+      .map(g => g.size.toLong * g.size).sum
+    assert(pairWork <= n * n / 2,
+      s"clustering must bound pair work: $pairWork vs all-pairs ${n * n}")
   }
 
   test("q_dedup_incremental equals the full pair set restricted to " +

@@ -129,7 +129,8 @@ class PipelineOpsSpec extends SparkTestBase {
     val sample = SimilarityOps.ivfTrainingSample(spark, sf)
     assert(sample.length <= SimilarityOps.IvfSampleCap,
       "training sample must stay bounded (driver-side collect)")
-    val cents = SimilarityOps.kmeansFit(sample, 16, 5)
+    val k = math.min(SimilarityOps.ivfK(emb.length.toLong), sample.length)
+    val cents = SimilarityOps.kmeansFit(sample, k, 5)
     val assign = emb.map { case (id, v) =>
       id -> SimilarityOps.nearestCentroid(cents, v.map(_.toDouble).toArray) }.toMap
     val probes = emb.filter(_._1 < 10).map { case (id, v) =>

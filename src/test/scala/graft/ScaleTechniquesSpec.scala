@@ -335,7 +335,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // k-means training loop: .limit(K) seed fetch + the K×Dim-row
       // per-iteration centroid-sum collect (kilobytes at any corpus size
       // — the MLlib collect-broadcast iteration shape)
-      "operators/ClusterOps.scala" -> 2)
+      "operators/ClusterOps.scala" -> 2,
+      // BPE learning loop: .limit(1) argmax-pair fetch per merge
+      // iteration (one row; the dict itself never collects)
+      "operators/BpeOps.scala" -> 1)
     val base = java.nio.file.Paths.get("src", "main", "scala", "graft")
     val offenders = java.nio.file.Files.walk(base).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
