@@ -28,16 +28,65 @@ object StreamingOps extends QueryPack {
   /** Run a streaming query with a bounded shuffle-partition count in an
     * ISOLATED session (same SparkContext, own SQLConf + temp views), so
     * the override never leaks into queries planned concurrently on the
-    * caller's session and nested use is safe. Stateful operators pay a
-    * per-partition state-store open/commit on EVERY micro-batch; at test
-    * scale (and in any deployment where state is modest) fewer, fatter
-    * state partitions are strictly faster. At 100 TB the same knob simply
-    * moves up — it is per-query, not engine-global. */
-  private[graft] def withStreamPartitions[T](s: SparkSession, n: Int)(
+    * caller's session. Stateful operators pay a per-partition state-store
+    * open/commit on EVERY micro-batch; at test scale (and in any
+    * deployment where state is modest) fewer, fatter state partitions
+    * are strictly faster. At 100 TB the same knob simply moves up — it
+    * is per-query, not engine-global.
+    *
+    * Scoped-session POOL (VERDICT r8 task 8): the isolation newSession()
+    * buys is per-CONF, so sessions are reused across calls with the same
+    * (parent, partition count, extra conf) key instead of re-deriving
+    * SessionState + analyzer + extension registrations for every query
+    * and bench pass. Bodies MUST NOT mutate conf on the pooled session —
+    * query-specific settings go through the `conf` parameter, which is
+    * part of the pool key. Calls are sequential within a JVM (bench,
+    * verify, specs), which the per-call checkpoint conf below relies on. */
+  private val scopedPool = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, Int, Seq[(String, String)]), SparkSession]
+
+  private[graft] def withStreamPartitions[T](s: SparkSession, n: Int,
+      conf: Seq[(String, String)] = Nil)(
       body: SparkSession => T): T = {
-    val scoped = s.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
-    body(scoped)
+    val scoped = scopedPool.getOrElseUpdate((s, n, conf), {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+      conf.foreach { case (k, v) => ss.conf.set(k, v) }
+      ss
+    })
+    // FRESH per-call checkpoint root, placed on a RAM-backed filesystem
+    // when the host has one (VERDICT r8 task 8): every stateful
+    // micro-batch commits offsets + state per partition with fsyncs, and
+    // on a disk-backed java.io.tmpdir that fixed cost dominated the
+    // streaming family's bench profile. RAM-backed checkpoints are the
+    // local-mode analog of the NVMe-local state dirs a cluster deployment
+    // provisions; durability semantics are unchanged for these
+    // bounded-input runs (the checkpoint never outlives the query —
+    // it is deleted below). MUST stay fresh per call: reusing a
+    // checkpoint would RESUME state and falsify the query's result.
+    val root = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isDirectory(root) &&
+          java.nio.file.Files.isWritable(root))
+        Some(java.nio.file.Files.createTempDirectory(root, "graft_ckpt_"))
+      else None
+    ckpt.foreach(p =>
+      scoped.conf.set("spark.sql.streaming.checkpointLocation", p.toString))
+    // changelog checkpointing: commit the per-batch delta instead of
+    // zip-snapshotting the whole RocksDB instance every micro-batch —
+    // the production-recommended mode for frequent small commits; a
+    // no-op for the default heap-backed provider
+    scoped.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    try body(scoped)
+    finally ckpt.foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(p.toFile)
+    }
   }
 
   // ------------------------------------------------ batch sessionization
@@ -99,8 +148,8 @@ object StreamingOps extends QueryPack {
       val rawSchema = Tables.rawEvents(s, d).schema
       // file stream source requires a directory: stream the sf dir with a
       // glob filter so only the events table is picked up
-      withStreamPartitions(s, 8) { ss =>
-        ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      withStreamPartitions(s, 8,
+        Seq("spark.sql.legacy.parquet.nanosAsLong" -> "true")) { ss =>
         val q = Tables.normalizeTs(ss.readStream.schema(rawSchema)
           .option("pathGlobFilter", "events.parquet").parquet(d))
           .withWatermark("ts", "10 minutes")
@@ -439,10 +488,10 @@ object StreamingOps extends QueryPack {
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("value", DoubleType)))
-      withStreamPartitions(s, 8) { ss =>
-        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state." +
-            "RocksDBStateStoreProvider")
+      withStreamPartitions(s, 8,
+        Seq("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider"))) { ss =>
         import ss.implicits._
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -481,11 +530,11 @@ object StreamingOps extends QueryPack {
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("value", DoubleType)))
-      withStreamPartitions(s, 8) { ss =>
-        // transformWithState refuses the default heap-backed provider
-        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state." +
-            "RocksDBStateStoreProvider")
+      // transformWithState refuses the default heap-backed provider
+      withStreamPartitions(s, 8,
+        Seq("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider"))) { ss =>
         import ss.implicits._
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
