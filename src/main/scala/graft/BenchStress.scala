@@ -249,6 +249,14 @@ object BenchStress {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // settle gate (same contract as Bench): refuse to time against a busy
+    // box — the round-9 first stress artifact was inflated ~uniformly by
+    // running right after a bench+verify burst
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "8").toDouble
+    val settleSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SEC", "180").toInt
+    val deadline = System.nanoTime() + settleSec * 1000000000L
+    while (Bench.loadAvg().exists(_ > loadMax) && System.nanoTime() < deadline)
+      Thread.sleep(5000)
     val dir = materialize(spark, base, rep)
 
     // the two ngram-jaccard strategies head-to-head at stress scale: the
@@ -259,6 +267,11 @@ object BenchStress {
     val extra: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "x_ngram_direct" ->
         ((s, d) => operators.DedupOps.ngramJaccardPairs(s, d, prefixFilter = false)),
+      // the DECLARED q_dedup_ngram_jaccard reads the shared localCheckpoint
+      // materialization since round 9 (its stress entry times the read);
+      // this extra measures the actual prefix-strategy pair COMPUTATION
+      "x_ngram_prefix_filter" ->
+        ((s, d) => operators.DedupOps.ngramJaccardPairs(s, d, prefixFilter = true)),
       // the reference DAG end-to-end at 10x payload volume (VERDICT r4
       // task 4): 3000-file landing zone → PayloadJsonSource micro-batches
       // (admission-capped at 256 files/trigger, so the stream takes ~12
@@ -285,17 +298,32 @@ object BenchStress {
       try fn(spark, dir).count() catch { case _: Throwable => () }
       spark.sharedState.cacheManager.clearCache()
     }
-    val results = all.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, dir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"STRESS-FAIL $name: ${e.getClass.getName}: " +
-            String.valueOf(e.getMessage).take(500))
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.sharedState.cacheManager.clearCache()
-      name -> (if (ok) Some(dt) else None)
+    // interleaved multi-pass + per-query median, same defence as Bench:
+    // one 28 GiB JVM driving 47 10×-scale queries takes multi-second GC
+    // pauses that land on RANDOM entries (a pure per-row map swung
+    // 2.6 s ↔ 14.6 s across single-pass round-9 runs) — a lone pass
+    // makes the artifact a lottery. With 2 passes the median is the
+    // lower value (contention-only noise over-estimates, so min is
+    // closer to truth); a query failing in ANY pass reports "fail".
+    val passes = sys.env.getOrElse("SPARK_GRAFT_STRESS_PASSES", "2").toInt
+    val samples = (1 to passes).map { _ =>
+      all.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, dir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"STRESS-FAIL $name: ${e.getClass.getName}: " +
+              String.valueOf(e.getMessage).take(500))
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        name -> (if (ok) Some(dt) else None)
+      }.toMap
+    }
+    val results = all.map { case (name, _) =>
+      val rs = samples.map(_(name))
+      name -> (if (rs.exists(_.isEmpty)) None
+               else Some(Bench.median(rs.flatten)))
     }
     def f(v: Double): String =
       "%.1f".formatLocal(java.util.Locale.ROOT, v)

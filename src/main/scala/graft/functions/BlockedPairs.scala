@@ -154,7 +154,12 @@ case class BlockPairs(lid: Expression, ln: Expression,
           row
         }
       }
-    } else { // cross block: full product, ordered by construction
+    } else { // cross block: full product, each pair emitted ORDERED
+      // Contiguous rank blocks (the BlockSplit path) satisfy
+      // all-left < all-right, so the swap below never fires there; hash
+      // subgroups (the df-join kernel path) interleave, so pairs are
+      // ordered at emission by the (id, n) struct order — one compare
+      // per pair, preserving the i < j multiset contract either way.
       val n = lids.length
       val m = rids.length
       if (n == 0 || m == 0) return Iterator.empty
@@ -163,8 +168,15 @@ case class BlockPairs(lid: Expression, ln: Expression,
         private var j = 0
         override def hasNext: Boolean = i < n
         override def next(): InternalRow = {
-          row.setLong(0, lids(i)); row.setLong(1, lns(i))
-          row.setLong(2, rids(j)); row.setLong(3, rns(j))
+          val flip = lids(i) > rids(j) ||
+            (lids(i) == rids(j) && lns(i) > rns(j))
+          if (flip) {
+            row.setLong(0, rids(j)); row.setLong(1, rns(j))
+            row.setLong(2, lids(i)); row.setLong(3, lns(i))
+          } else {
+            row.setLong(0, lids(i)); row.setLong(1, lns(i))
+            row.setLong(2, rids(j)); row.setLong(3, rns(j))
+          }
           j += 1
           if (j >= m) { i += 1; j = 0 }
           row

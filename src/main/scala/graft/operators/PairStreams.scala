@@ -2,46 +2,47 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.GetStructField
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** The shared candidate-pair kernel of the near-dup tier: an inverted
-  * index keyed by shingle, each posting list cut into ⌈df/cap⌉ contiguous
-  * rank blocks, one bucket row per block pair (b1 ≤ b2) gathered by a
+  * index keyed by shingle, each posting list cut into ⌈df/cap⌉ hash
+  * subgroups, one bucket row per subgroup pair (b1 ≤ b2) gathered by a
   * keyed aggregation, pairs streamed per bucket
   * ([[graft.functions.BlockPairs]]).
   *
   * Shape at scale (VERDICT r6 task 2 + r8 task 2):
-  *   Exchange(key) → window(df, rank block)        (spillable sort)
+  *   Exchange(key) → df back-join (SHJ, counts build) (no sort anywhere)
   *   → membership explode                          (map-side, O(df·⌈df/cap⌉))
   *   → Exchange(key, b1, b2)                       (buckets to tasks)
-  *   → agg: two ≤cap-element collect_lists/bucket  (HARD-bounded buffer)
+  *   → agg: two ~cap-element collect_lists/bucket  (bounded buffer)
   *   → block_pairs → downstream aggregation        (≤ ~cap² pairs/task)
   *
-  * Round-8 history: the previous formulation collected the WHOLE posting
-  * list per key (one non-spillable collect_list of df elements) and only
-  * then block-split it — the df ceiling was documented, not enforced, and
-  * a df-10⁸ stop-word shingle over a 100 TB corpus would have built a
-  * multi-GB aggregation buffer in one task. The current kernel assigns
-  * each posting its rank block BEFORE any aggregation (row_number over a
-  * spillable WindowExec sort), so no aggregation buffer anywhere in the
-  * plan ever holds more than 2·cap postings — the ceiling is structural.
-  * Emitted pairs are BYTE-IDENTICAL to the old kernel: blocks are the
-  * same contiguous slices of the same sorted posting order, intra rows
-  * emit ordered pairs within a block, cross rows emit the left × right
-  * product (already ordered, since every rank in block i precedes every
-  * rank in block j > i).
+  * History: the round-8 formulation collected the WHOLE posting list per
+  * key (one non-spillable collect_list of df elements) and only then
+  * block-split it — the df ceiling was documented, not enforced, and a
+  * df-10⁸ stop-word shingle over a 100 TB corpus would have built a
+  * multi-GB aggregation buffer in one task. The first round-9 cut
+  * enforced the ceiling with contiguous rank blocks from a
+  * count+row_number window, but the window's full sort of the posting
+  * stream cost ~4× the whole kernel at 10× stress (x_ngram_direct
+  * 26 s → 122 s). The current kernel assigns each posting a
+  * DETERMINISTIC hash subgroup (xxhash64(id) mod ⌈df/cap⌉) before any
+  * aggregation — no sort, no full-list buffer: per-bucket collect_lists
+  * hold ~cap postings in expectation (hash concentration; the spec
+  * asserts the realized 2·cap ceiling on a df-10⁵ key), and
+  * [[graft.functions.BlockPairs]] orders each cross-bucket pair at
+  * emission, so the emitted multiset still equals the sorted-list
+  * ordered-pairs contract exactly.
   *
-  * Costs, honestly: the same two exchanges as before (the bucket
-  * membership shuffle carries O(df·⌈df/cap⌉) entries — exactly the old
-  * bucket-row slice volume, now as rows), plus a per-key sort inside the
-  * window (spillable ExternalAppendOnlyUnsafeRowArray, the standard
-  * WindowExec path). The replication factor ⌈df/cap⌉ still grows linearly
-  * in df, so the Σ df² pair WORK remains inherent — callers with
-  * unbounded-df exposure (the ngram family) pair this kernel with a
-  * prefix filter upstream; what can no longer happen is a single-task
-  * memory ceiling.
+  * Costs, honestly: two posting-volume exchanges (key, then
+  * (key, b1, b2) — the membership shuffle carries O(df·⌈df/cap⌉)
+  * entries, the volume the old bucket-row slices carried) plus one
+  * vocabulary-sized count relation built per task by the SHJ back-join.
+  * The replication factor ⌈df/cap⌉ still grows linearly in df, so the
+  * Σ df² pair WORK remains inherent — callers with unbounded-df exposure
+  * (the ngram family) pair this kernel with a prefix filter upstream;
+  * what can no longer happen is a single-task memory ceiling.
   */
 object PairStreams {
 
@@ -76,21 +77,29 @@ object PairStreams {
     val keyNames = keys.indices.map(i => s"_k$i")
     val keyCols = keyNames.map(col)
     // canonical field names so downstream transforms can address the
-    // struct; sort/rank order (_id, _n) is the caller's positional field
-    // order, i.e. exactly the old kernel's sort_array(collect_list) order
+    // struct; (_id, _n) is the caller's positional field order
     val keyed = posting
       .filter(dn.isNotNull)
       .select(keys.zip(keyNames).map { case (c, n) => c.as(n) } :+
         struct(field(dn, 0).as("_id"), field(dn, 1).as("_n")).as("_dn"): _*)
-    val w = Window.partitionBy(keyCols: _*)
-    // rank block BEFORE any aggregation: WindowExec's per-partition sort
-    // buffer spills; nothing downstream ever materializes a full posting
-    // list, so the df ceiling is enforced by construction
+    // df per key via a keyed aggregation + SHJ back-join (the count
+    // relation is one row per distinct key; the hint keeps IT the build
+    // side). NOT a window: count+row_number over the key partition
+    // forces a full sort of the posting stream, which at 10× stress
+    // cost ~4× the whole kernel (the round-9 first cut measured
+    // x_ngram_direct 26 s → 122 s before this was replaced).
+    val dfCounts = keyed.groupBy(keyCols: _*).agg(count(lit(1)).as("_df"))
+    // hash subgroups instead of contiguous rank blocks: deterministic
+    // g = xxhash64(id) mod ⌈df/cap⌉, assigned WITHOUT sorting. Group
+    // sizes are ~cap in expectation (not a hard bound; xxhash64
+    // concentration keeps the 2·cap spec ceiling comfortable), and
+    // cross-bucket pairs are no longer pre-ordered — BlockPairs orders
+    // each emitted pair by (id, n) instead.
     val chunked = keyed
-      .withColumn("_df", count(lit(1)).over(w))
-      .withColumn("_g",
-        ((row_number().over(w.orderBy(col("_dn"))) - 1) / cap).cast("int"))
+      .join(dfCounts.hint("shuffle_hash"), keyNames)
       .withColumn("_nblk", ((col("_df") + (cap - 1)) / cap).cast("int"))
+      .withColumn("_g",
+        pmod(xxhash64(col("_dn._id")), col("_nblk")).cast("int"))
     // membership explode: a posting in block g joins bucket (g, o) as the
     // LEFT side for o >= g (o == g is the intra bucket) and bucket (o, g)
     // as the RIGHT side for o < g — the triangle of block pairs
@@ -118,6 +127,11 @@ object PairStreams {
       .agg(
         sort_array(collect_list(when(col("_left"), col("_dn")))).as("_l"),
         sort_array(collect_list(when(!col("_left"), col("_dn")))).as("_r"))
+      // hash subgroups (unlike contiguous rank blocks) can be EMPTY: a
+      // cross bucket whose right side collected nothing must emit
+      // nothing — BlockPairs reads an empty right side as the intra
+      // sentinel and would re-emit the left block's internal pairs
+      .filter(col("b1") === col("b2") || size(col("_r")) > 0)
       .select(keyCols ++ Seq(col("b1"), col("b2"),
         transform(col("_l"), x => x.getField("_id")).as("l_id"),
         transform(col("_l"), x => x.getField("_n")).as("l_n"),

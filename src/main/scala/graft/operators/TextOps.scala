@@ -121,8 +121,20 @@ object TextOps extends QueryPack {
   private[operators] val QmKnuth = 2654435761L
   private[operators] val QmMod = 2001L
 
-  /** (n_grams, raw milli-score) columns for a text column. */
-  private[operators] def modelRawScore(text: Column): (Column, Column) = {
+  /** (n_grams, raw milli-score) columns for a text column — the one-pass
+    * codegen kernel ([[graft.functions.QualityModelScore]]); the
+    * declarative HOF formulation below is kept as the spec's
+    * bit-identity reference (the Int8QuantStats precedent). */
+  private[graft] def modelRawScore(text: Column): (Column, Column) = {
+    val st = graft.functions.QualityModelScore.quality_model_score(toks(text))
+    (st.getField("n_grams"), st.getField("raw"))
+  }
+
+  /** Declarative twin of [[modelRawScore]], used only by the spec to
+    * prove the kernel bit-identical. Interpreted-HOF cost made this
+    * formulation the q_pipeline_clean bottleneck at 10× (~13 s of 16 s),
+    * which is why the kernel exists. */
+  private[graft] def modelRawScoreDeclarative(text: Column): (Column, Column) = {
     val t = filter(toks(text), x => x =!= "")
     // bigrams via arrays_zip of two slices, NOT element_at(t, i) inside a
     // transform over indices: after CollapseProject/predicate-pushdown

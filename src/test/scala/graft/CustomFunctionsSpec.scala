@@ -49,6 +49,24 @@ class CustomFunctionsSpec extends SparkTestBase {
     got.zip(ref).foreach { case (g, r) => assert(g === r) }
   }
 
+  test("quality_model_score equals the declarative hashed-ngram chain") {
+    // full corpus + hand-planted edges (empty, single word, whitespace,
+    // repeated tokens); the kernel and the interpreted HOF chain must be
+    // bit-identical on (n_grams, raw)
+    val docs = Tables.documents(spark, sf).select($"text")
+      .unionByName(Seq("", "one", "  ", "a a a", "x y x y")
+        .toDF("text"))
+    val (kn, kraw) = operators.TextOps.modelRawScore($"text")
+    val (dn, draw) = operators.TextOps.modelRawScoreDeclarative($"text")
+    val rows = docs.select(kn.as("kn"), kraw.as("kraw"),
+        dn.as("dn"), draw.as("draw"))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (a, b, c, d) =>
+      assert(a === c, "n_grams")
+      assert(b === d, "raw score")
+    }
+  }
+
   test("word_ngrams edge cases: short arrays, n=1") {
     val df = Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c")).toDF("t")
     val r = df.select(word_ngrams($"t", 3).as("s")).as[Seq[String]].collect()
