@@ -131,6 +131,9 @@ object BenchStress {
     // hashed-ngram linear scorer: a zero-shuffle per-row map, same class
     // as the heuristic quality gate
     "q_text_quality_model",
+    // subword-id sequences: word explode + broadcast dict/vocab joins +
+    // one grouped shuffle — linear, same class as q_text_token_ids
+    "q_text_bpe_ids",
     "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_token_ids",
     "q_text_fingerprint", "q_text_repetition",
     // MG sketch: vocabulary-bounded O(capacity) state per buffer — the
@@ -272,6 +275,10 @@ object BenchStress {
       // this extra measures the actual prefix-strategy pair COMPUTATION
       "x_ngram_prefix_filter" ->
         ((s, d) => operators.DedupOps.ngramJaccardPairs(s, d, prefixFilter = true)),
+      // likewise: the declared BPE queries read the per-corpus memoized
+      // tokenizer; this times the actual learning loop
+      "x_bpe_learn" ->
+        ((s, d) => operators.BpeOps.learnBpeUncached(s, d)._2),
       // the reference DAG end-to-end at 10x payload volume (VERDICT r4
       // task 4): 3000-file landing zone → PayloadJsonSource micro-batches
       // (admission-capped at 256 files/trigger, so the stream takes ~12

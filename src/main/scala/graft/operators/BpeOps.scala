@@ -60,10 +60,25 @@ object BpeOps extends QueryPack {
     split(expr(s"trim(BOTH char(1) FROM t)"), DD)
 
   /** Run the BPE learning loop: returns (ordered merge table, tokenized
-    * dict (word, toks array<string>, n_tok) as an eager vocab-sized
+    * dict (word, freq, toks array<string>, n_tok) as an eager vocab-sized
     * localCheckpoint). Driver materialization per iteration is ONE row
-    * (the argmax pair) — the k-means collect-broadcast shape. */
+    * (the argmax pair) — the k-means collect-broadcast shape.
+    *
+    * Memoized per (Spark context, corpus dir): a corpus has ONE learned
+    * tokenizer, and both declared consumers (q_text_bpe, q_text_bpe_ids)
+    * plus the specs read it — the sharedNgramPairs pattern. The memo
+    * holds a vocab-sized checkpoint (kilobytes at fixture scale; MBs for
+    * a production tokenizer). */
+  private val learnMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Seq[(String, String)], DataFrame)]
   private[graft] def learnBpe(s: SparkSession, d: String)
+      : (Seq[(String, String)], DataFrame) =
+    learnMemo.getOrElseUpdate((s.sparkContext.applicationId, d),
+      learnBpeUncached(s, d))
+
+  /** The raw loop — exposed so the determinism spec can run it twice
+    * (the memoized entry point would trivially return the same object). */
+  private[graft] def learnBpeUncached(s: SparkSession, d: String)
       : (Seq[(String, String)], DataFrame) = {
     import s.implicits._
     val dict0 = corpusWords(s, d)
@@ -95,11 +110,18 @@ object BpeOps extends QueryPack {
       }
     }
     val dictTok = cur
-      .select($"word", toksOf(s).as("toks"), size(toksOf(s)).cast("long").as("n_tok"))
+      .select($"word", $"freq", toksOf(s).as("toks"),
+        size(toksOf(s)).cast("long").as("n_tok"))
       .localCheckpoint()
     dict0.unpersist(false)
     (merges.result(), dictTok)
   }
+
+  /** Shared DuckDB CTE suffix re-deriving the tokenized dict from the
+    * unrolled training replay: exposes `dtoks(word, freq, tk)`. */
+  private def dictToksCte: String =
+    s"""dtoks AS MATERIALIZED (SELECT word, freq,
+        string_split(trim(t, chr(1)), chr(1)||chr(1)) AS tk FROM d$Merges)"""
 
   // ------------------------------------------------------ q_text_bpe
   private val textBpe = QueryDef(
@@ -121,14 +143,31 @@ object BpeOps extends QueryPack {
           coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"))
         .orderBy($"doc_id")
     },
-    Some {
-      // every per-iteration CTE is MATERIALIZED: each level references
-      // the previous one ~4 times (the dict chain plus three scalar
-      // subqueries on the argmax row), so inlining would expand the
-      // 16-level chain exponentially (~4^16 scans of the base table —
-      // observed as a "too many open files" blow-up in DuckDB)
-      val iters = (0 until Merges).map { k =>
-        s"""s$k AS MATERIALIZED (SELECT word, freq, string_split(trim(t, chr(1)), chr(1)||chr(1)) AS sy FROM d$k),
+    Some(s"""WITH $learnCtes,
+      toks AS (SELECT word,
+        CAST(len(string_split(trim(t, chr(1)), chr(1)||chr(1))) AS BIGINT) AS n_tok
+        FROM d$Merges),
+      per_doc AS (
+        SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+        FROM words w JOIN toks USING (word) GROUP BY 1)
+      SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words,
+        COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY d.doc_id"""),
+    s"Deterministic BPE subword tokenization: $Merges corpus-learned " +
+      "merges over the word-frequency dict, per-doc token counts")
+
+  /** The DuckDB replay of the whole training loop — shared by both BPE
+    * oracles. Every per-iteration CTE is MATERIALIZED: each level
+    * references the previous one ~4 times (the dict chain plus three
+    * scalar subqueries on the argmax row), so inlining would expand the
+    * 16-level chain exponentially (~4^16 scans of the base table —
+    * observed as a "too many open files" blow-up in DuckDB). Exposes
+    * `words(doc_id, word)` and `d$Merges(word, freq, t)`. */
+  private def learnCtes: String = {
+    val iters = (0 until Merges).map { k =>
+      s"""s$k AS MATERIALIZED (SELECT word, freq, string_split(trim(t, chr(1)), chr(1)||chr(1)) AS sy FROM d$k),
       p$k AS MATERIALIZED (SELECT a, b, SUM(freq) AS cnt FROM (
           SELECT freq, sy[i] AS a, sy[i+1] AS b FROM (
             SELECT freq, sy, unnest(range(1, len(sy))) AS i FROM s$k))
@@ -139,8 +178,8 @@ object BpeOps extends QueryPack {
           chr(1)||(SELECT a FROM b$k)||chr(1)||chr(1)||(SELECT b FROM b$k)||chr(1),
           chr(1)||(SELECT a FROM b$k)||(SELECT b FROM b$k)||chr(1)), t) AS t
         FROM d$k)"""
-      }.mkString(",\n      ")
-      s"""WITH wr AS (
+    }.mkString(",\n      ")
+    s"""wr AS (
         SELECT doc_id, unnest(regexp_split_to_array(lower(text), ' +')) AS w0
         FROM documents),
       words AS MATERIALIZED (
@@ -152,21 +191,85 @@ object BpeOps extends QueryPack {
           list_transform(range(1, len(word) + 1), i -> word[i:i]),
           chr(1)||chr(1)) || chr(1) AS t
         FROM dict),
-      $iters,
-      toks AS (SELECT word,
-        CAST(len(string_split(trim(t, chr(1)), chr(1)||chr(1))) AS BIGINT) AS n_tok
-        FROM d$Merges),
-      per_doc AS (
-        SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-          CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
-        FROM words w JOIN toks USING (word) GROUP BY 1)
-      SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words,
-        COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens
-      FROM documents d LEFT JOIN per_doc p USING (doc_id)
-      ORDER BY d.doc_id"""
-    },
-    s"Deterministic BPE subword tokenization: $Merges corpus-learned " +
-      "merges over the word-frequency dict, per-doc token counts")
+      $iters"""
+  }
 
-  override def defs: Seq[QueryDef] = Seq(textBpe)
+  // -------------------------------------------------- q_text_bpe_ids
+  // The tokenization story's deliverable: each document as its ordered
+  // subword-ID sequence — the row a training pipeline actually feeds the
+  // model. IDs are frequency ranks of the learned subword vocabulary
+  // (corpus-weighted, ties lexicographic), the q_text_token_ids
+  // convention one level down. Scale shape: the dict and vocab are
+  // vocabulary-sized broadcasts; the corpus explodes words with
+  // positions, maps word → subword ids through the broadcast dict, and
+  // reassembles per doc_id in one grouped shuffle — no corpus-sized
+  // relation ever joins another.
+  private val VocabSize = 1000
+
+  private val textBpeIds = QueryDef(
+    "q_text_bpe_ids",
+    (s, d) => {
+      import s.implicits._
+      val (_, dictTok) = learnBpe(s, d)
+      // subword vocab: corpus-weighted token frequency (Σ word-freq over
+      // occurrences), rank desc with lexicographic tie-break
+      val vocab = dictTok
+        .select(explode($"toks").as("tok"), $"freq")
+        .groupBy($"tok").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"tok").limit(VocabSize)
+        .withColumn("tid", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"cnt".desc, $"tok")))
+        .select($"tok", $"tid")
+      val posWords = Tables.documents(s, d)
+        .select($"doc_id", posexplode(split(lower($"text"), " +")))
+        .toDF("doc_id", "pos", "w0")
+        .select($"doc_id", $"pos", replace($"w0", lit(D), lit("")).as("word"))
+        .filter(length($"word") > 0)
+      val ids = posWords
+        .join(broadcast(dictTok.select($"word", $"toks")), "word")
+        .select($"doc_id", $"pos", posexplode($"toks"))
+        .toDF("doc_id", "pos", "subpos", "tok")
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .select($"doc_id", $"pos", $"subpos",
+          coalesce($"tid", lit(0)).as("tid"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bpe_tokens"),
+          array_join(
+            transform(array_sort(collect_list(struct($"pos", $"subpos", $"tid"))),
+              x => x.getField("tid").cast("string")), ",").as("ids_str"))
+      Tables.documents(s, d).select($"doc_id")
+        .join(ids, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"),
+          coalesce($"ids_str", lit("")).as("ids_str"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $learnCtes,
+      dtoks AS MATERIALIZED (SELECT word, freq,
+        string_split(trim(t, chr(1)), chr(1)||chr(1)) AS tk FROM d$Merges),
+      vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS tid
+        FROM (SELECT tok, SUM(freq) AS cnt FROM (
+          SELECT freq, unnest(tk) AS tok FROM dtoks) GROUP BY 1)
+        QUALIFY tid <= $VocabSize),
+      wr2 AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS tk FROM documents),
+      pw AS (SELECT doc_id, replace(w0, chr(1), '') AS word, pos FROM (
+          SELECT doc_id, unnest(tk) AS w0, generate_subscripts(tk, 1) AS pos FROM wr2)
+        WHERE len(replace(w0, chr(1), '')) > 0),
+      seq AS (SELECT p.doc_id, p.pos,
+          generate_subscripts(t.tk, 1) AS subpos, unnest(t.tk) AS tok
+        FROM pw p JOIN dtoks t USING (word)),
+      ids AS (SELECT s.doc_id, s.pos, s.subpos, COALESCE(v.tid, 0) AS tid
+        FROM seq s LEFT JOIN vocab v USING (tok)),
+      per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe_tokens,
+        array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos, subpos), ',') AS ids_str
+        FROM ids GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+        COALESCE(p.ids_str, '') AS ids_str
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY d.doc_id"""),
+    "Per-document subword-ID sequences from the learned BPE vocabulary " +
+      "(frequency-ranked ids), broadcast dict + one grouped shuffle")
+
+  override def defs: Seq[QueryDef] = Seq(textBpe, textBpeIds)
 }

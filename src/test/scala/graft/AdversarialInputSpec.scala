@@ -55,7 +55,8 @@ class AdversarialInputSpec extends SparkTestBase {
     "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash",
     "q_dedup_simhash", "q_pipeline_clean", "q_sample_split",
     "q_dedup_components", "q_text_span_dedup", "q_dedup_incremental",
-    "q_text_salient_terms")
+    "q_text_salient_terms", "q_text_bpe", "q_text_bpe_ids",
+    "q_text_quality_model")
 
   test("every text/dedup query completes on the edge corpus") {
     val failures = tier.flatMap { name =>

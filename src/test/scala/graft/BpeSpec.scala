@@ -28,8 +28,10 @@ class BpeSpec extends SparkTestBase {
   }
 
   test("BPE learning is deterministic across runs") {
-    val (m1, _) = BpeOps.learnBpe(spark, sf)
-    val (m2, _) = BpeOps.learnBpe(spark, sf)
+    // the UNCACHED loop twice — the memoized entry point would trivially
+    // return the same object
+    val (m1, _) = BpeOps.learnBpeUncached(spark, sf)
+    val (m2, _) = BpeOps.learnBpeUncached(spark, sf)
     assert(m1 === m2)
   }
 
@@ -42,6 +44,21 @@ class BpeSpec extends SparkTestBase {
       .select(split(expr("trim(BOTH char(1) FROM t)"), D + D).as("toks"))
       .as[Seq[String]].head()
     assert(t === Seq("aa", "a"))
+  }
+
+  test("q_text_bpe_ids: sequences align with q_text_bpe counts, no OOV at fixture vocab") {
+    val counts = q("q_text_bpe").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rows = q("q_text_bpe_ids").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === counts.size)
+    rows.foreach { case (doc, n, s) =>
+      assert(n === counts(doc), s"doc $doc id-sequence length")
+      val seq = if (s.isEmpty) Array.empty[String] else s.split(",")
+      assert(seq.length.toLong === n)
+      // the fixture's subword vocab fits the cap, so nothing is OOV
+      assert(!seq.contains("0"), s"doc $doc has OOV ids")
+    }
   }
 
   test("q_text_bpe: totals consistent with q_text_tokens' whitespace counts") {
