@@ -88,34 +88,37 @@ object DedupOps extends QueryPack {
     *
     *  - DIRECT: inverted-index pair stream on the shingle key →
     *    per-pair intersection counts → Jaccard from |A|,|B|,|A∩B|. Work is
-    *    Σ df(shingle)², fine while shingle document frequency is bounded
-    *    (true of the rounds-1–7 corpus; NOT of the round-8 regeneration,
-    *    whose hot trigrams pushed 10× Σdf² to 280M emissions — 290 s vs
-    *    the prefix strategy's 37 s for the identical output, which is why
-    *    prefix-filtered became the declared default in round 8).
+    *    Σ df(shingle)². On the round-8 OrderedPairs kernel the
+    *    regenerated corpus's hot trigrams made this the loser by ~8×
+    *    (290 s vs prefix 37 s at 10×); on the round-9 hash-subgroup
+    *    kernel the hot-key emission distributes and direct measures
+    *    19.5 s vs prefix 38.9 s on the SAME corpus — at fixture scale
+    *    the strategies trade places with the kernel generation.
     *
     *  - PREFIX-FILTERED (ppjoin-style, Xiao et al. 2008): for J >= 0.5 a
     *    partner has m >= n/2 shingles and overlap >= (n + n/2)/3 = n/2, so
     *    every qualifying pair shares a shingle among each doc's rarest
     *    floor(n/2)+1 shingles (df-ascending order) — candidates come only
-    *    from those prefix postings, then exact-verify. 100% recall. This
-    *    is the DEFAULT since round 8: hot shingles make Σ df² explode,
-    *    and the regenerated corpus has them (10× head-to-head: direct
-    *    290 s, prefix 37 s; on the colder rounds-1–7 corpus direct had
-    *    won ~2×). The exact-verify stage uses the codegen'd sorted-merge
-    *    intersection kernel over per-doc pre-sorted shingle arrays
-    *    ([[graft.functions.SortedIntersectSize]]) with the doc side
-    *    broadcast explicitly — per-candidate cost is linear with zero
-    *    allocation, and the misestimated Generate-derived candidate side
-    *    can never become a join build side. Candidate pairs
-    *    come from the same join-free blocked pair stream as the direct
-    *    strategy ([[PairStreams]] — grouped prefix postings cut into
-    *    per-task blocks, not a posting self-join), so the Σ df_prefix²
-    *    work has no build side to misestimate and no single-task hot-key
-    *    ceiling. Both strategies buffer one posting list per key in a
-    *    non-spillable collect_list buffer — see the PairStreams scaladoc
-    *    for that trade-off; the prefix filter is what keeps df bounded
-    *    enough to make it safe at web scale.
+    *    from those prefix postings, then exact-verify. 100% recall.
+    *    STILL the declared default despite losing the current 10×
+    *    head-to-head: its candidate set is PROVABLY a subset of the
+    *    direct stream's (Σ df_prefix² ≤ Σ df², with the gap growing in
+    *    df skew), and at a real corpus scale the deciding term is the
+    *    quadratic candidate count, not the constant-factor kernel
+    *    overhead that dominates at 10× — a true stop-word shingle
+    *    (df 10⁶⁺) is survivable under the prefix filter and a compute
+    *    catastrophe under direct regardless of how well its emission is
+    *    distributed. The exact-verify stage uses the codegen'd
+    *    sorted-merge intersection kernel over per-doc pre-sorted shingle
+    *    arrays ([[graft.functions.SortedIntersectSize]]) with the doc
+    *    side shuffle-hash-hinted — per-candidate cost is linear with
+    *    zero allocation, and the misestimated Generate-derived candidate
+    *    side can never become a join build side. Candidate pairs come
+    *    from the same join-free blocked pair stream as the direct
+    *    strategy ([[PairStreams]] — hash-subgrouped prefix postings, not
+    *    a posting self-join), so the Σ df_prefix² work has no build side
+    *    to misestimate, no single-task hot-key ceiling, and no
+    *    unbounded aggregation buffer (see the PairStreams scaladoc).
     *
     * The spec asserts both return identical pairs; the DuckDB oracle is
     * the direct formulation.
@@ -315,13 +318,14 @@ object DedupOps extends QueryPack {
 
   private val dedupNgram = QueryDef(
     "q_dedup_ngram_jaccard",
-    // prefix-filtered is the DEFAULT since round 8: the regenerated corpus
-    // has genuinely hot shingles (10× stress head-to-head: direct Σdf²
-    // 290 s vs prefix 37 s for the identical 250,600-pair output) — the
-    // df-skew regime the strategy scaladoc predicted. The stress artifact
-    // keeps both strategies measured (x_ngram_direct). Since round 9 the
-    // declared query reads the SHARED materialized pair set and only adds
-    // the presentation sort + double cast.
+    // prefix-filtered is the DEFAULT: its candidate set is provably a
+    // subset of the direct stream's, which is what survives real df skew
+    // (see the strategy scaladoc — on the current kernel the 10×
+    // head-to-head actually favors direct, 19.5 s vs 38.9 s, but the
+    // asymptotic argument owns the default; the stress artifact keeps
+    // BOTH measured: x_ngram_direct / x_ngram_prefix_filter). Since
+    // round 9 the declared query reads the SHARED materialized pair set
+    // and only adds the presentation sort + double cast.
     (s, d) => {
       import s.implicits._
       sharedNgramPairs(s, d)
