@@ -134,6 +134,9 @@ object BenchStress {
     // subword-id sequences: word explode + broadcast dict/vocab joins +
     // one grouped shuffle — linear, same class as q_text_token_ids
     "q_text_bpe_ids",
+    // one corpus agg with domain-cardinality output / a pure map +
+    // bounded explode (≈ n_tok/stride rows per doc) — both linear
+    "q_mix_weights", "q_text_chunk",
     "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_token_ids",
     "q_text_fingerprint", "q_text_repetition",
     // MG sketch: vocabulary-bounded O(capacity) state per buffer — the

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators: domain-mixture rebalancing weights and
+  * context-window chunking — the two steps between a cleaned corpus and
+  * a training shard list (The Pile / DoReMi-class mixing and the
+  * fixed-context chunking every decoder pipeline runs; both public
+  * formulations).
+  *
+  * Scale posture: q_mix_weights is one corpus-sized aggregation whose
+  * output is domain-cardinality-sized (the windows below run over
+  * #sources rows, never the corpus); q_text_chunk is a pure per-row map
+  * + bounded explode (≈ n_tokens/stride rows per doc). Nothing shuffles
+  * except the final presentation sorts.
+  *
+  * Determinism: all shares/factors are exact-decimal with INTEGER
+  * denominators — the additive-smoothing algebra is rearranged so no
+  * decimal-by-decimal division exists anywhere (engine decimal-division
+  * scale rules differ; integer denominators follow the Jaccard
+  * precedent).
+  */
+object MixOps extends QueryPack {
+
+  // ----------------------------------------------- q_mix_weights
+  // Additive smoothing with α = 1/20 flattens the source distribution:
+  //   target_share_s = (share_s + α) / (1 + K·α)
+  // Rearranged over chars/total with integer denominators:
+  //   actual = chars/total
+  //   target = (20·chars + total) / ((20+K)·total)
+  //   factor = target/actual = (20·chars + total) / ((20+K)·chars)
+  private val mixWeights = QueryDef(
+    "q_mix_weights",
+    (s, d) => {
+      import s.implicits._
+      val perSource = Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars".cast("long")).as("total_chars"))
+      val w = Window.partitionBy()
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,2)")
+      perSource
+        .withColumn("total", sum($"total_chars").over(w))
+        .withColumn("k", count(lit(1)).over(w))
+        .select($"source", $"n_docs", $"total_chars",
+          round(dec($"total_chars") / $"total", 6)
+            .cast("decimal(38,6)").cast("double").as("actual_share"),
+          round(dec($"total_chars" * 20 + $"total") / (($"k" + 20) * $"total"), 6)
+            .cast("decimal(38,6)").cast("double").as("target_share"),
+          round(dec($"total_chars" * 20 + $"total") / (($"k" + 20) * $"total_chars"), 6)
+            .cast("decimal(38,6)").cast("double").as("sampling_factor"))
+        .orderBy($"source")
+    },
+    Some("""WITH per_source AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source),
+      t AS (SELECT *, sum(total_chars) OVER () AS total,
+                   count(*) OVER () AS k FROM per_source)
+      SELECT source, n_docs, total_chars,
+        CAST(CAST(round(CAST(total_chars AS DECIMAL(28,2)) / total, 6) AS DECIMAL(38,6)) AS DOUBLE) AS actual_share,
+        CAST(CAST(round(CAST(total_chars * 20 + total AS DECIMAL(28,2)) / ((k + 20) * total), 6) AS DECIMAL(38,6)) AS DOUBLE) AS target_share,
+        CAST(CAST(round(CAST(total_chars * 20 + total AS DECIMAL(28,2)) / ((k + 20) * total_chars), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sampling_factor
+      FROM t ORDER BY source"""),
+    "Domain-mixture rebalancing: per-source shares, additive-smoothed " +
+      "target mixture, up/down-sampling factors — exact decimal")
+
+  // ----------------------------------------------- q_text_chunk
+  // Fixed-context chunking with overlap: L-token windows, stride L−O, a
+  // short final window keeping the tail. chunk i covers token indices
+  // [i·stride, min(i·stride+L, n)).
+  private val ChunkLen = 128L
+  private val ChunkOverlap = 32L
+  private val ChunkStride = ChunkLen - ChunkOverlap // 96
+
+  private val textChunk = QueryDef(
+    "q_text_chunk",
+    (s, d) => {
+      import s.implicits._
+      val n = size(filter(split(lower($"text"), " +"), x => x =!= ""))
+        .cast("long")
+      val nChunks = when($"n_tok" <= ChunkLen, lit(1L))
+        .otherwise(lit(1L) +
+          floor(($"n_tok" - ChunkLen + ChunkStride - 1) / lit(ChunkStride.toDouble))
+            .cast("long"))
+      Tables.documents(s, d)
+        .select($"doc_id", n.as("n_tok"))
+        .filter($"n_tok" > 0)
+        .select($"doc_id", $"n_tok",
+          explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+        .select($"doc_id", $"chunk_idx",
+          ($"chunk_idx" * ChunkStride).as("start_tok"),
+          least($"chunk_idx" * ChunkStride + ChunkLen, $"n_tok").as("end_tok"))
+        .withColumn("chunk_len", $"end_tok" - $"start_tok")
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id,
+          CAST(len(list_filter(regexp_split_to_array(lower(text), ' +'),
+            x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (SELECT doc_id, n_tok,
+          CASE WHEN n_tok <= $ChunkLen THEN 1
+               ELSE 1 + CAST(floor((n_tok - $ChunkLen + $ChunkStride - 1)
+                                   / $ChunkStride.0) AS BIGINT) END AS nc
+        FROM t WHERE n_tok > 0),
+      ch AS (SELECT doc_id, n_tok, unnest(range(0, nc)) AS chunk_idx FROM c)
+      SELECT doc_id, chunk_idx,
+        chunk_idx * $ChunkStride AS start_tok,
+        least(chunk_idx * $ChunkStride + $ChunkLen, n_tok) AS end_tok,
+        least(chunk_idx * $ChunkStride + $ChunkLen, n_tok)
+          - chunk_idx * $ChunkStride AS chunk_len
+      FROM ch ORDER BY doc_id, chunk_idx"""),
+    s"Context-window chunking: $ChunkLen-token windows, $ChunkOverlap" +
+      "-token overlap, tail-preserving — pure map + bounded explode")
+
+  override def defs: Seq[QueryDef] = Seq(mixWeights, textChunk)
+}

@@ -56,7 +56,7 @@ class AdversarialInputSpec extends SparkTestBase {
     "q_dedup_simhash", "q_pipeline_clean", "q_sample_split",
     "q_dedup_components", "q_text_span_dedup", "q_dedup_incremental",
     "q_text_salient_terms", "q_text_bpe", "q_text_bpe_ids",
-    "q_text_quality_model")
+    "q_text_quality_model", "q_text_chunk", "q_mix_weights")
 
   test("every text/dedup query completes on the edge corpus") {
     val failures = tier.flatMap { name =>
