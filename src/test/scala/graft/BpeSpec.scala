@@ -35,6 +35,45 @@ class BpeSpec extends SparkTestBase {
     assert(m1 === m2)
   }
 
+  test("local learner reproduces the distributed reference bit-for-bit") {
+    // VERDICT r9 task 1 done-gate: the driver-local merge loop must yield
+    // the IDENTICAL merge table (pairs AND counts) and tokenized dict as
+    // the 2-jobs-per-merge distributed loop it replaced — which is the
+    // formulation the DuckDB oracle replays, so parity here transitively
+    // re-proves the oracle contract.
+    val (mLocal, dLocal) = BpeOps.learnBpeUncached(spark, sf)
+    val (mDist, dDist) = BpeOps.learnBpeDistributedReference(spark, sf)
+    assert(mLocal === mDist)
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .select($"word", $"freq", concat_ws("", $"toks").as("tk"), $"n_tok")
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._2))
+    assert(dump(dLocal) === dump(dDist))
+  }
+
+  test("learning job count is constant in the merge bound (driver-local loop)") {
+    // 64 merges must cost the same number of Spark jobs as 8: the loop
+    // runs on the collected dict, so only the dict aggregation+collect
+    // launches jobs. Job ids are globally increasing per context — the
+    // max-id delta bounds the jobs a call launched (specs run serially).
+    def jobsDuring(body: => Unit): Int = {
+      def maxId = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(null).maxOption.getOrElse(-1)
+      val before = maxId; body; maxId - before
+    }
+    val j8 = jobsDuring(BpeOps.learnBpeUncached(spark, sf, maxMerges = 8))
+    val j64 = jobsDuring(BpeOps.learnBpeUncached(spark, sf, maxMerges = 64))
+    assert(j8 > 0 && j8 <= 4, s"dict collect should be a handful of jobs, got $j8")
+    assert(j64 === j8, s"job count must not scale with merges: $j8 vs $j64")
+  }
+
+  test("applyMerge is greedy leftmost-non-overlapping ([a,a,a] -> [aa,a])") {
+    assert(BpeOps.applyMerge(Array("a", "a", "a"), "a", "a").toSeq === Seq("aa", "a"))
+    assert(BpeOps.applyMerge(Array("x", "a", "b", "a", "b"), "a", "b").toSeq
+      === Seq("x", "ab", "ab"))
+    assert(BpeOps.applyMerge(Array("x", "y"), "a", "b").toSeq === Seq("x", "y"))
+  }
+
   test("merge application is greedy left-to-right (the [a,a,a] -> [aa,a] contract)") {
     // the wrapped-token string replace must behave as a left fold: for a
     // merge (a,a), three a's become [aa, a], not [a, aa]
