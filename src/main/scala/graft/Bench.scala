@@ -112,7 +112,7 @@ object Bench {
     // instead of back-to-back repeats: a multi-second contention burst then
     // dents the SAME pass index of adjacent queries rather than all three
     // samples of one query, and the median discards it
-    val samples = (1 to passes).map { _ =>
+    def runPass(): Map[String, Double] =
       names.map { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
@@ -121,8 +121,31 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         name -> dt
       }.toMap
-    }
-    val results = names.map(n => n -> median(samples.map(_(n))))
+    val samples = (1 to passes).map(_ => runPass())
+    // load_start-gated RETRY (VERDICT r9 task 7): the r9 artifact began
+    // at load 4.1 — under the settle gate's ceiling, yet every pass ran
+    // against the draining burst and the whole run inflated ~uniformly
+    // (its own regressions list stayed empty: the contamination
+    // signature). If timing started on a non-idle box, wait for a
+    // GENUINE settle (the stricter retry threshold), run one more
+    // interleaved pass, and ship each query's MINIMUM across all passes:
+    // contention-only noise strictly over-estimates, so with a clean
+    // pass in hand the min is the steady-state number. On an idle box
+    // the retry never fires and the median-of-passes contract is
+    // unchanged.
+    val retryLoad =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_LOAD", "1.5").toDouble
+    val retried = loadAtTiming.exists(_ > retryLoad)
+    val loadRetry = if (retried) {
+      val dl = System.nanoTime() + settleSec * 1000000000L
+      while (loadAvg().exists(_ > retryLoad) && System.nanoTime() < dl)
+        Thread.sleep(5000)
+      loadAvg()
+    } else None
+    val allSamples = if (retried) samples :+ runPass() else samples
+    val results = names.map(n => n ->
+      (if (retried) allSamples.map(_(n)).min
+       else median(samples.map(_(n)))))
     // The driver captures only the last ~2000 chars of output; the full-
     // precision JSON line overflowed that window in round 1 (parsed:null).
     // Rounded values + the sf basename keep the whole line under the
@@ -157,7 +180,7 @@ object Bench {
     val ratio = vsPrev(prev, cur).map(r => f(r, 2)).getOrElse("null")
     writeHistory(histPath, cur)
     val loadJson = (l: Option[Double]) => l.map(v => f(v, 1)).getOrElse("null")
-    println(s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","vs_prev":$ratio,"regressions":$regs,"passes":$passes,"load_start":${loadJson(load0)},"load_timing":${loadJson(loadAtTiming)},"queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","vs_prev":$ratio,"regressions":$regs,"passes":$passes,"retry_pass":$retried,"load_start":${loadJson(load0)},"load_timing":${loadJson(loadAtTiming)},"load_retry":${loadJson(loadRetry)},"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

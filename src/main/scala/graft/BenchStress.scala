@@ -75,9 +75,14 @@ object BenchStress {
     "q_variant_extract",
     "q_agg_grouping_sets",
     // round-9: BPE learning scans the corpus once for the word dict, then
-    // iterates on the vocab-sized dict — the 10x point proves the loop
-    // cost stays vocab-bound while the corpus scan scales linearly
+    // (round 10) runs the merge loop driver-local — the 10x point proves
+    // the loop cost stays vocab-bound while the corpus scan scales
+    // linearly
     "q_text_bpe",
+    // round-10: the tokenize-then-pack composition — same per-shard
+    // running-sum window as q_pack_sequences (already stressed) but fed
+    // by the broadcast-dict token counts; stressed for parity with it
+    "q_pack_bpe",
     "q_sink_text_roundtrip",
     "q_redact_scrub",
     "q_sample_stratified",
@@ -134,6 +139,10 @@ object BenchStress {
     // subword-id sequences: word explode + broadcast dict/vocab joins +
     // one grouped shuffle — linear, same class as q_text_token_ids
     "q_text_bpe_ids",
+    // tokenizer artifact: a vocab-sized plan over the memoized learned
+    // dict — never touches the corpus beyond the learning pass, which
+    // x_bpe_learn times at 10x
+    "q_bpe_vocab",
     // one corpus agg with domain-cardinality output / a pure map +
     // bounded explode (≈ n_tok/stride rows per doc) — both linear
     "q_mix_weights", "q_text_chunk",

@@ -36,7 +36,21 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
-    * then records a weaker rows-only check). */
+    * then records a weaker rows-only check).
+    *
+    * A lazily-rendered oracle (oracleFn) that cannot render — its query
+    * fn never ran in this JVM, e.g. because that one query crashed
+    * during Verify — is OMITTED with a stderr note instead of aborting
+    * the whole dump: the offender already surfaces as a per-query
+    * failure, and one red query must not zero every other oracle. */
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracleNow.map(q.name -> _)).toMap
+    all.flatMap { q =>
+      try q.oracleNow.map(q.name -> _)
+      catch {
+        case e: IllegalStateException =>
+          System.err.println(
+            s"[verify] oracle for ${q.name} not renderable: ${e.getMessage}")
+          None
+      }
+    }.toMap
 }

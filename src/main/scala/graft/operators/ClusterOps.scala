@@ -46,12 +46,21 @@ object ClusterOps extends QueryPack {
   private[graft] def effectiveK(n: Long): Int =
     math.max(8, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
 
-  /** The K each declared query actually used this run, recorded so the
-    * lazily-rendered oracle (QueryDef.oracleFn) replays the SAME
-    * training loop — the corpus-count → K computation cannot happen in
-    * static SQL. */
+  /** The (corpus dir, K) each declared query actually used this run,
+    * recorded so the lazily-rendered oracle (QueryDef.oracleFn) replays
+    * the SAME training loop — the corpus-count → K computation cannot
+    * happen in static SQL. Keyed per query and carrying the dir so a
+    * multi-corpus JVM records which corpus the replay belongs to;
+    * [[recordedK]] FAILS LOUDLY when rendering precedes running (ADVICE
+    * r9 — the silent K=8 default could produce a plausible-but-wrong
+    * oracle). Verify's contract (queries run, THEN oracles render)
+    * satisfies it by construction. */
   private val lastK =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
+  private[graft] def recordedK(query: String): Int =
+    lastK.getOrElse(query, throw new IllegalStateException(
+      s"oracle for $query rendered before the query ran: no recorded K " +
+        "(run the query fn first; Verify does)"))._2
 
   private[graft] val Dim = 64
   private[graft] val Iters = 3
@@ -192,7 +201,7 @@ object ClusterOps extends QueryPack {
       import s.implicits._
       val sv = scaledCorpus(s, d)
       val k = effectiveK(sv.count())
-      lastK("q_cluster_kmeans") = k
+      lastK("q_cluster_kmeans") = (d, k)
       val cents = fitCentroids(s, sv, k)
       // eager K-row materialization of the final assignment stats, so the
       // corpus cache can be RELEASED here instead of accumulating one
@@ -214,7 +223,7 @@ object ClusterOps extends QueryPack {
     None,
     s"Distributed Lloyd's k-means (K=ceil(sqrt(N)), $Iters iterations) " +
       "over the embedding corpus, integer-exact and partitioning-invariant",
-    oracleFn = Some(() => s"""WITH ${kmeansCtes(lastK.getOrElse("q_cluster_kmeans", 8))}
+    oracleFn = Some(() => s"""WITH ${kmeansCtes(recordedK("q_cluster_kmeans"))}
       SELECT c.cluster, CAST(COALESCE(s.n_vecs, 0) AS BIGINT) AS n_vecs,
         CAST(COALESCE(s.sse12, 0) AS BIGINT) AS sse12, c.cnorm1_6
       FROM (SELECT cluster, CAST(SUM(ABS(cl)) AS BIGINT) AS cnorm1_6
@@ -240,7 +249,7 @@ object ClusterOps extends QueryPack {
       import s.implicits._
       val sv = scaledCorpus(s, d)
       val k = effectiveK(sv.count())
-      lastK("q_cluster_semdedup") = k
+      lastK("q_cluster_semdedup") = (d, k)
       val cents = fitCentroids(s, sv, k)
       // eagerly materialized ONCE: `asg` feeds both sides of the pair
       // self-join below plus the final keep projection — without the
@@ -264,7 +273,7 @@ object ClusterOps extends QueryPack {
     None,
     "SemDeDup semantic dedup: within-k-means-cluster pairwise decimal " +
       s"dot >= $SemTau drops the higher id (K=ceil(sqrt(N)))",
-    oracleFn = Some(() => s"""WITH ${kmeansCtes(lastK.getOrElse("q_cluster_semdedup", 8))},
+    oracleFn = Some(() => s"""WITH ${kmeansCtes(recordedK("q_cluster_semdedup"))},
       wsa AS (SELECT a.vec_id, a.cluster, e.embedding
               FROM assign$Iters a JOIN embeddings e USING (vec_id)),
       sem_dropped AS (

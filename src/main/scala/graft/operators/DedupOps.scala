@@ -117,8 +117,11 @@ object DedupOps extends QueryPack {
     *    from the same join-free blocked pair stream as the direct
     *    strategy ([[PairStreams]] — hash-subgrouped prefix postings, not
     *    a posting self-join), so the Σ df_prefix² work has no build side
-    *    to misestimate, no single-task hot-key ceiling, and no
-    *    unbounded aggregation buffer (see the PairStreams scaladoc).
+    *    to misestimate, no single-task hot-key ceiling, and per-bucket
+    *    aggregation buffers of ~cap postings in expectation — a
+    *    PROBABILISTIC bound (xxhash64 concentration; the spec asserts
+    *    the realized 2·cap ceiling on a df≈10⁵ key), not a hard one
+    *    (see the PairStreams scaladoc).
     *
     * The spec asserts both return identical pairs; the DuckDB oracle is
     * the direct formulation.
@@ -284,11 +287,20 @@ object DedupOps extends QueryPack {
     * pipeline persists between its dedup stages anyway. The memo key is
     * (applicationId, dir): one bounded pair set per corpus per context,
     * shared across the per-query sessions a bench/verify run creates.
-    * Columns: (doc1, doc2, jaccard decimal(38,6)). */
+    * Size-capped LRU (VERDICT r9 task 4): a long-lived multi-corpus
+    * service evicts the oldest corpus's pair set and releases its
+    * checkpoint blocks instead of pinning them for the application's
+    * life. Columns: (doc1, doc2, jaccard decimal(38,6)). */
   private val sharedPairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    new graft.Memo.Bounded[(String, String, String), DataFrame](
+      cap = 2, onEvict = graft.Memo.releaseLocalCheckpoint)
   private[graft] def sharedNgramPairs(s: SparkSession, d: String): DataFrame =
-    sharedPairsMemo.getOrElseUpdate((s.sparkContext.applicationId, d),
+    // the corpus FINGERPRINT in the key (ADVICE r9): a corpus
+    // regenerated at the same path must not serve the previous data's
+    // pair set — the stale entry ages out of the LRU and releases its
+    // blocks
+    sharedPairsMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+      graft.FixtureStamp.stamp("pairs1", d, "documents")))(
       ngramJaccardPairs(s, d, prefixFilter = true, presentation = false)
         .localCheckpoint())
 

@@ -70,51 +70,53 @@ object MixOps extends QueryPack {
   // ----------------------------------------------- q_text_chunk
   // Fixed-context chunking with overlap: L-token windows, stride L−O, a
   // short final window keeping the tail. chunk i covers token indices
-  // [i·stride, min(i·stride+L, n)).
-  private val ChunkLen = 128L
-  private val ChunkOverlap = 32L
+  // [i·stride, min(i·stride+L, n)) and — since round 10 (VERDICT r9
+  // task 6) — carries the chunk TEXT itself, so the op yields a
+  // trainable corpus, not just geometry. The chunk rows come out of the
+  // one-pass [[graft.functions.ChunkText]] codegen kernel (tokenize
+  // once, emit exactly the output bytes); the declarative alternatives
+  // either copy the whole token array into every chunk row via the
+  // Generate (O(n²/stride) bytes per doc) or re-tokenize per slice
+  // after lambda inlining — both quadratic walls for book-length docs.
+  private val ChunkLen = 128
+  private val ChunkOverlap = 32
   private val ChunkStride = ChunkLen - ChunkOverlap // 96
 
   private val textChunk = QueryDef(
     "q_text_chunk",
     (s, d) => {
       import s.implicits._
-      val n = size(filter(split(lower($"text"), " +"), x => x =!= ""))
-        .cast("long")
-      val nChunks = when($"n_tok" <= ChunkLen, lit(1L))
-        .otherwise(lit(1L) +
-          floor(($"n_tok" - ChunkLen + ChunkStride - 1) / lit(ChunkStride.toDouble))
-            .cast("long"))
       Tables.documents(s, d)
-        .select($"doc_id", n.as("n_tok"))
-        .filter($"n_tok" > 0)
-        .select($"doc_id", $"n_tok",
-          explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
-        .select($"doc_id", $"chunk_idx",
-          ($"chunk_idx" * ChunkStride).as("start_tok"),
-          least($"chunk_idx" * ChunkStride + ChunkLen, $"n_tok").as("end_tok"))
-        .withColumn("chunk_len", $"end_tok" - $"start_tok")
+        .select($"doc_id",
+          explode(graft.functions.ChunkText.chunk_text(
+            $"text", ChunkLen, ChunkOverlap)).as("c"))
+        .select($"doc_id", $"c.chunk_idx", $"c.start_tok", $"c.end_tok",
+          ($"c.end_tok" - $"c.start_tok").as("chunk_len"), $"c.chunk_text")
         .orderBy($"doc_id", $"chunk_idx")
     },
     Some(s"""WITH t AS (
         SELECT doc_id,
-          CAST(len(list_filter(regexp_split_to_array(lower(text), ' +'),
-            x -> x <> '')) AS BIGINT) AS n_tok
+          list_filter(regexp_split_to_array(lower(text), ' +'),
+            x -> x <> '') AS tk
         FROM documents),
-      c AS (SELECT doc_id, n_tok,
-          CASE WHEN n_tok <= $ChunkLen THEN 1
-               ELSE 1 + CAST(floor((n_tok - $ChunkLen + $ChunkStride - 1)
+      c AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok,
+          CASE WHEN len(tk) <= $ChunkLen THEN 1
+               ELSE 1 + CAST(floor((len(tk) - $ChunkLen + $ChunkStride - 1)
                                    / $ChunkStride.0) AS BIGINT) END AS nc
-        FROM t WHERE n_tok > 0),
-      ch AS (SELECT doc_id, n_tok, unnest(range(0, nc)) AS chunk_idx FROM c)
+        FROM t WHERE len(tk) > 0),
+      ch AS (SELECT doc_id, tk, n_tok, unnest(range(0, nc)) AS chunk_idx FROM c)
       SELECT doc_id, chunk_idx,
         chunk_idx * $ChunkStride AS start_tok,
         least(chunk_idx * $ChunkStride + $ChunkLen, n_tok) AS end_tok,
         least(chunk_idx * $ChunkStride + $ChunkLen, n_tok)
-          - chunk_idx * $ChunkStride AS chunk_len
+          - chunk_idx * $ChunkStride AS chunk_len,
+        array_to_string(tk[CAST(chunk_idx * $ChunkStride + 1 AS BIGINT):
+          CAST(least(chunk_idx * $ChunkStride + $ChunkLen, n_tok) AS BIGINT)],
+          ' ') AS chunk_text
       FROM ch ORDER BY doc_id, chunk_idx"""),
     s"Context-window chunking: $ChunkLen-token windows, $ChunkOverlap" +
-      "-token overlap, tail-preserving — pure map + bounded explode")
+      "-token overlap, tail-preserving, chunk text included — one-pass " +
+      "codegen kernel + bounded explode")
 
   override def defs: Seq[QueryDef] = Seq(mixWeights, textChunk)
 }

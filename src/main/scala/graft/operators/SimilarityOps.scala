@@ -284,9 +284,16 @@ object SimilarityOps extends QueryPack {
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       val sample = ivfTrainingSample(s, d)
-      // corpus-count job is a column-pruned parquet scan (cheap); the
-      // quantizer is still trained on the bounded sample only
-      val k = math.min(ivfK(emb.count()), sample.length)
+      // an empty embeddings table has no quantizer to train — fail with
+      // the semantic error, not a div-by-zero deep in kmeansFit (ADVICE r9)
+      require(sample.nonEmpty,
+        s"IVF needs at least one embedding vector in $d")
+      // corpus size for the ceil(sqrt(N)) list count: when the bounded
+      // training sample came back under its cap it IS the whole corpus,
+      // so the extra count scan only runs for corpora past the cap
+      val n = if (sample.length < IvfSampleCap) sample.length.toLong
+              else emb.count()
+      val k = math.min(ivfK(n), sample.length)
       val cents = kmeansFit(sample, k, IvfIters)
       // distributed assignment: codegen kernel over Tungsten rows — the
       // corpus never deserializes; the quantizer (k*dim doubles —

@@ -42,18 +42,24 @@ object StreamingOps extends QueryPack {
     * query-specific settings go through the `conf` parameter, which is
     * part of the pool key. Calls are sequential within a JVM (bench,
     * verify, specs), which the per-call checkpoint conf below relies on. */
-  private val scopedPool = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, Int, Seq[(String, String)]), SparkSession]
+  private val scopedPool = new graft.Memo.Bounded[
+    (SparkSession, Int, Seq[(String, String)]), SparkSession](
+    // an evicted session pins no executor resources of its own — its
+    // SessionState (analyzer, conf, temp views) is driver heap that GC
+    // reclaims once unreferenced; the shared SparkContext must NOT be
+    // stopped. The cap bounds how many SessionStates a long-lived
+    // multi-config service can accumulate.
+    cap = 4, onEvict = _ => ())
 
   private[graft] def withStreamPartitions[T](s: SparkSession, n: Int,
       conf: Seq[(String, String)] = Nil)(
       body: SparkSession => T): T = {
-    val scoped = scopedPool.getOrElseUpdate((s, n, conf), {
+    val scoped = scopedPool.getOrElseUpdate((s, n, conf)) {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", n.toString)
       conf.foreach { case (k, v) => ss.conf.set(k, v) }
       ss
-    })
+    }
     // FRESH per-call checkpoint root, placed on a RAM-backed filesystem
     // when the host has one (VERDICT r8 task 8): every stateful
     // micro-batch commits offsets + state per partition with fsyncs, and
@@ -70,8 +76,17 @@ object StreamingOps extends QueryPack {
           java.nio.file.Files.isWritable(root))
         Some(java.nio.file.Files.createTempDirectory(root, "graft_ckpt_"))
       else None
-    ckpt.foreach(p =>
-      scoped.conf.set("spark.sql.streaming.checkpointLocation", p.toString))
+    // ALWAYS reconcile the conf on the POOLED session (ADVICE r9): when
+    // the RAM-backed tempdir isn't available this call, a previous
+    // call's (already-deleted) path must not linger on the reused
+    // session — unset it so each query falls back to its own
+    // disk-backed default checkpoint dir.
+    ckpt match {
+      case Some(p) =>
+        scoped.conf.set("spark.sql.streaming.checkpointLocation", p.toString)
+      case None =>
+        scoped.conf.unset("spark.sql.streaming.checkpointLocation")
+    }
     // changelog checkpointing: commit the per-batch delta instead of
     // zip-snapshotting the whole RocksDB instance every micro-batch —
     // the production-recommended mode for frequent small commits; a

@@ -100,6 +100,65 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("q_bpe_vocab: merge section preserves learning order; token section is frequency-ranked") {
+    val (merges, _) = BpeOps.learnBpe(spark, sf)
+    val rows = q("q_bpe_vocab").collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    val (mRows, tRows) = rows.partition(_._1 == "merge")
+    // merge order in the artifact == learning order, tokens are a+b,
+    // counts are the merge-time argmax counts
+    assert(mRows.toSeq === merges.zipWithIndex.map { case (m, i) =>
+      ("merge", i + 1, m.a, m.b, m.a + m.b, m.cnt)
+    })
+    // token ranks are 1..n, counts non-increasing, tie-broken by token
+    assert(tRows.map(_._2).toSeq === (1 to tRows.length))
+    tRows.toSeq.sliding(2).foreach {
+      case Seq(x, y) =>
+        assert(x._6 > y._6 || (x._6 == y._6 && x._5 < y._5))
+      case _ =>
+    }
+    // the ranked vocab is exactly the distinct FINAL tokens (a merge
+    // product consumed wholesale by a later merge is rightly absent);
+    // the fixture vocab fits the cap so nothing is truncated
+    val (_, dictTok) = BpeOps.learnBpe(spark, sf)
+    val finalToks = dictTok.select(explode($"toks")).distinct()
+      .as[String].collect().toSet
+    assert(tRows.map(_._5).toSet === finalToks)
+  }
+
+  test("q_pack_bpe: bins tile each shard's doc stream; totals match the tokenizer tier") {
+    val packs = q("q_pack_bpe").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val bpe = q("q_text_bpe").collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (doc_id, n_bpe_tokens)
+    // the packing tier packs exactly what the tokenizer tier produces
+    assert(packs.map(_._3).sum === bpe.length.toLong, "every doc packed once")
+    assert(packs.map(_._4).sum === bpe.map(_._2).sum, "token totals agree")
+    packs.groupBy(_._1).foreach { case (shard, bins) =>
+      val sorted = bins.sortBy(_._2)
+      // doc ranges are ordered and non-overlapping across a shard's bins
+      sorted.foreach { case (_, _, _, _, first, last) => assert(first <= last) }
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._6 < b._5, s"shard $shard bin overlap")
+        case _ =>
+      }
+      // replay the running sum: each doc's bin is floor(preceding/512)
+      val docs = bpe.filter(_._1 % 32 == shard).sortBy(_._1)
+      var cum = 0L
+      val expected = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+      docs.foreach { case (id, n) =>
+        val bin = cum / 512
+        val (nd, st, f, l) = expected.getOrElse(bin, (0L, 0L, Long.MaxValue, Long.MinValue))
+        expected(bin) = (nd + 1, st + n, math.min(f, id), math.max(l, id))
+        cum += n
+      }
+      assert(sorted.map(x => x._2 -> (x._3, x._4, x._5, x._6)).toMap ===
+        expected.toMap, s"shard $shard bin layout")
+    }
+  }
+
   test("q_text_bpe: totals consistent with q_text_tokens' whitespace counts") {
     val bpe = q("q_text_bpe").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

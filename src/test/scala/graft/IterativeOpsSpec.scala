@@ -177,6 +177,22 @@ class IterativeOpsSpec extends SparkTestBase {
       s"clustering must bound pair work: $pairWork vs all-pairs ${n * n}")
   }
 
+  test("cluster oracle replay fails loudly when rendered before the query ran") {
+    // ADVICE r9: the silent K=8 fallback could render a
+    // plausible-but-wrong oracle; rendering must now throw for a query
+    // whose fn never recorded a K in this JVM...
+    intercept[IllegalStateException] {
+      ClusterOps.recordedK("q_cluster_never_ran")
+    }
+    // ...and replay the recorded K (dir-stamped) once the fn has run —
+    // the Verify contract (run all queries, then render oracles)
+    q("q_cluster_kmeans").collect()
+    val k = ClusterOps.recordedK("q_cluster_kmeans")
+    assert(k >= 8)
+    val sql = SparkEntry.oracleSql("q_cluster_kmeans")
+    assert(sql.contains(s"WHERE vec_id < $k"), "oracle embeds the run's K")
+  }
+
   test("q_dedup_incremental equals the full pair set restricted to " +
       "delta-vs-base pairs (single-sided prefix probe loses nothing)") {
     val full = q("q_dedup_ngram_jaccard")

@@ -17,7 +17,10 @@ class MixSpec extends SparkTestBase {
       (1L, "one"),
       (2L, ("w " * 128).trim), // exactly one window
       (3L, ("w " * 129).trim), // one stride past: 2 chunks
-      (4L, ("w " * 1000).trim) // long doc
+      (4L, ("w " * 1000).trim), // long doc
+      // distinct numbered tokens: a mis-sliced chunk_text shows up as the
+      // WRONG tokens, not just the wrong count
+      (5L, (0 until 700).map(i => s"T$i").mkString(" "))
     ).toDF("doc_id", "text")
       .select($"doc_id", $"text", lit("xx").as("lang"),
         lit("synthetic").as("source"),
@@ -51,6 +54,33 @@ class MixSpec extends SparkTestBase {
     big.toSeq.sliding(2).foreach {
       case Seq(a, b) => assert(b._3 < a._4)
       case _ =>
+    }
+  }
+
+  test("q_text_chunk round-trip: chunk_text is the declared slice; non-overlap concat rebuilds the stream") {
+    val rows = SparkEntry.queries("q_text_chunk")(spark, longDocDir)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"end_tok", $"chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = spark.read.parquet(s"$longDocDir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(rows.keySet === docs.keySet - 0L)
+    rows.foreach { case (doc, chunks) =>
+      val toks = docs(doc).toLowerCase.split(" +").filter(_.nonEmpty)
+      // each chunk's text is exactly the token slice its offsets declare
+      chunks.foreach { case (_, _, s0, e0, txt) =>
+        assert(txt === toks.slice(s0.toInt, e0.toInt).mkString(" "),
+          s"doc $doc slice [$s0,$e0)")
+      }
+      // concatenating each chunk's not-yet-covered suffix reproduces the
+      // original token stream exactly (MixSpec round-trip, VERDICT r9
+      // task 6 done-gate)
+      val rebuilt = chunks.foldLeft((Vector.empty[String], 0L)) {
+        case ((acc, covered), (_, _, s0, e0, txt)) =>
+          val ts = txt.split(' ')
+          (acc ++ ts.drop((covered - s0).toInt), math.max(covered, e0))
+      }._1
+      assert(rebuilt === toks.toVector, s"doc $doc round trip")
     }
   }
 

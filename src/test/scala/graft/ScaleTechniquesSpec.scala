@@ -348,9 +348,11 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // per-iteration centroid-sum collect (kilobytes at any corpus size
       // — the MLlib collect-broadcast iteration shape)
       "operators/ClusterOps.scala" -> 2,
-      // BPE learning loop: .limit(1) argmax-pair fetch per merge
-      // iteration (one row; the dict itself never collects)
-      "operators/BpeOps.scala" -> 1)
+      // BPE learning (round 10, driver-local): ONE vocab-sized dict
+      // collect guarded by the MaxDictWords require — the industrial
+      // learner shape — plus the spec-only distributed reference's
+      // .limit(1) argmax fetch (unreachable from declared queries)
+      "operators/BpeOps.scala" -> 2)
     val base = java.nio.file.Paths.get("src", "main", "scala", "graft")
     val offenders = java.nio.file.Files.walk(base).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
