@@ -83,6 +83,10 @@ object BenchStress {
     // running-sum window as q_pack_sequences (already stressed) but fed
     // by the broadcast-dict token counts; stressed for parity with it
     "q_pack_bpe",
+    // round-10: frozen-tokenizer holdout encoding — contains its own
+    // base-slice learning pass (corpus scan + dict collect) plus the
+    // Merges-deep replace chain over held-out distinct words
+    "q_bpe_encode",
     "q_sink_text_roundtrip",
     "q_redact_scrub",
     "q_sample_stratified",

@@ -96,11 +96,15 @@ object BpeOps extends QueryPack {
     * sharedNgramPairs pattern. The memo holds driver-local data only (no
     * executor blocks): the size-capped [[graft.Memo.Bounded]] bounds the
     * heap it can pin. */
-  private val learnMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (Seq[BpeMerge], DataFrame)]
+  private val learnMemo =
+    new graft.Memo.Bounded[(String, String, String), (Seq[BpeMerge], DataFrame)](
+      cap = 4, onEvict = _ => ()) // driver-local data: GC reclaims it
   private[graft] def learnBpe(s: SparkSession, d: String)
       : (Seq[BpeMerge], DataFrame) =
-    learnMemo.getOrElseUpdate((s.sparkContext.applicationId, d),
+    // corpus fingerprint in the key (ADVICE r9): regeneration at the
+    // same path re-learns instead of serving the stale tokenizer
+    learnMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+      graft.FixtureStamp.stamp("bpe1", d, "documents")))(
       learnBpeUncached(s, d))
 
   /** The uncached learning path (VERDICT r9 task 1: driver-local merge
@@ -110,9 +114,25 @@ object BpeOps extends QueryPack {
     * learned dict re-enters the plan as a local relation, which the
     * consumers broadcast-join exactly as before. */
   private[graft] def learnBpeUncached(s: SparkSession, d: String,
-      maxMerges: Int = Merges): (Seq[BpeMerge], DataFrame) = {
+      maxMerges: Int = Merges): (Seq[BpeMerge], DataFrame) =
+    learnFromWords(s, corpusWords(s, d), maxMerges)
+
+  /** The frozen-tokenizer training slice: everything except the held-out
+    * `doc_id % HoldoutMod == 0` documents. Memoized like the full-corpus
+    * tokenizer (a `#base` key variant). */
+  private[graft] def learnBpeBase(s: SparkSession, d: String)
+      : (Seq[BpeMerge], DataFrame) = {
     import s.implicits._
-    val dictLocal = corpusWords(s, d)
+    learnMemo.getOrElseUpdate((s.sparkContext.applicationId, d + "#base",
+      graft.FixtureStamp.stamp("bpe1", d, "documents")))(
+      learnFromWords(s,
+        corpusWords(s, d).where($"doc_id" % HoldoutMod =!= 0), Merges))
+  }
+
+  private def learnFromWords(s: SparkSession, words: DataFrame,
+      maxMerges: Int): (Seq[BpeMerge], DataFrame) = {
+    import s.implicits._
+    val dictLocal = words
       .groupBy($"word").agg(count(lit(1)).as("freq"))
       .as[(String, Long)].collect()
     require(dictLocal.length <= MaxDictWords,
@@ -325,7 +345,12 @@ object BpeOps extends QueryPack {
     * 16-level chain exponentially (~4^16 scans of the base table —
     * observed as a "too many open files" blow-up in DuckDB). Exposes
     * `words(doc_id, word)` and `d$Merges(word, freq, t)`. */
-  private def learnCtes: String = {
+  private def learnCtes: String = learnCtesFiltered("TRUE")
+
+  /** As [[learnCtes]], with the training corpus restricted to documents
+    * matching `docFilter` — the frozen-tokenizer oracle learns on the
+    * base slice only. */
+  private def learnCtesFiltered(docFilter: String): String = {
     val iters = (0 until Merges).map { k =>
       s"""s$k AS MATERIALIZED (SELECT word, freq, string_split(trim(t, chr(1)), chr(1)||chr(1)) AS sy FROM d$k),
       p$k AS MATERIALIZED (SELECT a, b, SUM(freq) AS cnt FROM (
@@ -341,7 +366,7 @@ object BpeOps extends QueryPack {
     }.mkString(",\n      ")
     s"""wr AS (
         SELECT doc_id, unnest(regexp_split_to_array(lower(text), ' +')) AS w0
-        FROM documents),
+        FROM documents WHERE $docFilter),
       words AS MATERIALIZED (
         SELECT doc_id, replace(w0, chr(1), '') AS word FROM wr
         WHERE len(replace(w0, chr(1), '')) > 0),
@@ -430,6 +455,88 @@ object BpeOps extends QueryPack {
       ORDER BY d.doc_id"""),
     "Per-document subword-ID sequences from the learned BPE vocabulary " +
       "(frequency-ranked ids), broadcast dict + one grouped shuffle")
+
+  // ---------------------------------------------------- q_bpe_encode
+  // Frozen-tokenizer encoding (the production step q_text_bpe cannot
+  // show): learn on the base slice (doc_id % HoldoutMod != 0), encode
+  // the HELD-OUT documents with that frozen merge table — including
+  // words the trainer never saw, which BPE handles by splitting deeper
+  // into subwords (the whole point of subword tokenization). The
+  // application is fully distributed and collect-free: distinct held
+  // words take the delimiter encoding and fold the Merges-deep `replace`
+  // chain (pure codegen string ops — the same formulation the oracle
+  // replays), then per-doc counts come from one broadcast join + one
+  // grouped shuffle. n_unseen_words reports how many word occurrences
+  // were out-of-dict.
+  private[graft] val HoldoutMod = 10
+
+  private val bpeEncode = QueryDef(
+    "q_bpe_encode",
+    (s, d) => {
+      import s.implicits._
+      val (merges, baseDict) = learnBpeBase(s, d)
+      val held = corpusWords(s, d).where($"doc_id" % HoldoutMod === 0)
+      val t0: org.apache.spark.sql.Column = concat(lit(D),
+        array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"), DD),
+        lit(D))
+      val tN = merges.foldLeft(t0)((c, m) =>
+        replace(c, lit(D + m.a + DD + m.b + D), lit(D + m.a + m.b + D)))
+      val encoded = held.select($"word").distinct()
+        .withColumn("t", tN)
+        .select($"word",
+          size(split(expr("trim(BOTH char(1) FROM t)"), DD))
+            .cast("long").as("n_tok"))
+      val seen = baseDict.select($"word", lit(1L).as("seen"))
+      val perDoc = held
+        .join(broadcast(encoded), "word")
+        .join(broadcast(seen), Seq("word"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"n_tok").as("n_bpe_tokens"),
+          sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_unseen_words"))
+      Tables.documents(s, d).select($"doc_id")
+        .where($"doc_id" % HoldoutMod === 0)
+        .join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_words", lit(0L)).as("n_words"),
+          coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"),
+          coalesce($"n_unseen_words", lit(0L)).as("n_unseen_words"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH ${learnCtesFiltered(s"doc_id % $HoldoutMod <> 0")},
+      hw AS MATERIALIZED (SELECT doc_id, replace(w0, chr(1), '') AS word FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), ' +')) AS w0
+          FROM documents WHERE doc_id % $HoldoutMod = 0)
+        WHERE len(replace(w0, chr(1), '')) > 0),
+      e0 AS MATERIALIZED (SELECT DISTINCT word,
+          chr(1) || array_to_string(
+            list_transform(range(1, len(word) + 1), i -> word[i:i]),
+            chr(1)||chr(1)) || chr(1) AS t
+        FROM hw),
+      ${(0 until Merges).map(k => s"""e${k + 1} AS MATERIALIZED (SELECT word,
+        coalesce(replace(t,
+          chr(1)||(SELECT a FROM b$k)||chr(1)||chr(1)||(SELECT b FROM b$k)||chr(1),
+          chr(1)||(SELECT a FROM b$k)||(SELECT b FROM b$k)||chr(1)), t) AS t
+        FROM e$k)""").mkString(",\n      ")},
+      enc AS (SELECT word,
+          CAST(len(string_split(trim(t, chr(1)), chr(1)||chr(1))) AS BIGINT) AS n_tok
+        FROM e$Merges),
+      per_doc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(SUM(e.n_tok) AS BIGINT) AS n_bpe_tokens,
+          CAST(SUM(CASE WHEN s.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unseen_words
+        FROM hw h JOIN enc e USING (word)
+        LEFT JOIN (SELECT DISTINCT word FROM dict) s ON h.word = s.word
+        GROUP BY 1)
+      SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words,
+        COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+        COALESCE(p.n_unseen_words, 0) AS n_unseen_words
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      WHERE d.doc_id % $HoldoutMod = 0
+      ORDER BY d.doc_id"""),
+    "Frozen-tokenizer encoding of held-out documents: merges learned on " +
+      "the 90% base slice applied to the 10% holdout, unseen words " +
+      "subword-split, collect-free distributed application")
 
   // ---------------------------------------------------- q_bpe_vocab
   // The tokenizer ARTIFACT (VERDICT r9 task 3): the learned merge table
@@ -523,5 +630,5 @@ object BpeOps extends QueryPack {
       "parallel shards) — the tokenize-then-pack composition")
 
   override def defs: Seq[QueryDef] =
-    Seq(textBpe, textBpeIds, bpeVocab, packBpe)
+    Seq(textBpe, textBpeIds, bpeVocab, packBpe, bpeEncode)
 }

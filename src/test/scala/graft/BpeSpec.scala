@@ -159,6 +159,75 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("q_bpe_encode: frozen-tokenizer holdout encoding matches a local reference recompute") {
+    val rows = q("q_bpe_encode").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // local reference: learn on the base slice, apply merges per word
+    // with the same greedy applyMerge, count per held-out doc
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lower(text) as text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def words(t: String) =
+      t.split(" +").map(_.replace("\u0001", "")).filter(_.nonEmpty)
+    val baseDict = docs.filter(_._1 % BpeOps.HoldoutMod != 0)
+      .flatMap(d => words(d._2))
+      .groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val held = docs.filter(_._1 % BpeOps.HoldoutMod == 0)
+    assert(held.nonEmpty && rows.keySet === held.map(_._1).toSet)
+    val (merges, _) = BpeOps.learnLocal(baseDict.toArray, BpeOps.Merges)
+    def encode(w: String): Int = {
+      var t = w.map(_.toString).toArray // fixture words are BMP-only
+      merges.foreach(m => t = BpeOps.applyMerge(t, m.a, m.b))
+      t.length
+    }
+    held.foreach { case (id, text) =>
+      val ws = words(text)
+      val (nW, nT, nU) = rows(id)
+      assert(nW === ws.length.toLong, s"doc $id n_words")
+      assert(nT === ws.map(encode(_).toLong).sum, s"doc $id n_bpe_tokens")
+      assert(nU === ws.count(w => !baseDict.contains(w)).toLong, s"doc $id n_unseen")
+    }
+  }
+
+  test("q_bpe_encode splits UNSEEN words into subwords (planted OOV corpus)") {
+    // the driver fixture's vocabulary is closed (every holdout word
+    // occurs in the base slice), so the OOV path gets a purpose-built
+    // corpus: base docs establish merges over 'aaaa'-family words; the
+    // holdout doc (doc_id % HoldoutMod == 0) carries words the trainer
+    // never saw, which must be encoded by subword-splitting, not dropped
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_oov").toString
+    val base = (1L to 9L).map(i => (i, "aaaa bbbb aaaa cccc"))
+    val holdout = Seq((10L, "aaaa aabb ddddd"))
+    (base ++ holdout).toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("xx").as("lang"),
+        lit("synthetic").as("source"),
+        length($"text").cast("long").as("n_chars"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("q_bpe_encode")(spark, dir).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert(r.getLong(0) === 10L)
+    assert(r.getLong(1) === 3L, "three holdout words")
+    // 'aaaa' seen -> 1 token; 'aabb' unseen but built from learned
+    // subwords; 'ddddd' unseen with an alphabet letter 'd' the base
+    // vocab still covers as single chars -> 5 tokens; every word
+    // encodes (nothing dropped) and both unseen words are counted
+    assert(r.getLong(3) === 2L, s"two unseen words, got $r")
+    assert(r.getLong(2) >= 1L + 1L + 5L, s"subword-split token count, got $r")
+    // cross-check against the local reference
+    val baseDict = base.flatMap(_._2.split(" "))
+      .groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val (merges, _) = BpeOps.learnLocal(baseDict.toArray, BpeOps.Merges)
+    def enc(w: String): Long = {
+      var t = w.map(_.toString).toArray
+      merges.foreach(m => t = BpeOps.applyMerge(t, m.a, m.b))
+      t.length.toLong
+    }
+    assert(r.getLong(2) === Seq("aaaa", "aabb", "ddddd").map(enc).sum)
+  }
+
   test("q_text_bpe: totals consistent with q_text_tokens' whitespace counts") {
     val bpe = q("q_text_bpe").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
