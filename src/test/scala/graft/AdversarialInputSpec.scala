@@ -56,7 +56,8 @@ class AdversarialInputSpec extends SparkTestBase {
     "q_dedup_simhash", "q_pipeline_clean", "q_sample_split",
     "q_dedup_components", "q_text_span_dedup", "q_dedup_incremental",
     "q_text_salient_terms", "q_text_bpe", "q_text_bpe_ids",
-    "q_text_quality_model", "q_text_chunk", "q_mix_weights")
+    "q_text_quality_model", "q_text_chunk", "q_mix_weights",
+    "q_bpe_vocab", "q_pack_bpe", "q_bpe_encode")
 
   test("every text/dedup query completes on the edge corpus") {
     val failures = tier.flatMap { name =>
@@ -69,6 +70,23 @@ class AdversarialInputSpec extends SparkTestBase {
     }
     assert(failures.isEmpty,
       s"edge corpus broke ${failures.size} queries:\n${failures.mkString("\n")}")
+  }
+
+  test("BPE local learner matches the distributed reference on ill-formed unicode") {
+    // the driver-local loop's code-point symbols and UTF-8-byte
+    // tie-breaks must agree with the engine formulation (substring
+    // code-point indexing, binary string collation) EXACTLY where text
+    // gets hostile: 4-byte emoji (non-BMP — a toCharArray split would
+    // halve them into surrogates), CJK with no spaces, RTL scripts,
+    // NUL/control bytes, and the 40k-token repetition bomb
+    val (mL, dL) = operators.BpeOps.learnBpeUncached(spark, edgeDir)
+    val (mD, dD) = operators.BpeOps.learnBpeDistributedReference(spark, edgeDir)
+    assert(mL === mD, "merge tables (pairs + counts) must match")
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .select($"word", $"freq", concat_ws("", $"toks").as("tk"), $"n_tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(dump(dL) === dump(dD), "tokenized dicts must match")
   }
 
   test("edge semantics: empty/whitespace docs tokenize to zero, big line survives") {
