@@ -121,7 +121,11 @@ object BenchStress {
     // round-8: the delta-vs-base probe's candidate volume is
     // |delta prefix| x base-df — exactly the product xREP multiplies;
     // SCD-2's per-key version windows grow with the replicated user set
-    "q_dedup_incremental", "q_scd2_build")
+    "q_dedup_incremental", "q_scd2_build",
+    // round-10: DSIR importance weighting — linear by design (fixed
+    // 1024-bucket models, one doc_id shuffle); stressed to PROVE the
+    // bucket tables stay bounded while the corpus token stream grows xREP
+    "q_dsir_weights")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,
@@ -143,13 +147,14 @@ object BenchStress {
     // subword-id sequences: word explode + broadcast dict/vocab joins +
     // one grouped shuffle — linear, same class as q_text_token_ids
     "q_text_bpe_ids",
-    // tokenizer artifact: a vocab-sized plan over the memoized learned
-    // dict — never touches the corpus beyond the learning pass, which
-    // x_bpe_learn times at 10x
-    "q_bpe_vocab",
-    // one corpus agg with domain-cardinality output / a pure map +
-    // bounded explode (≈ n_tok/stride rows per doc) — both linear
-    "q_mix_weights", "q_text_chunk",
+    // tokenizer artifact + coverage curve: vocab-sized plans over the
+    // memoized learned dict — never touch the corpus beyond the learning
+    // pass, which x_bpe_learn times at 10x
+    "q_bpe_vocab", "q_vocab_coverage",
+    // one corpus agg with domain-cardinality output / a broadcast-factor
+    // pure-map copy decision / a pure map + bounded explode
+    // (≈ n_tok/stride rows per doc) — all linear
+    "q_mix_weights", "q_mix_sample", "q_text_chunk",
     "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_token_ids",
     "q_text_fingerprint", "q_text_repetition",
     // MG sketch: vocabulary-bounded O(capacity) state per buffer — the

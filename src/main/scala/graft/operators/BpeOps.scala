@@ -582,6 +582,62 @@ object BpeOps extends QueryPack {
     "Tokenizer artifact export: ordered merge table + frequency-ranked " +
       "subword vocab (the tokenizer.json analog), hash-checked end to end")
 
+  // ------------------------------------------------ q_vocab_coverage
+  // Tokenizer evaluation: the vocab coverage curve — for each vocabulary
+  // budget r, the exact fraction of corpus BPE-token OCCURRENCES the
+  // top-r frequency-ranked subwords cover (the curve a tokenizer owner
+  // reads before freezing a vocab size; Zipf makes it steep). Everything
+  // computes on the learned dict (a vocab-sized local relation): ranking
+  // is the q_bpe_vocab window, the thresholds attach as a pure
+  // array-literal filter + explode (no theta-join, no BNLJ), and the
+  // occurrence total rides along as an unpartitioned window over the
+  // vocab-sized relation. Nothing touches the corpus beyond the shared
+  // learning pass.
+  private[graft] val CoverageThresholds =
+    Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L)
+
+  private val vocabCoverage = QueryDef(
+    "q_vocab_coverage",
+    (s, d) => {
+      import s.implicits._
+      val (_, dictTok) = learnBpe(s, d)
+      val W = org.apache.spark.sql.expressions.Window
+      val occ = dictTok
+        .select(explode($"toks").as("tok"), $"freq")
+        .groupBy($"tok").agg(sum($"freq").as("cnt"))
+        .withColumn("rank", row_number().over(W.orderBy($"cnt".desc, $"tok")))
+        .withColumn("total", sum($"cnt").over(W.partitionBy()))
+      val th = array(CoverageThresholds.map(lit(_)): _*)
+      occ
+        .select($"cnt", $"total",
+          explode(filter(th, r => r >= $"rank")).as("vocab_r"))
+        .groupBy($"vocab_r")
+        .agg(sum($"cnt").as("covered"), max($"total").as("total"))
+        .select($"vocab_r", $"covered", $"total",
+          round($"covered".cast("decimal(18,2)") / $"total", 6)
+            .cast("decimal(38,6)").cast("double").as("coverage"))
+        .orderBy($"vocab_r")
+    },
+    Some(s"""WITH $learnCtes,
+      $dictToksCte,
+      occ AS (SELECT tok, cnt,
+          CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank,
+          CAST(SUM(cnt) OVER () AS BIGINT) AS total
+        FROM (SELECT tok, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+          SELECT freq, unnest(tk) AS tok FROM dtoks) GROUP BY 1)),
+      ex AS (SELECT cnt, total,
+          unnest(list_filter([${CoverageThresholds.mkString(", ")}],
+            r -> r >= rank)) AS vocab_r
+        FROM occ)
+      SELECT CAST(vocab_r AS BIGINT) AS vocab_r,
+        CAST(sum(cnt) AS BIGINT) AS covered,
+        CAST(max(total) AS BIGINT) AS total,
+        CAST(CAST(round(CAST(sum(cnt) AS DECIMAL(18,2)) / max(total), 6)
+          AS DECIMAL(38,6)) AS DOUBLE) AS coverage
+      FROM ex GROUP BY 1 ORDER BY vocab_r"""),
+    "Tokenizer vocab coverage curve: exact fraction of corpus BPE-token " +
+      "occurrences covered per vocabulary budget, vocab-sized plan")
+
   // ----------------------------------------------------- q_pack_bpe
   // Sequence packing over the TOKENIZER's counts (VERDICT r9 task 2):
   // the q_pack_sequences layout (512-token bins, running sum per
@@ -630,5 +686,5 @@ object BpeOps extends QueryPack {
       "parallel shards) — the tokenize-then-pack composition")
 
   override def defs: Seq[QueryDef] =
-    Seq(textBpe, textBpeIds, bpeVocab, packBpe, bpeEncode)
+    Seq(textBpe, textBpeIds, bpeVocab, vocabCoverage, packBpe, bpeEncode)
 }

@@ -241,6 +241,136 @@ object CurationOps extends QueryPack {
     "Test-set 4-gram decontamination: broadcast test-gram index, " +
       "map-side join, overlap-fraction contamination decision")
 
+  // --------------------------------- importance-weighted data selection
+  // DSIR-style selection (Xie et al., "Data Selection for Language Models
+  // via Importance Resampling", NeurIPS 2023): score every corpus
+  // document by the likelihood ratio of a TARGET-domain bag-of-hashed-
+  // grams model to the raw-corpus model. The published estimator works in
+  // log space with float probabilities; this is the exact-arithmetic
+  // variant of the same statistic — per-bucket Laplace-smoothed ratios
+  // fixed at 6 decimal places and summed per document in integer
+  // MILLIONTHS — so the hash oracle proves it bit-for-bit (the
+  // decimal-avg precedent; a log-space twin would hash-diverge on libm).
+  //
+  // Scale shape: both bucket models are ≤[[DsirBuckets]] rows built with
+  // map-side combine; their join, the totals (unpartitioned window over
+  // the bucket-sized relation — no 1-row cross join, no BNLJ), and the
+  // ratio table stay bucket-sized and broadcast. The corpus token stream
+  // md5-buckets as a pure map, joins the broadcast ratio map-side, and
+  // shuffles ONCE on doc_id for the per-doc sum. No corpus-sized
+  // relation is ever collected, broadcast, or pair-joined — the only
+  // shape that survives scoring a 100 TB corpus against a curated target.
+  private[graft] val DsirBuckets = 1024L
+  /** Target-domain slice: source='src0' (5% of the fixture corpus) —
+    * stands in for the curated high-quality target set a production DSIR
+    * run fits its target model on. */
+  private val DsirTarget = "src0"
+
+  private val dsirWeights = QueryDef(
+    "q_dsir_weights",
+    (s, d) => {
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          explode(split(lower($"text"), " +")).as("w"))
+        .filter($"w" =!= "")
+        .select($"doc_id", $"source",
+          pmod(conv(substring(md5($"w"), 1, 8), 16, 10).cast("long"),
+            lit(DsirBuckets)).as("b"))
+      val raw = tok.groupBy($"b").agg(count(lit(1)).as("r_cnt"))
+      val tgt = tok.filter($"source" === DsirTarget)
+        .groupBy($"b").agg(count(lit(1)).as("t_cnt"))
+      val all = Window.partitionBy()
+      // per-bucket ratio in millionths, plus the corpus totals the
+      // RELATIVE selection rule needs (Laplace mass over B buckets
+      // deflates every absolute ratio on a small-vocab corpus, so "w>=1"
+      // would be corpus-size-dependent; DSIR selects by relative weight
+      // anyway). s_tot = Σ_b r_b·w_mil and r_tot = Σ_b r_b ride along
+      // from bucket-sized windows — never a corpus-sized window or a
+      // 1-row cross join.
+      val ratio = raw.join(tgt, Seq("b"), "left")
+        .na.fill(0L, Seq("t_cnt"))
+        .withColumn("rt", sum($"r_cnt").over(all))
+        .withColumn("tt", sum($"t_cnt").over(all))
+        .withColumn("w_mil",
+          (round((($"t_cnt" + 1L) * ($"rt" + DsirBuckets)).cast("decimal(18,2)") /
+              (($"r_cnt" + 1L) * ($"tt" + DsirBuckets)), 6)
+            .cast("decimal(38,6)") * 1000000L).cast("long"))
+        .withColumn("s_tot", sum($"r_cnt" * $"w_mil").over(all))
+        .select($"b", $"w_mil", $"s_tot", $"rt".as("r_tot"))
+      val perDoc = tok
+        .join(broadcast(ratio), "b")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum($"w_mil").as("sum_mw"),
+          max($"s_tot").as("s_tot"), max($"r_tot").as("r_tot"))
+      val avgDec = round($"sum_mw".cast("decimal(18,2)") / ($"n_tok" * 1000000L), 6)
+        .cast("decimal(38,6)")
+      // selected iff the doc's mean ratio >= the corpus token-weighted
+      // mean: sum_mw/n_tok >= s_tot/r_tot, cross-multiplied in
+      // decimal(38,0) so the comparison is integer-exact at any corpus
+      // size (no division, no float)
+      Tables.documents(s, d).select($"doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_tok", "sum_mw"))
+        .select($"doc_id", $"n_tok", $"sum_mw",
+          when($"n_tok" > 0, avgDec).otherwise(lit(0).cast("decimal(38,6)"))
+            .cast("double").as("weight"),
+          ($"n_tok" > 0 &&
+            $"sum_mw".cast("decimal(38,0)") * $"r_tot" >=
+              $"n_tok".cast("decimal(38,0)") * $"s_tot")
+            .cast("long").as("selected"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH tk AS (
+        SELECT doc_id, source, w FROM (
+          SELECT doc_id, source,
+            unnest(regexp_split_to_array(lower(text), ' +')) AS w
+          FROM documents) WHERE w <> ''),
+      bk AS MATERIALIZED (
+        SELECT doc_id, source,
+          CAST(list_sum(list_transform(range(1, 9), i ->
+              (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)
+                * (16 ** (8 - i))))
+            AS BIGINT) % $DsirBuckets AS b
+        FROM tk),
+      raw AS (SELECT b, CAST(count(*) AS BIGINT) AS r_cnt FROM bk GROUP BY 1),
+      tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t_cnt FROM bk
+        WHERE source = '$DsirTarget' GROUP BY 1),
+      rb AS (SELECT b, r_cnt, COALESCE(t_cnt, 0) AS t_cnt,
+          CAST(SUM(r_cnt) OVER () AS BIGINT) AS rt,
+          CAST(SUM(COALESCE(t_cnt, 0)) OVER () AS BIGINT) AS tt
+        FROM raw LEFT JOIN tgt USING (b)),
+      ratio AS (
+        SELECT b, w_mil,
+          CAST(SUM(CAST(r_cnt AS HUGEINT) * w_mil) OVER () AS BIGINT) AS s_tot,
+          rt AS r_tot
+        FROM (SELECT b, r_cnt, rt,
+            CAST(CAST(round(
+              CAST((t_cnt + 1) * (rt + $DsirBuckets) AS DECIMAL(18,2))
+              / ((r_cnt + 1) * (tt + $DsirBuckets)),
+              6) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS w_mil
+          FROM rb)),
+      per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+          CAST(sum(w_mil) AS BIGINT) AS sum_mw,
+          max(s_tot) AS s_tot, max(r_tot) AS r_tot
+        FROM bk JOIN ratio USING (b) GROUP BY 1)
+      SELECT d.doc_id, COALESCE(p.n_tok, 0) AS n_tok,
+        COALESCE(p.sum_mw, 0) AS sum_mw,
+        CAST(CASE WHEN COALESCE(p.n_tok, 0) > 0
+          THEN CAST(round(CAST(p.sum_mw AS DECIMAL(18,2)) / (p.n_tok * 1000000), 6)
+            AS DECIMAL(38,6))
+          ELSE CAST(0 AS DECIMAL(38,6)) END AS DOUBLE) AS weight,
+        CAST(CASE WHEN COALESCE(p.n_tok, 0) > 0
+            AND CAST(p.sum_mw AS HUGEINT) * p.r_tot
+              >= CAST(p.n_tok AS HUGEINT) * p.s_tot
+          THEN 1 ELSE 0 END AS BIGINT) AS selected
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY d.doc_id"""),
+    "DSIR importance weighting: hashed-unigram target/raw likelihood " +
+      "ratios in exact decimal millionths, bucket-sized models broadcast, " +
+      "one doc_id shuffle")
+
   // ------------------------------------ deterministic corpus shuffle
   // Training-data ordering must be a reproducible function of the DATA,
   // not of cluster scheduling or an RNG seed file: epoch shuffling that
@@ -439,5 +569,6 @@ object CurationOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(mergeUpsert, sampleStratified, packSequences, redactScrub,
-      decontaminate, shuffleDeterministic, textSpanDedup, scd2Build)
+      decontaminate, dsirWeights, shuffleDeterministic, textSpanDedup,
+      scd2Build)
 }

@@ -67,6 +67,74 @@ object MixOps extends QueryPack {
     "Domain-mixture rebalancing: per-source shares, additive-smoothed " +
       "target mixture, up/down-sampling factors — exact decimal")
 
+  // ----------------------------------------------- q_mix_sample
+  // EXECUTE the mixture plan: per-document copy counts that realize
+  // q_mix_weights' sampling factors deterministically (the step between
+  // deciding a mixture and materializing the training corpus). A doc in
+  // source s with factor f gets floor(f) copies plus one more iff its
+  // hash residue falls below frac(f) — so the expected per-source mass
+  // hits the target share exactly, and the decision derives from the
+  // DATA (md5 of doc_id + salt), not RNG state: reproducible across
+  // engines, restarts, and repartitionings (the q_sample_split rule).
+  //
+  // Scale shape: the factor table is domain-cardinality-sized (broadcast
+  // after one corpus aggregation); the copy decision is a pure map over
+  // the corpus — zero corpus shuffle before the presentation sort. The
+  // factor is carried in integer MILLIONTHS (f_mil, the exact decimal
+  // the weights op publishes ×10⁶), so floor/frac arithmetic is
+  // integer-exact on both engines.
+  private val mixSample = QueryDef(
+    "q_mix_sample",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy()
+      val factors = Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(sum($"n_chars".cast("long")).as("total_chars"))
+        .withColumn("total", sum($"total_chars").over(w))
+        .withColumn("k", count(lit(1)).over(w))
+        .select($"source",
+          (round(($"total_chars" * 20 + $"total").cast("decimal(28,2)") /
+              (($"k" + 20) * $"total_chars"), 6)
+            .cast("decimal(38,6)") * 1000000L).cast("long").as("f_mil"))
+      // residue in [0, 1e6): first 8 hex digits of md5(doc_id:mix:42)
+      val residue = pmod(
+        conv(substring(md5(concat($"doc_id".cast("string"), lit(":mix:42"))),
+          1, 8), 16, 10).cast("long"), lit(1000000L))
+      Tables.documents(s, d).select($"doc_id", $"source")
+        .join(broadcast(factors), "source")
+        .select($"doc_id", $"source", $"f_mil",
+          (floor($"f_mil" / 1000000L) +
+            when(residue < $"f_mil" % 1000000L, 1L).otherwise(0L))
+            .cast("long").as("n_copies"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH per_source AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source),
+      f AS (SELECT source,
+          CAST(CAST(round(CAST(total_chars * 20 + total AS DECIMAL(28,2))
+              / ((k + 20) * total_chars), 6) AS DECIMAL(38,6)) * 1000000
+            AS BIGINT) AS f_mil
+        FROM (SELECT *, CAST(sum(total_chars) OVER () AS BIGINT) AS total,
+                CAST(count(*) OVER () AS BIGINT) AS k FROM per_source)),
+      r AS (SELECT doc_id, source,
+          CAST(list_sum(list_transform(range(1, 9), i ->
+              (strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':mix:42'), i, 1)) - 1)
+                * (16 ** (8 - i))))
+            AS BIGINT) % 1000000 AS residue
+        FROM documents)
+      SELECT r.doc_id, r.source, f.f_mil,
+        CAST(f.f_mil // 1000000
+          + CASE WHEN r.residue < f.f_mil % 1000000 THEN 1 ELSE 0 END
+          AS BIGINT) AS n_copies
+      FROM r JOIN f USING (source)
+      ORDER BY r.doc_id"""),
+    "Mixture-plan execution: deterministic per-doc copy counts realizing " +
+      "the rebalancing factors (floor + hash-residue fractional copy), " +
+      "domain-sized factor broadcast, zero corpus shuffle")
+
   // ----------------------------------------------- q_text_chunk
   // Fixed-context chunking with overlap: L-token windows, stride L−O, a
   // short final window keeping the tail. chunk i covers token indices
@@ -118,5 +186,5 @@ object MixOps extends QueryPack {
       "-token overlap, tail-preserving, chunk text included — one-pass " +
       "codegen kernel + bounded explode")
 
-  override def defs: Seq[QueryDef] = Seq(mixWeights, textChunk)
+  override def defs: Seq[QueryDef] = Seq(mixWeights, mixSample, textChunk)
 }

@@ -127,6 +127,37 @@ class BpeSpec extends SparkTestBase {
     assert(tRows.map(_._5).toSet === finalToks)
   }
 
+  test("q_vocab_coverage: monotone curve, exact ratios, full coverage at the top budget") {
+    val rows = q("q_vocab_coverage").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every declared budget present, in order
+    assert(rows.map(_._1).toSeq === BpeOps.CoverageThresholds)
+    // covered is nondecreasing in the budget; the total is one constant
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._2, s"coverage curve dipped: $a -> $b")
+      case _ =>
+    }
+    assert(rows.map(_._3).distinct.length === 1)
+    // coverage column recomputes exactly from covered/total (HALF_UP at 6)
+    rows.foreach { case (r, c, t, cov) =>
+      val expect = (BigDecimal(c).setScale(6) / BigDecimal(t))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cov === expect, s"budget $r: $cov != $expect")
+    }
+    // independent recompute of one point: covered@4 = freq-weighted count
+    // of occurrences of the 4 most frequent subwords
+    val (_, dictTok) = BpeOps.learnBpe(spark, sf)
+    val byCnt = dictTok.select(explode($"toks").as("tok"), $"freq")
+      .groupBy($"tok").agg(sum($"freq").as("cnt"))
+      .orderBy($"cnt".desc, $"tok").as[(String, Long)].collect()
+    assert(rows.find(_._1 == 4L).get._2 === byCnt.take(4).map(_._2).sum)
+    // the fixture's subword vocab fits the largest budget -> full coverage
+    if (byCnt.length <= 512) {
+      assert(rows.last._2 === rows.last._3)
+      assert(rows.last._4 === 1.0)
+    }
+  }
+
   test("q_pack_bpe: bins tile each shard's doc stream; totals match the tokenizer tier") {
     val packs = q("q_pack_bpe").collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -132,4 +132,43 @@ class CurationOpsSpec extends SparkTestBase {
     // no test doc leaks into its own contamination report
     assert(got.keys.forall(_ % 50 != 0))
   }
+
+  test("q_dsir_weights: exact per-doc recompute; target slice out-scores the rest") {
+    val out = q("q_dsir_weights").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    // every document scored exactly once
+    assert(out.map(_._1).toSet === docs.keySet)
+    // corpus token-weighted mean in exact integers: Σ sum_mw / Σ n_tok
+    // (equals Σ_b r_b·w_mil / R — every token carries its bucket ratio)
+    val sTot = out.map(r => BigInt(r._3)).sum
+    val rTot = out.map(r => BigInt(r._2)).sum
+    out.foreach { case (id, nTok, sumMw, weight, selected) =>
+      // weight recomputes exactly from the integer millionths (HALF_UP@6)
+      val expect =
+        if (nTok == 0) 0.0
+        else (BigDecimal(sumMw).setScale(6) / BigDecimal(nTok * 1000000L))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(weight === expect, s"doc $id weight")
+      // relative selection: doc mean ratio >= corpus token-weighted mean,
+      // cross-multiplied in BigInt (the exact rule the query declares)
+      val expSel = nTok > 0 && BigInt(sumMw) * rTot >= BigInt(nTok) * sTot
+      assert(selected === (if (expSel) 1L else 0L), s"doc $id selected flag")
+    }
+    // the rule is a real partition at fixture scale: both sides non-empty
+    assert(out.exists(_._5 == 1L) && out.exists(_._5 == 0L))
+    // the importance identity: the token-weighted mean ratio over the
+    // TARGET slice is >= the corpus mean (E_t[w] = E_r[w·(p_t/p_r)] >=
+    // E_r[w] up to smoothing + rounding noise, with equality only when
+    // target == raw). Tolerance covers the 6-decimal rounding.
+    def meanW(ids: Iterable[(Long, Long, Long, Double, Long)]): Double = {
+      val (mw, n) = ids.foldLeft((0L, 0L)) { case ((a, b), r) => (a + r._3, b + r._2) }
+      mw.toDouble / (n * 1e6)
+    }
+    val (tgtRows, restRows) = out.partition(r => docs(r._1) == "src0")
+    assert(tgtRows.nonEmpty && restRows.nonEmpty)
+    assert(meanW(tgtRows) >= meanW(restRows) - 0.01,
+      s"target mean ${meanW(tgtRows)} vs rest ${meanW(restRows)}")
+  }
 }

@@ -104,4 +104,40 @@ class MixSpec extends SparkTestBase {
       assert(math.abs(factor - target / actual) < 1e-3, s"$src factor")
     }
   }
+
+  test("q_mix_sample realizes the q_mix_weights factors: copy counts exact, " +
+      "realized mass tracks the target share") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = q("q_mix_sample").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val weights = q("q_mix_weights").collect().map(r =>
+      r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap // (target, factor)
+    // every doc decided once; f_mil is the published factor in millionths
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val fMil = rs.head._3
+      assert(rs.forall(_._3 == fMil), s"$src factor not constant")
+      assert(fMil === math.round(weights(src)._2 * 1e6), s"$src f_mil")
+      // copy counts are floor(f) or floor(f)+1, nothing else
+      val base = fMil / 1000000L
+      assert(rs.forall(r => r._4 == base || r._4 == base + 1), s"$src copies")
+      // the hash-residue fractional copies land near frac(f)·n (binomial
+      // tolerance: the decision is deterministic but hash-uniform)
+      val extra = rs.count(_._4 == base + 1).toDouble / rs.length
+      val frac = (fMil % 1000000L) / 1e6
+      assert(math.abs(extra - frac) < 0.25, s"$src extra-copy rate $extra vs $frac")
+    }
+    // realized char mass per source approaches the declared target share
+    val chars = Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars".cast("long")).as[(Long, Long)].collect().toMap
+    val mass = rows.groupBy(_._2).view
+      .mapValues(_.map(r => chars(r._1) * r._4).sum.toDouble).toMap
+    val total = mass.values.sum
+    mass.foreach { case (src, m) =>
+      assert(math.abs(m / total - weights(src)._1) < 0.05,
+        s"$src realized share ${m / total} vs target ${weights(src)._1}")
+    }
+  }
 }
