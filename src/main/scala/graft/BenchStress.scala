@@ -125,7 +125,11 @@ object BenchStress {
     // round-10: DSIR importance weighting — linear by design (fixed
     // 1024-bucket models, one doc_id shuffle); stressed to PROVE the
     // bucket tables stay bounded while the corpus token stream grows xREP
-    "q_dsir_weights")
+    "q_dsir_weights",
+    // round-10: PQ trains M sub-codebooks with the kmeans loop (already
+    // stressed) and encodes with an M×K broadcast — stressed for parity
+    // with q_cluster_kmeans, whose cost family it shares
+    "q_embed_pq")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,

@@ -289,5 +289,113 @@ object ClusterOps extends QueryPack {
       FROM assign$Iters a LEFT JOIN sem_dropped p ON a.vec_id = p.v
       ORDER BY a.vec_id"""))
 
-  override def defs: Seq[QueryDef] = Seq(clusterKmeans, clusterSemdedup)
+  // --------------------------------------------- product quantization
+  // PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011): split the embedding into M subspaces, learn a
+  // K-centroid codebook per subspace (the same integer-exact Lloyd's
+  // loop as q_cluster_kmeans, run on the subvector slices), and encode
+  // every vector as M small codes — 64 dims × 4 bytes collapse to M=4
+  // nibble-scale codes, the memory step that makes billion-vector ANN
+  // indexes (IVF-PQ) fit RAM. K is a FIXED hyperparameter (16 here;
+  // production uses 256/subspace), so unlike q_cluster_kmeans the
+  // DuckDB oracle is static — it replays all M training loops and the
+  // encode pass in exact integer arithmetic, making the codebook AND
+  // the codes hash-checked.
+  //
+  // Scale shape: training collects only K×dsub centroid sums per
+  // (subspace, iteration) — kilobytes; encoding is one crossJoin against
+  // the broadcast M×K-row codebook (the kmeans assignment class), one
+  // (vec_id, sub) argmin aggregation, one vec_id reassembly shuffle.
+  private[graft] val PqM = 4
+  private[graft] val PqK = 16
+  private[graft] val PqDsub = Dim / PqM
+
+  /** The M learned sub-codebooks: (sub, cluster, centroid slice). */
+  private[graft] def pqCodebook(s: SparkSession, sv: DataFrame)
+      : Seq[(Int, Long, Array[Long])] = {
+    import s.implicits._
+    (0 until PqM).flatMap { m =>
+      val svSub = sv.select($"vec_id",
+        slice($"sa", m * PqDsub + 1, PqDsub).as("sa"))
+      fitCentroids(s, svSub, PqK).map { case (c, a) => (m, c, a) }
+    }
+  }
+
+  private val embedPq = QueryDef(
+    "q_embed_pq",
+    (s, d) => {
+      import s.implicits._
+      val sv = scaledCorpus(s, d)
+      val book = pqCodebook(s, sv)
+      val centDf = book.map { case (m, c, a) => (m.toLong, c, a.toSeq) }
+        .toDF("sub", "cluster", "carr")
+      val out = sv.crossJoin(broadcast(centDf))
+        .select($"vec_id", $"sub", $"cluster",
+          dist2(slice($"sa", ($"sub" * PqDsub + 1).cast("int"),
+            lit(PqDsub)), $"carr").as("d2"))
+        .groupBy($"vec_id", $"sub")
+        .agg(min(struct($"d2", $"cluster")).as("b"))
+        .groupBy($"vec_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct($"sub", $"b.cluster".as("code")))),
+            x => x.getField("code").cast("string")), ",").as("codes"),
+          sum($"b.d2").as("err12"))
+        .orderBy($"vec_id")
+      sv.unpersist(false)
+      out
+    },
+    Some {
+      val subCtes = (0 until PqM).map { m =>
+        val lo = m * PqDsub + 1
+        val hi = (m + 1) * PqDsub
+        val parts = Seq.newBuilder[String]
+        parts += s"""s${m}c0 AS MATERIALIZED (SELECT vec_id AS cluster, dim, el AS cl
+          FROM e_rows WHERE vec_id < $PqK AND dim BETWEEN $lo AND $hi)"""
+        for (k <- 0 to Iters) {
+          parts += s"""s${m}d$k AS MATERIALIZED (
+            SELECT e.vec_id, c.cluster, SUM((e.el - c.cl) * (e.el - c.cl)) AS d2
+            FROM e_rows e JOIN s${m}c$k c USING (dim) GROUP BY 1, 2),
+          s${m}a$k AS MATERIALIZED (
+            SELECT vec_id, cluster, d2 FROM (
+              SELECT vec_id, cluster, d2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+              FROM s${m}d$k) WHERE rn = 1)"""
+          if (k < Iters)
+            parts += s"""s${m}c${k + 1} AS MATERIALIZED (
+            SELECT a.cluster, e.dim,
+              CAST(CASE WHEN SUM(e.el) >= 0
+                THEN (2 * SUM(e.el) + COUNT(*)) // (2 * COUNT(*))
+                ELSE -((2 * -SUM(e.el) + COUNT(*)) // (2 * COUNT(*))) END AS BIGINT) AS cl
+            FROM s${m}a$k a JOIN e_rows e USING (vec_id)
+            WHERE e.dim BETWEEN $lo AND $hi
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT cluster, dim, cl FROM s${m}c$k
+            WHERE cluster NOT IN (SELECT DISTINCT cluster FROM s${m}a$k))"""
+        }
+        parts.result().mkString(",\n      ")
+      }.mkString(",\n      ")
+      val unionAll = (0 until PqM)
+        .map(m => s"SELECT vec_id, $m AS sub, cluster, d2 FROM s${m}a$Iters")
+        .mkString("\n        UNION ALL ")
+      s"""WITH e_rows AS MATERIALIZED (
+        SELECT vec_id, t.dim AS dim,
+          CAST(CAST(CAST(embedding[t.dim] AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS el
+        FROM embeddings, range(1, ${Dim + 1}) t(dim)
+        WHERE len(embedding) = $Dim
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+      $subCtes,
+      allc AS (${unionAll})
+      SELECT vec_id,
+        array_to_string(list(CAST(cluster AS VARCHAR) ORDER BY sub), ',') AS codes,
+        CAST(SUM(d2) AS BIGINT) AS err12
+      FROM allc GROUP BY vec_id ORDER BY vec_id"""
+    },
+    s"Product quantization: $PqM-subspace × $PqK-centroid integer-exact " +
+      "codebooks (Lloyd's per subspace), per-vector PQ codes + " +
+      "reconstruction error, codebook and codes both hash-oracle-checked")
+
+  override def defs: Seq[QueryDef] =
+    Seq(clusterKmeans, clusterSemdedup, embedPq)
 }

@@ -129,6 +129,33 @@ class IterativeOpsSpec extends SparkTestBase {
     assert(rows.map(_._2).sum === scaledVecs.size.toLong)
   }
 
+  test("q_embed_pq codes and reconstruction error match per-subspace " +
+      "reference Lloyd's") {
+    import ClusterOps.{PqM, PqK, PqDsub}
+    // reference: refKmeans on each subvector slice, then encode locally
+    val perSub = (0 until PqM).map { m =>
+      val sliced = scaledVecs.map { case (id, a) =>
+        (id, a.slice(m * PqDsub, (m + 1) * PqDsub)) }
+      val (asg, dists, _) = refKmeans(sliced, PqK, ClusterOps.Iters)
+      (asg, dists)
+    }
+    val rows = q("q_embed_pq").as[(Long, String, Long)].collect()
+    assert(rows.length === scaledVecs.size)
+    rows.foreach { case (id, codes, err) =>
+      val parts = codes.split(",").map(_.toLong)
+      assert(parts.length === PqM, s"vec $id code arity")
+      parts.foreach(c => assert(c >= 0 && c < PqK, s"vec $id code range"))
+      val (wantCodes, wantErr) = perSub.map { case (asg, dists) =>
+        (asg(id), dists(id)) }.unzip
+      assert(parts.toSeq === wantCodes, s"vec $id codes")
+      assert(err === wantErr.sum, s"vec $id err12")
+    }
+    // PQ is deterministic across runs (partitioning-invariance holds
+    // per subspace exactly as for q_cluster_kmeans)
+    val again = q("q_embed_pq").as[(Long, String, Long)].collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("q_cluster_semdedup keep flags match the reference drop rule") {
     val (asg, _, _) = refKmeans(scaledVecs,
       ClusterOps.effectiveK(scaledVecs.size), ClusterOps.Iters)

@@ -241,8 +241,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_text_heavy_hitters_audit", // 1-row stats/flag attachments
       "q_agg_sketch_rollup_audit", // 1-row exact-total attach
       // K-row centroid broadcast against the corpus (the MLlib k-means
-      // assignment shape — kilobytes at any corpus size)
-      "q_cluster_kmeans", "q_cluster_semdedup"
+      // assignment shape — kilobytes at any corpus size); PQ's codebook
+      // is M×K rows, same class
+      "q_cluster_kmeans", "q_cluster_semdedup", "q_embed_pq"
     )
     // conservatively "pushable": plain comparison/IN/string-match shapes
     // over a bare attribute and literals — what parquet filter conversion
