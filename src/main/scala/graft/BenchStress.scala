@@ -49,6 +49,10 @@ object BenchStress {
     "q_simsearch_cosine",
     "q_simsearch_ann_srp",
     "q_simsearch_ivf",
+    // round-10: the ADC scan variant — same probed lists as IVF but the
+    // candidate stream carries M codes instead of vectors; stressed to
+    // keep the encode join + LUT-lookup stage on the tracked surface
+    "q_simsearch_ivfpq",
     "q_dedup_embedding",
     "q_sessionize",
     "q_stream_tumbling",
@@ -196,6 +200,7 @@ object BenchStress {
     "q_dedup_minhash_audit", "q_dedup_simhash_audit",
     "q_text_fingerprint_winnow_audit", "q_dedup_embedding_audit",
     "q_simsearch_ann_srp_audit", "q_simsearch_ivf_audit",
+    "q_simsearch_ivfpq_audit",
     "q_text_heavy_hitters_audit",
     // watermarked single-window streams already covered by
     // q_stream_tumbling; combine is a 5-row formatting step

@@ -360,6 +360,17 @@ object AuditOps extends QueryPack {
     SimilarityOps.ivfResults,
     "IVF-ANN recall audit: nprobe=2 recovers >= 10 of the 50 exact top-K")
 
+  // IVF-PQ scans the same probed lists as IVF but ranks by the QUANTIZED
+  // (ADC) distance, so its recall sits under plain IVF's 19-22 (measured
+  // 11-12 of 50 across sf0.001/sf0.01 — quantized ranking without a
+  // rerank loses roughly half the hits, the published ADC trade); floor
+  // 5 leaves >2x margin while still catching an outright broken encode
+  // or LUT.
+  private val ivfpqAudit = annRecallAudit("q_simsearch_ivfpq_audit", 5,
+    SimilarityOps.ivfpqResults,
+    "IVF-PQ recall audit: ADC over nprobe=2 recovers >= 5 of the 50 " +
+      "exact top-K")
+
   // ------------------------------------------- heavy-hitters audit
   // The Misra–Gries sketch in its REAL regime: capacity 8 against a
   // 31-token vocabulary, so decrements genuinely fire. The surviving
@@ -416,5 +427,6 @@ object AuditOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(hllAudit, sketchRollupAudit, pctAudit, minhashAudit, simhashAudit,
-      winnowAudit, embeddingAudit, srpAudit, ivfAudit, heavyHittersAudit)
+      winnowAudit, embeddingAudit, srpAudit, ivfAudit, ivfpqAudit,
+      heavyHittersAudit)
 }

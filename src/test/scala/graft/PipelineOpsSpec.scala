@@ -148,6 +148,68 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_simsearch_ivfpq: ADC distances replay exactly, candidates sound") {
+    import graft.operators.SimilarityOps
+    import SimilarityOps.{IvfPqM, IvfPqK}
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val sample = SimilarityOps.ivfTrainingSample(spark, sf)
+    val k = math.min(SimilarityOps.ivfK(emb.length.toLong), sample.length)
+    val cents = SimilarityOps.kmeansFit(sample, k, 5)
+    val dsub = sample.head.length / IvfPqM
+    val books = SimilarityOps.pqBooks(sample, cents, dsub)
+    // local replay of the DISTRIBUTED encode, float-for-float: residual
+    // is float subtraction of the float-cast centroid, sub-assign runs
+    // the kernel's double accumulation over those floats
+    val centsF = cents.map(_.map(_.toFloat))
+    def encode(v: Seq[Float]): (Int, Array[Int]) = {
+      val list = SimilarityOps.nearestCentroid(cents, v.map(_.toDouble).toArray)
+      val resid = Array.tabulate(v.length)(i => v(i) - centsF(list)(i))
+      val codes = Array.tabulate(IvfPqM) { m =>
+        SimilarityOps.nearestCentroid(books(m),
+          resid.slice(m * dsub, (m + 1) * dsub).map(_.toDouble))
+      }
+      (list, codes)
+    }
+    val enc = emb.map { case (id, v) => id -> encode(v) }.toMap
+    val probes = emb.filter(_._1 < 10).map { case (id, v) =>
+      id -> SimilarityOps.probeLists(cents, v.map(_.toDouble).toArray, 2) }.toMap
+    // local LUTs in the query fn's exact arithmetic and summation order
+    def lut(q: Array[Double], list: Int): Array[Double] =
+      Array.tabulate(IvfPqM * IvfPqK) { x =>
+        val m = x / IvfPqK; val j = x % IvfPqK
+        var dd = 0.0; var i = 0
+        while (i < dsub) {
+          val t = (q(m * dsub + i) - cents(list)(m * dsub + i)) - books(m)(j)(i)
+          dd += t * t; i += 1
+        }
+        dd
+      }
+    val luts = probes.map { case (qid, ls) =>
+      val q = emb.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      qid -> ls.map(l => l -> lut(q, l)).toMap
+    }
+    val rows = q("q_simsearch_ivfpq")
+      .select($"qid", $"cid", $"adist", $"rank")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, cid, adist, _) =>
+      val (list, codes) = enc(cid)
+      assert(probes(qid).contains(list),
+        s"candidate $cid not in query $qid's probed lists")
+      val t = luts(qid)(list)
+      val want = (0 until IvfPqM)
+        .map(m => t(m * IvfPqK + codes(m))).reduce(_ + _)
+      assert(adist === want, s"ADC distance for ($qid,$cid)")
+    }
+    // ranks contiguous per query; ADC distances non-decreasing in rank
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to rs.length).toSeq)
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq)
+    }
+  }
+
   test("q_dedup_embedding: banded LSH near-dup set equals brute force on planted corpus") {
     import graft.operators.SimilarityOps
     // plant 30 near-duplicates: tiny deterministic perturbations of the

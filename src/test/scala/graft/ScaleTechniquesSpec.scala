@@ -238,6 +238,7 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_dedup_embedding_audit", // 200-vector audit window, constant work
       "q_simsearch_ann_srp_audit", // 1-row recall flag crossJoin
       "q_simsearch_ivf_audit", // 1-row recall flag crossJoin
+      "q_simsearch_ivfpq_audit", // 1-row recall flag crossJoin
       "q_text_heavy_hitters_audit", // 1-row stats/flag attachments
       "q_agg_sketch_rollup_audit", // 1-row exact-total attach
       // K-row centroid broadcast against the corpus (the MLlib k-means
@@ -343,8 +344,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // fixture writer: .limit(NPayloads) rows -> payload json files
       "operators/SourceOps.scala" -> 1,
       // IVF: .limit(IvfSampleCap) k-means training sample (bounded
-      // regardless of corpus size) + the NQ-row query-vector fetch
-      "operators/SimilarityOps.scala" -> 2,
+      // regardless of corpus size) + the NQ-row query-vector fetches in
+      // ivfResults and ivfpqResults (one each)
+      "operators/SimilarityOps.scala" -> 3,
       // k-means training loop: .limit(K) seed fetch + the K×Dim-row
       // per-iteration centroid-sum collect (kilobytes at any corpus size
       // — the MLlib collect-broadcast iteration shape)
