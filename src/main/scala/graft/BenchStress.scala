@@ -164,7 +164,7 @@ object BenchStress {
     // (≈ n_tok/stride rows per doc) — all linear
     "q_mix_weights", "q_mix_sample", "q_text_chunk",
     "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_token_ids",
-    "q_text_fingerprint", "q_text_repetition",
+    "q_text_fingerprint", "q_text_repetition", "q_text_gopher",
     // MG sketch: vocabulary-bounded O(capacity) state per buffer — the
     // whole point is that it does NOT scale with input
     "q_text_heavy_hitters",

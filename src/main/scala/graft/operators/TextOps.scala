@@ -428,6 +428,92 @@ object TextOps extends QueryPack {
       FROM g ORDER BY doc_id"""),
     "Gopher-style duplicate-n-gram ratios: per-row map, zero data shuffles")
 
+  // ----------------------------- Gopher document-level rule filter
+  // The published Gopher quality rules (Rae et al. 2021, Appendix A —
+  // the same set Dolma/RefinedWeb reuse), document-level subset: word
+  // count bounds, mean word length bounds, alphabetic-word fraction,
+  // symbol-to-word ratio ('#' and '...'), and the required-word rule
+  // (>= 2 distinct of a language-specific function-word list — Gopher's
+  // own list is English-specific in exactly this way; here it is
+  // parameterized to the corpus vocabulary). The two LINE-ratio rules
+  // (bullet starts, ellipsis ends) need multi-line text — the fixture
+  // corpus is single-line — and would be the same per-row map shape.
+  // All arithmetic exact (integer counts, decimal ratios), so the
+  // DuckDB oracle replays bit-for-bit. Pure per-row map, zero data
+  // shuffles — embarrassingly parallel at 100 TB.
+  private val GopherMinWords = 50L
+  private val GopherMaxWords = 100000L
+  private val GopherRequired = Seq("the", "a", "of", "to")
+
+  private val textGopher = QueryDef(
+    "q_text_gopher",
+    (s, d) => {
+      import s.implicits._
+      val w = toks($"text")
+      val nW = size(w).cast("long")
+      // Σ word lengths == chars minus spaces (words are the non-space
+      // runs) — no per-word HOF aggregation needed
+      val sumLen = length(translate($"text", " ", "")).cast("long")
+      val meanLen = round(sumLen.cast("decimal(18,2)") / nW, 6)
+        .cast("decimal(38,6)")
+      val nAlpha = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+      val fracAlpha = round(nAlpha.cast("decimal(18,2)") / nW, 6)
+        .cast("decimal(38,6)")
+      val nHash = length($"text") - length(translate($"text", "#", ""))
+      val nDots = (length($"text") -
+        length(regexp_replace($"text", lit("\\.\\.\\."), lit("")))) / 3
+      val symRatio = round((nHash + nDots).cast("decimal(18,2)") / nW, 6)
+        .cast("decimal(38,6)")
+      val nReq = GopherRequired
+        .map(t => array_contains(w, t).cast("long")).reduce(_ + _)
+      Tables.documents(s, d)
+        .select($"doc_id", nW.as("n_words"),
+          meanLen.cast("double").as("mean_word_len"),
+          fracAlpha.cast("double").as("frac_alpha"),
+          symRatio.cast("double").as("symbol_ratio"),
+          nReq.as("n_required"),
+          (nW.between(GopherMinWords, GopherMaxWords) &&
+            meanLen.between(lit("3").cast("decimal(38,6)"),
+              lit("10").cast("decimal(38,6)")) &&
+            fracAlpha >= lit("0.8").cast("decimal(38,6)") &&
+            symRatio <= lit("0.1").cast("decimal(38,6)") &&
+            nReq >= 2).as("keep"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH w AS (
+        SELECT doc_id, text,
+          regexp_split_to_array(lower(text), ' +') AS w FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_words,
+          CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+          CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+          CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+            CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+          ${GopherRequired.map(t =>
+            s"CAST(list_contains(w, '$t') AS BIGINT)").mkString(" + ")} AS n_required
+        FROM w),
+      r AS (
+        SELECT doc_id, n_words,
+          CAST(round(CAST(sum_len AS DECIMAL(18,2)) / n_words, 6) AS DECIMAL(38,6)) AS mean_word_len,
+          CAST(round(CAST(n_alpha AS DECIMAL(18,2)) / n_words, 6) AS DECIMAL(38,6)) AS frac_alpha,
+          CAST(round(CAST(n_sym AS DECIMAL(18,2)) / n_words, 6) AS DECIMAL(38,6)) AS symbol_ratio,
+          n_required
+        FROM m)
+      SELECT doc_id, n_words,
+        CAST(mean_word_len AS DOUBLE) AS mean_word_len,
+        CAST(frac_alpha AS DOUBLE) AS frac_alpha,
+        CAST(symbol_ratio AS DOUBLE) AS symbol_ratio,
+        n_required,
+        (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+          AND mean_word_len BETWEEN 3 AND 10
+          AND frac_alpha >= 0.8 AND symbol_ratio <= 0.1
+          AND n_required >= 2) AS keep
+      FROM r ORDER BY doc_id"""),
+    "Gopher document-level rule filter: word-count/mean-length bounds, " +
+      "alpha fraction, symbol ratio, required words — exact-decimal " +
+      "per-row map")
+
   // --------------------------- cross-doc boilerplate contamination (C4)
   // The C4/CCNet boilerplate signal: how much of a document is made of
   // shingles that are common across the corpus. One explode to the
@@ -579,5 +665,6 @@ object TextOps extends QueryPack {
   override def defs: Seq[QueryDef] =
     Seq(textAnalysis, textTokens, textQuality, textQualityModel,
       textLangId, textFingerprint, textWinnow, textTokenIds,
-      textRepetition, textBoilerplate, textHeavyHitters, textSalientTerms)
+      textRepetition, textGopher, textBoilerplate, textHeavyHitters,
+      textSalientTerms)
 }

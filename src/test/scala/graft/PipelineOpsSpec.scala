@@ -294,6 +294,40 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_text_gopher rule signals and keep flag match a local recomputation") {
+    val rows = q("q_text_gopher").collect()
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(rows.length === texts.size)
+    def dec(n: BigDecimal): BigDecimal =
+      n.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    rows.foreach { r =>
+      val raw = texts(r.getAs[Long]("doc_id"))
+      val w = raw.toLowerCase.split(" +").toSeq
+      val nW = w.size
+      val meanLen = dec(BigDecimal(raw.count(_ != ' ')) / nW)
+      val fracAlpha =
+        dec(BigDecimal(w.count(_.exists(c => c >= 'a' && c <= 'z'))) / nW)
+      val nSym = raw.count(_ == '#') +
+        "\\.\\.\\.".r.findAllMatchIn(raw).length
+      val symRatio = dec(BigDecimal(nSym) / nW)
+      val nReq = Seq("the", "a", "of", "to").count(w.contains)
+      assert(r.getAs[Long]("n_words") === nW.toLong)
+      assert(r.getAs[Double]("mean_word_len") === meanLen.toDouble)
+      assert(r.getAs[Double]("frac_alpha") === fracAlpha.toDouble)
+      assert(r.getAs[Double]("symbol_ratio") === symRatio.toDouble)
+      assert(r.getAs[Long]("n_required") === nReq.toLong)
+      assert(r.getAs[Boolean]("keep") ===
+        (nW >= 50 && nW <= 100000 &&
+          meanLen >= 3 && meanLen <= 10 &&
+          fracAlpha >= BigDecimal("0.8") &&
+          symRatio <= BigDecimal("0.1") && nReq >= 2))
+    }
+    // the fixture corpus must actually exercise BOTH outcomes
+    val keeps = rows.map(_.getAs[Boolean]("keep")).toSet
+    assert(keeps === Set(true, false), "rule set degenerate on fixture")
+  }
+
   test("q_text_boilerplate: counts bounded, common set cross-checked") {
     val rows = q("q_text_boilerplate").collect()
     assert(rows.nonEmpty)
