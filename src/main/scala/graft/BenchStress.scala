@@ -133,7 +133,11 @@ object BenchStress {
     // round-10: PQ trains M sub-codebooks with the kmeans loop (already
     // stressed) and encodes with an M×K broadcast — stressed for parity
     // with q_cluster_kmeans, whose cost family it shares
-    "q_embed_pq")
+    "q_embed_pq",
+    // round-10: perceptron training — per-iteration margin+gradient
+    // aggregations over the checkpointed feature relation; stressed to
+    // prove the iteration cost stays linear while state stays B+1 rows
+    "q_train_classifier")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,

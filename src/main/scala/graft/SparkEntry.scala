@@ -16,7 +16,7 @@ object SparkEntry {
     CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps,
     TextOps, BpeOps, DedupOps, GraphOps, ClusterOps, SimilarityOps,
     CustomOps, MultimodalOps, TypedOps, SourceOps, CleanPipelineOps,
-    CurationOps, MixOps, ProfileOps, LayoutOps, AuditOps,
+    CurationOps, MixOps, TrainOps, ProfileOps, LayoutOps, AuditOps,
     graft.streaming.StreamingOps)
 
   private lazy val all: Seq[QueryDef] = {

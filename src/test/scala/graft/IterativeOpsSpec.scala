@@ -156,6 +156,58 @@ class IterativeOpsSpec extends SparkTestBase {
     assert(rows.toSeq === again.toSeq)
   }
 
+  test("q_train_classifier margins match a local batch-perceptron replay") {
+    import graft.operators.TrainOps.{TrainBuckets, TrainIters}
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", lower($"text")).as[(Long, String, String)]
+      .collect()
+    val mdd = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Long = {
+      mdd.reset()
+      val d = mdd.digest(w.getBytes("UTF-8"))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      v % TrainBuckets
+    }
+    // local feature rows: bucket counts + bias (b = -1)
+    val feats: Map[Long, (Long, Map[Long, Long])] = docs.map {
+      case (id, lang, text) =>
+        val y = if (lang == "en") 1L else -1L
+        val counts = text.split(" +").filter(_.nonEmpty)
+          .groupBy(bucket).view.mapValues(_.length.toLong).toMap
+        id -> (y, counts + (-1L -> 1L))
+    }.toMap
+    def margin(w: Map[Long, Long], c: Map[Long, Long]): Long =
+      c.iterator.map { case (b, n) => n * w.getOrElse(b, 0L) }.sum
+    var w = Map.empty[Long, Long]
+    for (_ <- 0 until TrainIters) {
+      val grad = scala.collection.mutable.Map[Long, Long]()
+      feats.values.foreach { case (y, c) =>
+        if (y * margin(w, c) <= 0L)
+          c.foreach { case (b, n) =>
+            grad(b) = grad.getOrElse(b, 0L) + y * n }
+      }
+      w = grad.foldLeft(w) { case (acc, (b, g)) =>
+        acc.updated(b, acc.getOrElse(b, 0L) + g) }
+    }
+    val rows = q("q_train_classifier")
+      .select($"doc_id", $"y", $"margin", $"pred", $"correct")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length === docs.length)
+    rows.foreach { case (id, y, m, pred, correct) =>
+      val (wantY, c) = feats(id)
+      val wantM = margin(w, c)
+      assert(y === wantY, s"doc $id label")
+      assert(m === wantM, s"doc $id final margin")
+      assert(pred === (if (wantM > 0) 1L else -1L), s"doc $id pred")
+      assert(correct === (pred == y), s"doc $id correct")
+    }
+    // the trained model must actually separate something: both outcomes
+    // present, and training changed the weights
+    assert(w.nonEmpty)
+    assert(rows.map(_._5).toSet === Set(true, false))
+  }
+
   test("q_cluster_semdedup keep flags match the reference drop rule") {
     val (asg, _, _) = refKmeans(scaledVecs,
       ClusterOps.effectiveK(scaledVecs.size), ClusterOps.Iters)

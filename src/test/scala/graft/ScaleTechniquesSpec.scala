@@ -351,6 +351,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // per-iteration centroid-sum collect (kilobytes at any corpus size
       // — the MLlib collect-broadcast iteration shape)
       "operators/ClusterOps.scala" -> 2,
+      // batch-perceptron training loop: the per-iteration <=B+1-row
+      // gradient collect (the kmeans centroid-collect shape — kilobytes
+      // at any corpus size)
+      "operators/TrainOps.scala" -> 1,
       // BPE learning (round 10, driver-local): ONE vocab-sized dict
       // collect guarded by the MaxDictWords require — the industrial
       // learner shape — plus the spec-only distributed reference's
