@@ -137,7 +137,11 @@ object BenchStress {
     // round-10: perceptron training — per-iteration margin+gradient
     // aggregations over the checkpointed feature relation; stressed to
     // prove the iteration cost stays linear while state stays B+1 rows
-    "q_train_classifier")
+    "q_train_classifier",
+    // round-10: unigram-LM tokenizer — dict-local EM learning (constant
+    // in corpus replication) + broadcast-dict application; stressed to
+    // prove the learn+apply total stays linear in the corpus
+    "q_text_unigram")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,
@@ -204,7 +208,7 @@ object BenchStress {
     "q_dedup_minhash_audit", "q_dedup_simhash_audit",
     "q_text_fingerprint_winnow_audit", "q_dedup_embedding_audit",
     "q_simsearch_ann_srp_audit", "q_simsearch_ivf_audit",
-    "q_simsearch_ivfpq_audit",
+    "q_simsearch_ivfpq_audit", "q_text_unigram_audit",
     "q_text_heavy_hitters_audit",
     // watermarked single-window streams already covered by
     // q_stream_tumbling; combine is a 5-row formatting step

@@ -14,7 +14,8 @@ object SparkEntry {
   /** All operator families the engine declares. */
   val packs: Seq[QueryPack] = Seq(
     CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps,
-    TextOps, BpeOps, DedupOps, GraphOps, ClusterOps, SimilarityOps,
+    TextOps, BpeOps, UnigramOps, DedupOps, GraphOps, ClusterOps,
+    SimilarityOps,
     CustomOps, MultimodalOps, TypedOps, SourceOps, CleanPipelineOps,
     CurationOps, MixOps, TrainOps, ProfileOps, LayoutOps, AuditOps,
     graft.streaming.StreamingOps)

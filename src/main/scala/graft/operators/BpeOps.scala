@@ -63,8 +63,9 @@ object BpeOps extends QueryPack {
   private val DD = D + D
 
   /** Cleaned lowercase corpus words: (doc_id, word), delimiter stripped,
-    * empties dropped. */
-  private def corpusWords(s: SparkSession, d: String): DataFrame = {
+    * empties dropped. Shared with [[UnigramOps]] (same word stream, same
+    * dict-local learning posture). */
+  private[operators] def corpusWords(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", explode(split(lower($"text"), " +")).as("w0"))
@@ -150,7 +151,7 @@ object BpeOps extends QueryPack {
     * Spark's `substring(word, i, 1)` and DuckDB's `word[i:i]`, both of
     * which index CODE POINTS (a `toCharArray` split would break
     * surrogate pairs). */
-  private def codePointSymbols(word: String): Array[String] = {
+  private[operators] def codePointSymbols(word: String): Array[String] = {
     val cps = word.codePoints().toArray
     val out = new Array[String](cps.length)
     var i = 0
@@ -163,7 +164,7 @@ object BpeOps extends QueryPack {
   /** `x < y` under UTF-8 byte order — the binary string collation Spark
     * and DuckDB ORDER BY use. Java's String.compareTo is UTF-16
     * code-unit order, which disagrees above the BMP. */
-  private def utf8Lt(x: String, y: String): Boolean = {
+  private[operators] def utf8Lt(x: String, y: String): Boolean = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(a.length, b.length)

@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenization (Kudo, "Subword Regularization", ACL
+  * 2018 — the SentencePiece unigram model), the second production
+  * tokenizer family next to [[BpeOps]]' BPE: instead of greedy merges, a
+  * piece VOCABULARY with counts is fit by EM and each word segments to
+  * its maximum-likelihood piece sequence by Viterbi.
+  *
+  * Deterministic exact-arithmetic variant (what makes the trajectory
+  * reproducible and spec-checkable): hard-EM with INTEGER piece counts.
+  * A segmentation s of a word scores  Π_i c(t_i) / T^|s|  (T = Σ c);
+  * two candidates compare EXACTLY by BigInt cross-multiplication
+  * (P_a · T^{k_b}  vs  P_b · T^{k_a}) — no log-space floats anywhere,
+  * so there is no libm/ordering ambiguity to diverge on. The comparison
+  * is invariant under extension by a common suffix piece, which is the
+  * optimal-substructure property the Viterbi DP needs (the spec proves
+  * optimality independently by exhaustive enumeration per dict word).
+  * Ties break (fewer pieces, then UTF-8-lexicographic piece sequence).
+  *
+  * Training loop (all driver-local on the word-frequency dict — the
+  * [[BpeOps]] industrial-learner posture; Spark job count is constant):
+  *   1. seed: every code-point substring of length ≤ [[MaxPieceLen]],
+  *      counted freq-weighted over the dict; alphabet (single code
+  *      points) always kept; top [[SeedCap]] by (count DESC, UTF-8 lex).
+  *   2. [[EmIters]] hard-EM rounds: Viterbi-segment every dict word
+  *      under current counts (E), recount pieces from the segmentations
+  *      (M; unused non-alphabet pieces drop out, alphabet floors at 1 so
+  *      every word stays segmentable).
+  *   3. prune to [[FinalVocab]] pieces (alphabet + top multi-cp by
+  *      count), one final E round under the pruned vocab.
+  *
+  * Scale shape: identical to BPE — ONE corpus-sized word aggregation,
+  * ONE vocab-sized collect ([[BpeOps.MaxDictWords]] bound), learning in
+  * driver memory, and the learned (word → pieces) dict re-enters the
+  * plan as a broadcast local relation; per-doc application is one
+  * broadcast join + one doc_id aggregation. The EM loop cannot be
+  * oracle-replayed in SQL (unlike BPE's replace-chain), so the declared
+  * query is no_oracle and [[AuditOps]]-style flags re-prove its headline
+  * invariants (round-trip, vocab bound, piece membership) with the
+  * oracle pinning the deterministic scalars — the Misra-Gries pattern.
+  */
+object UnigramOps extends QueryPack {
+
+  private[graft] val MaxPieceLen = 6
+  private[graft] val SeedCap = 512
+  private[graft] val FinalVocab = 64
+  private[graft] val EmIters = 3
+
+  /** (final vocab with counts, per-word piece arrays aligned with the
+    * dict): the full learned tokenizer state. */
+  private[graft] def learnLocal(dict: Array[(String, Long)])
+      : (Seq[(String, Long)], Array[Array[String]]) = {
+    val words = dict.map(w => BpeOps.codePointSymbols(w._1))
+    // 1. seed counts: freq-weighted substring occurrences
+    val counts = new java.util.HashMap[String, Array[Long]](4096)
+    def add(p: String, f: Long): Unit = {
+      val slot = counts.get(p)
+      if (slot == null) counts.put(p, Array(f)) else slot(0) += f
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val cps = words(wi); val f = dict(wi)._2
+      var i = 0
+      while (i < cps.length) {
+        val sb = new StringBuilder
+        var l = 0
+        while (l < MaxPieceLen && i + l < cps.length) {
+          sb.append(cps(i + l)); add(sb.toString, f); l += 1
+        }
+        i += 1
+      }
+      wi += 1
+    }
+    val alphabet: Set[String] =
+      words.iterator.flatten.toSet
+    var vocab: Map[String, Long] = {
+      val all = counts.entrySet().iterator()
+      val buf = Vector.newBuilder[(String, Long)]
+      while (all.hasNext) { val e = all.next(); buf += (e.getKey -> e.getValue()(0)) }
+      val seq = buf.result()
+      val multi = seq.filter(p => !alphabet.contains(p._1))
+        .sortWith { case ((pa, ca), (pb, cb)) =>
+          if (ca != cb) ca > cb else BpeOps.utf8Lt(pa, pb) }
+        .take(math.max(0, SeedCap - alphabet.size))
+      (seq.filter(p => alphabet.contains(p._1)) ++ multi).toMap
+    }
+
+    /** Viterbi best segmentation of `cps` under `vocab` counts. */
+    def viterbi(cps: Array[String], voc: Map[String, Long])
+        : Array[String] = {
+      val T = BigInt(voc.valuesIterator.sum)
+      val n = cps.length
+      // best(i): best segmentation of the prefix of length i
+      val bp = new Array[BigInt](n + 1)
+      val bk = new Array[Int](n + 1)
+      val bt = new Array[List[String]](n + 1)
+      bp(0) = BigInt(1); bk(0) = 0; bt(0) = Nil
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - MaxPieceLen)
+        while (j < i) {
+          if (bp(j) != null) {
+            val piece = cps.slice(j, i).mkString
+            voc.get(piece).filter(_ > 0L).foreach { c =>
+              val candP = bp(j) * c
+              val candK = bk(j) + 1
+              val candT = piece :: bt(j) // reversed
+              val take =
+                if (bp(i) == null) true
+                else {
+                  val l = candP * T.pow(bk(i))
+                  val r = bp(i) * T.pow(candK)
+                  if (l != r) l > r
+                  else if (candK != bk(i)) candK < bk(i)
+                  else lexLt(candT.reverse, bt(i).reverse)
+                }
+              if (take) { bp(i) = candP; bk(i) = candK; bt(i) = candT }
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      // alphabet is always in vocab with count >= 1, so bp(n) exists
+      bt(n).reverse.toArray
+    }
+
+    def lexLt(a: Seq[String], b: Seq[String]): Boolean = {
+      val it = a.iterator.zip(b.iterator)
+      while (it.hasNext) {
+        val (x, y) = it.next()
+        if (x != y) return BpeOps.utf8Lt(x, y)
+      }
+      a.length < b.length
+    }
+
+    /** E + M: segment all words, return (segmentations, usage counts
+      * with the alphabet floored at 1). */
+    def emRound(voc: Map[String, Long])
+        : (Array[Array[String]], Map[String, Long]) = {
+      val segs = words.map(viterbi(_, voc))
+      val used = new java.util.HashMap[String, Array[Long]](1024)
+      var i = 0
+      while (i < segs.length) {
+        val f = dict(i)._2
+        segs(i).foreach { p =>
+          val slot = used.get(p)
+          if (slot == null) used.put(p, Array(f)) else slot(0) += f
+        }
+        i += 1
+      }
+      val buf = Map.newBuilder[String, Long]
+      val it = used.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue()(0)) }
+      val m = buf.result()
+      (segs, m ++ alphabet.iterator.filterNot(m.contains).map(_ -> 1L))
+    }
+
+    for (_ <- 0 until EmIters) vocab = emRound(vocab)._2
+    // 3. prune to FinalVocab: alphabet + top multi-cp pieces
+    val keepMulti = vocab.toSeq.filter(p => !alphabet.contains(p._1))
+      .sortWith { case ((pa, ca), (pb, cb)) =>
+        if (ca != cb) ca > cb else BpeOps.utf8Lt(pa, pb) }
+      .take(math.max(0, FinalVocab - alphabet.size))
+    val pruned = (vocab.view.filterKeys(alphabet.contains) ++ keepMulti).toMap
+    val (finalSegs, _) = emRound(pruned)
+    // the reported vocab IS the model the final segmentation maximized —
+    // the pruned counts — so the spec can re-verify Viterbi optimality
+    // against exactly these numbers
+    val finalVocab = pruned.toSeq.sortWith { case ((pa, ca), (pb, cb)) =>
+      if (ca != cb) ca > cb else BpeOps.utf8Lt(pa, pb) }
+    (finalVocab, finalSegs)
+  }
+
+  /** Memoized learned tokenizer per (context, corpus, fingerprint):
+    * (vocab, dict rows (word, freq, pieces, n_pieces) as a local
+    * relation) — the [[BpeOps.learnBpe]] convention. */
+  private val learnMemo = new graft.Memo.Bounded[
+    (String, String, String), (Seq[(String, Long)], DataFrame)](
+    cap = 4, onEvict = _ => ()) // driver-local data: GC reclaims it
+  private[graft] def learnUnigram(s: SparkSession, d: String)
+      : (Seq[(String, Long)], DataFrame) =
+    learnMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+      graft.FixtureStamp.stamp("uni1", d, "documents"))) {
+      import s.implicits._
+      val dictLocal = BpeOps.corpusWords(s, d)
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+        .as[(String, Long)].collect()
+      require(dictLocal.length <= BpeOps.MaxDictWords,
+        s"word dict has ${dictLocal.length} types > ${BpeOps.MaxDictWords}: " +
+          "frequency-threshold the dict before unigram training")
+      val (vocab, segs) = learnLocal(dictLocal)
+      val rows = dictLocal.indices.map { i =>
+        (dictLocal(i)._1, dictLocal(i)._2, segs(i).toSeq, segs(i).length.toLong)
+      }
+      (vocab, rows.toDF("word", "freq", "pieces", "n_pieces"))
+    }
+
+  // --------------------------------------------------- q_text_unigram
+  private val textUnigram = QueryDef(
+    "q_text_unigram",
+    (s, d) => {
+      import s.implicits._
+      val (_, dictTok) = learnUnigram(s, d)
+      val perDoc = BpeOps.corpusWords(s, d)
+        .join(broadcast(dictTok.select($"word", $"n_pieces")), "word")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"), sum($"n_pieces").as("n_pieces"))
+      Tables.documents(s, d).select($"doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_words", lit(0L)).as("n_words"),
+          coalesce($"n_pieces", lit(0L)).as("n_pieces"))
+        .orderBy($"doc_id")
+    },
+    None,
+    s"Unigram-LM (SentencePiece-family) tokenization: $EmIters hard-EM " +
+      s"rounds over the word dict, $FinalVocab-piece vocab, per-doc " +
+      "Viterbi piece counts — EM is not SQL-replayable, audited instead")
+
+  // --------------------------------------------- q_text_unigram_audit
+  // The no_oracle companion (house rule): re-proves the headline
+  // invariants of the learned tokenizer from the engine side with the
+  // oracle pinning the deterministic scalars + constant flags (the
+  // Misra-Gries / ANN-recall audit pattern):
+  //   round_trip_ok:  concat(pieces) == word for EVERY dict word — a
+  //                   segmentation that drops or invents characters is
+  //                   the one outright-broken state;
+  //   vocab_ok:       distinct pieces used across the dict ≤ FinalVocab;
+  //   pieces_ok:      every piece length ≤ MaxPieceLen and non-empty.
+  // n_words/n_types are oracle-recomputed from the fixture.
+  private val unigramAudit = QueryDef(
+    "q_text_unigram_audit",
+    (s, d) => {
+      import s.implicits._
+      val (_, dictTok) = learnUnigram(s, d)
+      val stats = BpeOps.corpusWords(s, d).agg(
+        count(lit(1)).as("n_words"),
+        countDistinct($"word").as("n_types"))
+      val flags = dictTok.agg(
+        (lit(1L) - coalesce(max((concat_ws("", $"pieces") =!= $"word")
+          .cast("long")), lit(0L))).as("round_trip_ok"),
+        (size(array_distinct(flatten(collect_list($"pieces")))) <=
+          FinalVocab).cast("long").as("vocab_ok"),
+        (lit(1L) - coalesce(max((size(filter($"pieces",
+          p => length(p) === 0 || length(p) > MaxPieceLen)) > 0)
+          .cast("long")), lit(0L))).as("pieces_ok"))
+      stats.join(broadcast(flags))
+        .select($"n_words", $"n_types", $"round_trip_ok", $"vocab_ok",
+          $"pieces_ok")
+    },
+    Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_words,
+        CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+        CAST(1 AS BIGINT) AS round_trip_ok,
+        CAST(1 AS BIGINT) AS vocab_ok,
+        CAST(1 AS BIGINT) AS pieces_ok
+      FROM (SELECT replace(w0, chr(1), '') AS word FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS w0
+          FROM documents))
+      WHERE len(word) > 0"""),
+    "Unigram tokenizer audit: round-trip, vocab-size, and piece-shape " +
+      "flags over the learned dict; scalars oracle-recomputed")
+
+  override def defs: Seq[QueryDef] = Seq(textUnigram, unigramAudit)
+}

@@ -267,4 +267,83 @@ class BpeSpec extends SparkTestBase {
     assert(bpe.values.forall { case (w, t) => t >= w })
     assert(bpe.keys.size.toLong === Tables.documents(spark, sf).count())
   }
+
+  // ------------------------------------------------ unigram-LM tokenizer
+
+  test("q_text_unigram: Viterbi segmentations are exactly optimal " +
+      "(exhaustive enumeration per dict word)") {
+    import graft.operators.UnigramOps
+    val (vocab, dictTok) = UnigramOps.learnUnigram(spark, sf)
+    val voc = vocab.toMap
+    assert(voc.size <= UnigramOps.FinalVocab)
+    val T = BigInt(voc.values.sum)
+    val rows = dictTok.select($"word", $"pieces")
+      .as[(String, Seq[String])].collect()
+    assert(rows.nonEmpty)
+    def lexLt(a: Seq[String], b: Seq[String]): Boolean = {
+      val it = a.iterator.zip(b.iterator)
+      while (it.hasNext) {
+        val (x, y) = it.next()
+        if (x != y) return x < y // fixture pieces are ASCII
+      }
+      a.length < b.length
+    }
+    // all segmentations of `w` into vocab pieces of length <= MaxPieceLen
+    def allSegs(w: String): Seq[List[String]] = {
+      val memo = scala.collection.mutable.Map[Int, Seq[List[String]]]()
+      def go(i: Int): Seq[List[String]] =
+        if (i == w.length) Seq(Nil)
+        else memo.getOrElseUpdate(i,
+          (1 to math.min(UnigramOps.MaxPieceLen, w.length - i)).flatMap { l =>
+            val p = w.substring(i, i + l)
+            if (voc.get(p).exists(_ > 0L)) go(i + l).map(p :: _) else Nil
+          })
+      go(0)
+    }
+    rows.foreach { case (word, pieces) =>
+      assert(pieces.mkString === word, s"round trip of '$word'")
+      val pc = pieces.map(p => BigInt(voc(p))).product
+      val kc = pieces.length
+      allSegs(word).foreach { s =>
+        val ps = s.map(p => BigInt(voc(p))).product
+        val l = pc * T.pow(s.length)
+        val r = ps * T.pow(kc)
+        assert(l >= r, s"suboptimal segmentation of '$word': " +
+          s"chose $pieces over $s")
+        if (l == r) // exact ties must fall to the canonical pick
+          assert(s.length > kc ||
+            (s.length == kc && (s == pieces.toList || lexLt(pieces, s))),
+            s"tie-break violated on '$word': $pieces vs $s")
+      }
+    }
+  }
+
+  test("unigram learning is deterministic and matches q_text_unigram counts") {
+    import graft.operators.UnigramOps
+    val (v1, d1) = UnigramOps.learnUnigram(spark, sf)
+    val dict = d1.select($"word", $"n_pieces").as[(String, Long)]
+      .collect().toMap
+    // memo returns the same object; re-learning from scratch must agree
+    val local = Tables.documents(spark, sf)
+      .select(explode(split(lower($"text"), " +")).as("w"))
+      .filter($"w" =!= "").groupBy($"w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect()
+    val (v2, segs2) = UnigramOps.learnLocal(local)
+    assert(v1 === v2, "vocab differs across learns")
+    local.map(_._1).zip(segs2).foreach { case (w, s) =>
+      assert(dict(w) === s.length.toLong, s"piece count for '$w'")
+    }
+    // per-doc output: n_pieces sums the dict counts; every doc present
+    val out = q("q_text_unigram")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length.toLong === Tables.documents(spark, sf).count())
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    texts.foreach { case (id, t) =>
+      val ws = t.split(" +").filter(_.nonEmpty)
+      val (_, nw, np) = out.find(_._1 == id).get
+      assert(nw === ws.length.toLong)
+      assert(np === ws.map(dict).sum)
+    }
+  }
 }
