@@ -141,7 +141,11 @@ object BenchStress {
     // round-10: unigram-LM tokenizer — dict-local EM learning (constant
     // in corpus replication) + broadcast-dict application; stressed to
     // prove the learn+apply total stays linear in the corpus
-    "q_text_unigram")
+    "q_text_unigram",
+    // round-10: exact Gram matrix — a 2080-way Generate fan-out pipelined
+    // into a map-side aggregate; stressed to prove the inflation stays
+    // transient (no exchange grows with the corpus)
+    "q_embed_gram")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,

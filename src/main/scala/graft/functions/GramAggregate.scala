@@ -1,0 +1,144 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** One-pass exact Gram-matrix aggregate: Σ_v sa(v)·sa(v)^T over scale-6
+  * integer vectors, upper triangle flattened row-major into a
+  * dim·(dim+1)/2-cell long array — the `computeGramianMatrix` shape
+  * (MLlib RowMatrix): each task folds its rows into ONE fixed-size
+  * buffer, partials merge cell-wise, and the exchange carries a single
+  * ~16 KB buffer per task instead of any per-pair row stream.
+  *
+  * Why not Generate: the declarative twin (posexplode the vector twice
+  * into (i, j, x_i·x_j) rows, then aggregate) inflates every vector into
+  * 2080 boxed rows before the partial aggregate — measured 5.2 s at the
+  * 10× stress corpus for 42M products, ~60 ns/product of pure
+  * Generate/boxing overhead. This buffer runs the same multiplies in a
+  * tight long loop (IterativeOpsSpec proves it bit-identical).
+  *
+  * Overflow: element products are ≤10¹² (scale-6 inputs in [−1, 1]); a
+  * long cell holds ~9·10¹⁸, so ~9M vectors per TASK bound the partial —
+  * the same bound the engine's declared BIGINT output column carries for
+  * the final sums. A corpus past that ships the decimal form instead
+  * (documented at the query site).
+  */
+case class GramAggregate(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GramBuffer] with UnaryLike[Expression] {
+
+  override def prettyName: String = "gram_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if dim <= 0 =>
+      TypeCheckResult.TypeCheckFailure(s"dim must be positive, got $dim")
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_agg requires array<bigint> (the scale-6 vector), got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("cells", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): GramBuffer = new GramBuffer(dim)
+
+  override def update(buf: GramBuffer, input: InternalRow): GramBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[ArrayData])
+    buf
+  }
+
+  override def merge(buf: GramBuffer, other: GramBuffer): GramBuffer = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: GramBuffer): Any =
+    InternalRow(buf.n, new GenericArrayData(buf.cells.clone()))
+
+  override def serialize(buf: GramBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.n)
+    out.writeInt(buf.cells.length)
+    var i = 0
+    while (i < buf.cells.length) { out.writeLong(buf.cells(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): GramBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new GramBuffer(dim)
+    buf.n = in.readLong()
+    val m = in.readInt()
+    require(m == buf.cells.length,
+      s"gram buffer dim mismatch: $m cells vs expected ${buf.cells.length}")
+    var i = 0
+    while (i < m) { buf.cells(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): GramAggregate =
+    copy(child = newChild)
+}
+
+/** The accumulation buffer: vector count + flattened upper triangle. */
+final class GramBuffer(dim: Int) {
+  var n: Long = 0L
+  val cells: Array[Long] = new Array[Long](dim * (dim + 1) / 2)
+
+  /** Fold one scale-6 vector's outer product in. Rows whose length
+    * differs from `dim` are the caller's filter bug — fail loudly. */
+  def add(v: ArrayData): Unit = {
+    require(v.numElements() == dim,
+      s"gram_agg: vector of length ${v.numElements()}, expected $dim")
+    val x = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { x(i) = v.getLong(i); i += 1 }
+    var p = 0
+    i = 0
+    while (i < dim) {
+      val xi = x(i)
+      var j = i
+      while (j < dim) { cells(p) += xi * x(j); p += 1; j += 1 }
+      i += 1
+    }
+    n += 1
+  }
+
+  def mergeFrom(other: GramBuffer): Unit = {
+    require(other.cells.length == cells.length, "gram buffer dim mismatch")
+    var i = 0
+    while (i < cells.length) { cells(i) += other.cells(i); i += 1 }
+    n += other.n
+  }
+}
+
+object GramAggregate {
+  /** Column-API entry: `gram_agg(sa, dim)` → struct(n, cells) with the
+    * upper triangle flattened row-major ((i,j), j ≥ i, i ascending). */
+  def gram_agg(sa: Column, dim: Int): Column =
+    ColumnBridge.column(
+      GramAggregate(ColumnBridge.expression(sa), dim).toAggregateExpression())
+}

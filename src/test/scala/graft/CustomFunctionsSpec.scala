@@ -395,4 +395,30 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(e.forall(_.getAs[Int]("nb") === 8))
     assert(e.forall(r => math.abs(r.getAs[Double]("n2") - 1.0) < 1e-3))
   }
+
+  test("gram_agg equals the declarative double-explode Gram and a local fold") {
+    import graft.operators.SimilarityOps
+    // declared-query output (the kernel path)
+    val got = q("q_embed_gram").as[(Long, Long, Long, Long)].collect()
+    // declarative twin: identical rows, bit for bit
+    val ref = SimilarityOps.gramDeclarative(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === ref.toSeq, "kernel vs declarative Gram")
+    // and a third way: local fold over the collected corpus
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"embedding").as[Seq[Float]].collect()
+      .filter(v => v.length == 64 && !v.contains(null))
+      .map(graft.functions.ScaledDot.scale6)
+    val cells = scala.collection.mutable.Map[(Long, Long), Long]()
+    vecs.foreach { x =>
+      for (i <- 0 until 64; j <- i until 64)
+        cells((i + 1L, j + 1L)) = cells.getOrElse((i + 1L, j + 1L), 0L) +
+          x(i) * x(j)
+    }
+    assert(got.length === 64 * 65 / 2)
+    got.foreach { case (i, j, n, s) =>
+      assert(n === vecs.length.toLong)
+      assert(s === cells((i, j)), s"cell ($i,$j)")
+    }
+  }
 }
