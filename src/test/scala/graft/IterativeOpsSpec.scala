@@ -324,6 +324,14 @@ class IterativeOpsSpec extends SparkTestBase {
     val sem = SparkEntry.queries("q_cluster_semdedup")(spark, dir)
       .as[(Long, Long, Long)].collect()
     assert(sem.length === 19 && !sem.exists(_._1 == 13L))
+    // the round-10 embedding tier applies the same validity filter
+    val pq = SparkEntry.queries("q_embed_pq")(spark, dir)
+      .as[(Long, String, Long)].collect()
+    assert(pq.length === 19 && !pq.exists(_._1 == 13L))
+    val gram = SparkEntry.queries("q_embed_gram")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(gram.length === ClusterOps.Dim * (ClusterOps.Dim + 1) / 2)
+    assert(gram.forall(_._3 == 19L), "gram n must exclude the null row")
   }
 
   // ------------------------------------------------- span-level dedup
