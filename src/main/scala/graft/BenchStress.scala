@@ -145,7 +145,11 @@ object BenchStress {
     // round-10: exact Gram matrix — a 2080-way Generate fan-out pipelined
     // into a map-side aggregate; stressed to prove the inflation stays
     // transient (no exchange grows with the corpus)
-    "q_embed_gram")
+    "q_embed_gram",
+    // round-10: PCA projection — two single-buffer moment aggregates +
+    // a driver eigensolve + a map-side projection; stressed to prove the
+    // whole composition is two scans + a map at any corpus size
+    "q_embed_pca")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,
@@ -213,6 +217,7 @@ object BenchStress {
     "q_text_fingerprint_winnow_audit", "q_dedup_embedding_audit",
     "q_simsearch_ann_srp_audit", "q_simsearch_ivf_audit",
     "q_simsearch_ivfpq_audit", "q_text_unigram_audit",
+    "q_embed_pca_audit",
     "q_text_heavy_hitters_audit",
     // watermarked single-window streams already covered by
     // q_stream_tumbling; combine is a 5-row formatting step

@@ -561,6 +561,222 @@ object SimilarityOps extends QueryPack {
       "pipelined pass, 2080-group map-side aggregation — the PCA/" +
       "whitening building block")
 
+  // --------------------------------------------------- PCA projection
+  // The whitening step SemDeDup-class pipelines run before clustering
+  // (Abbas et al. 2023 cluster in an embedding space; production stacks
+  // PCA-reduce first): top-[[PcaR]] principal components of the
+  // embedding covariance, each vector projected onto them.
+  //
+  // Composition shape: covariance assembles EXACTLY from two bounded
+  // aggregates — the [[embedGram]] second-moment buffer and a 64-cell
+  // first-moment sum — so the driver-side eigensolve starts from
+  // integers, not from float accumulation order. The eigensolver is
+  // cyclic Jacobi with a FIXED pivot order and only +,−,×,/ and
+  // Math.sqrt (all IEEE-correctly-rounded), so the decomposition is
+  // bit-deterministic for a given corpus; eigenvectors canonicalize
+  // sign (largest-|component| positive) and order (eigenvalue DESC,
+  // index ASC). Projection is a pure map against the broadcast
+  // component matrix — one scan, zero shuffles beyond the presentation
+  // sort. EM-free but float-valued, so no SQL oracle: the audit pins
+  // engine-side invariants (orthonormality, eigen-residuals,
+  // per-component variance ≈ eigenvalue) with oracle-recomputed
+  // scalars, and the spec re-derives every invariant locally.
+  private[graft] val PcaR = 8
+
+  /** Deterministic cyclic-Jacobi symmetric eigensolve: returns
+    * (eigenvalues, eigenvectors as rows), ordered (λ DESC, index ASC),
+    * sign-canonicalized. `a` is mutated. */
+  private[graft] def jacobiEigen(a: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a.length
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 50 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            off = math.max(off, math.abs(apq))
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(1.0 + theta * theta))
+              else 1.0 / (theta - math.sqrt(1.0 + theta * theta))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vpk = v(p)(k); val vqk = v(q)(k)
+              v(p)(k) = c * vpk - s * vqk
+              v(q)(k) = s * vpk + c * vqk
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { i =>
+      val row = v(i)
+      // sign canon: the largest-|x| component (first on ties) positive
+      var best = 0
+      var j = 1
+      while (j < n) {
+        if (math.abs(row(j)) > math.abs(row(best))) best = j
+        j += 1
+      }
+      if (row(best) < 0) row.map(x => -x) else row.clone()
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** (n, mean vector, top-R eigenpairs) of the embedding covariance —
+    * assembled from the two exact integer aggregates. */
+  private[graft] def pcaModel(s: SparkSession, d: String)
+      : (Long, Array[Double], Array[Double], Array[Array[Double]]) = {
+    import s.implicits._
+    val dim = GramDim
+    val gram = gramInput(s, d)
+      .agg(graft.functions.GramAggregate.gram_agg($"sa", dim).as("g"),
+        graft.functions.SumVector.sum_vector($"sa", dim).as("m"))
+      .as[((Long, Seq[Long]), Seq[Long])].collect().head
+    val ((n, cells), m1) = gram
+    require(n > 0, s"PCA needs at least one valid embedding vector in $d")
+    val mean = m1.map(_.toDouble / 1e6 / n).toArray
+    // covariance: E[x_i x_j] − μ_i μ_j from the exact integer moments
+    val c = Array.ofDim[Double](dim, dim)
+    var p = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val eij = cells(p).toDouble / 1e12 / n
+      val cij = eij - mean(i) * mean(j)
+      c(i)(j) = cij; c(j)(i) = cij
+      p += 1
+    }
+    val (evals, evecs) = jacobiEigen(c)
+    (n, mean, evals.take(PcaR), evecs.take(PcaR))
+  }
+
+  private val embedPca = QueryDef(
+    "q_embed_pca",
+    (s, d) => {
+      import s.implicits._
+      val (_, mean, _, comps) = pcaModel(s, d)
+      // projection: p_r = Σ_i (x_i − μ_i)·v_ri, a pure map against the
+      // broadcast R×dim component matrix (codegen kernel per component)
+      val x = Tables.embeddings(s, d)
+        .filter($"embedding".isNotNull && size($"embedding") === GramDim &&
+          !exists($"embedding", _.isNull))
+      val cols = (0 until PcaR).map { r =>
+        round(graft.functions.CenteredDot
+          .centered_dot($"embedding", mean, comps(r)), 6).as(s"p$r")
+      }
+      x.select($"vec_id" +: cols: _*).orderBy($"vec_id")
+    },
+    None,
+    s"PCA projection onto the top $PcaR covariance components — exact " +
+      "integer moments, deterministic Jacobi eigensolve, map-side " +
+      "projection")
+
+  // The audit re-proves the decomposition from the engine side:
+  //   ortho_ok:    max |V·Vᵀ − I| ≤ 1e-8 over the R×R products
+  //                (driver-exact, like the k-means training audit);
+  //   resid_ok:    max ‖C·v_r − λ_r·v_r‖∞ ≤ 1e-8·(1+|λ_r|);
+  //   var_ok:      distributed Var(p_r) within 1e-3 relative of λ_r for
+  //                every component (loose enough for double-sum
+  //                reordering noise, tight enough to catch a wrong
+  //                eigenpair outright).
+  // n_vectors/dim are oracle-recomputed.
+  private val pcaAudit = QueryDef(
+    "q_embed_pca_audit",
+    (s, d) => {
+      import s.implicits._
+      val (n, mean, evals, comps) = pcaModel(s, d)
+      val dim = GramDim
+      // driver-side exact checks on the decomposition
+      var ortho = 0.0
+      for (a <- 0 until PcaR; b <- 0 until PcaR) {
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += comps(a)(i) * comps(b)(i); i += 1 }
+        ortho = math.max(ortho, math.abs(dot - (if (a == b) 1.0 else 0.0)))
+      }
+      // rebuild the covariance for the residual check
+      val gram = gramInput(s, d)
+        .agg(graft.functions.GramAggregate.gram_agg($"sa", dim).as("g"))
+        .select($"g.cells").as[Seq[Long]].collect().head
+      val c = Array.ofDim[Double](dim, dim)
+      var p = 0
+      for (i <- 0 until dim; j <- i until dim) {
+        val cij = gram(p).toDouble / 1e12 / n - mean(i) * mean(j)
+        c(i)(j) = cij; c(j)(i) = cij
+        p += 1
+      }
+      var resid = 0.0
+      for (r <- 0 until PcaR) {
+        for (i <- 0 until dim) {
+          var cv = 0.0
+          var j = 0
+          while (j < dim) { cv += c(i)(j) * comps(r)(j); j += 1 }
+          resid = math.max(resid,
+            math.abs(cv - evals(r) * comps(r)(i)) / (1.0 + math.abs(evals(r))))
+        }
+      }
+      // distributed variance of each projection vs its eigenvalue
+      val proj = pcaProjection(s, d, mean, comps)
+      val varOk = (0 until PcaR).forall { r =>
+        val st = proj.agg(
+          sum(col(s"p$r")).as("s1"), sum(col(s"p$r") * col(s"p$r")).as("s2"))
+          .as[(Double, Double)].collect().head
+        val vr = st._2 / n - (st._1 / n) * (st._1 / n)
+        math.abs(vr - evals(r)) <= 1e-3 * (1.0 + math.abs(evals(r)))
+      }
+      Seq((n, dim.toLong,
+        if (ortho <= 1e-8) 1L else 0L,
+        if (resid <= 1e-8) 1L else 0L,
+        if (varOk) 1L else 0L))
+        .toDF("n_vectors", "dim", "ortho_ok", "resid_ok", "var_ok")
+    },
+    Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        CAST($GramDim AS BIGINT) AS dim,
+        CAST(1 AS BIGINT) AS ortho_ok, CAST(1 AS BIGINT) AS resid_ok,
+        CAST(1 AS BIGINT) AS var_ok
+      FROM embeddings
+      WHERE len(embedding) = $GramDim
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0"""),
+    "PCA audit: orthonormality + eigen-residual (driver-exact) + " +
+      "distributed variance-vs-eigenvalue flags; scalars oracle-recomputed")
+
+  /** The unrounded projection columns (audit's variance input). */
+  private def pcaProjection(s: SparkSession, d: String,
+      mean: Array[Double], comps: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val x = Tables.embeddings(s, d)
+      .filter($"embedding".isNotNull && size($"embedding") === GramDim &&
+        !exists($"embedding", _.isNull))
+    val cols = (0 until PcaR).map { r =>
+      graft.functions.CenteredDot
+        .centered_dot($"embedding", mean, comps(r)).as(s"p$r")
+    }
+    x.select(cols: _*)
+  }
+
   // --------------------------------- int8 scalar quantization audit
   // Vector compression every 100 TB embedding store runs: symmetric
   // per-vector int8 quantization (q_i = round(127 · x_i / max|x|)) — 4×
@@ -601,5 +817,6 @@ object SimilarityOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(simsearchCosine, simsearchAnn, dedupEmbedding, simsearchIvf,
-      simsearchIvfPq, embedNorm, embedQuantize, embedGram)
+      simsearchIvfPq, embedNorm, embedQuantize, embedGram, embedPca,
+      pcaAudit)
 }

@@ -334,6 +334,43 @@ class IterativeOpsSpec extends SparkTestBase {
     assert(gram.forall(_._3 == 19L), "gram n must exclude the null row")
   }
 
+  test("q_embed_pca: deterministic decomposition, projections match a " +
+      "local recompute") {
+    import graft.operators.SimilarityOps
+    val (n1, mean1, ev1, comps1) = SimilarityOps.pcaModel(spark, sf)
+    val (n2, mean2, ev2, comps2) = SimilarityOps.pcaModel(spark, sf)
+    assert(n1 === n2 && mean1.toSeq === mean2.toSeq)
+    assert(ev1.toSeq === ev2.toSeq, "eigenvalues must be bit-deterministic")
+    assert(comps1.map(_.toSeq).toSeq === comps2.map(_.toSeq).toSeq)
+    // sorted desc; sign canon (largest-|component| positive)
+    assert(ev1.toSeq === ev1.sorted(Ordering[Double].reverse).toSeq)
+    comps1.foreach { row =>
+      val best = row.indices.maxBy(i => (math.abs(row(i)), -i))
+      assert(row(best) >= 0, "sign canonicalization")
+    }
+    // projections: replicate the CenteredDot loop and Spark's round
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .filter { case (_, v) => v.length == 64 && !v.contains(null) }
+    val rows = q("q_embed_pca").collect()
+    assert(rows.length === vecs.length && vecs.length.toLong === n1)
+    val byId = vecs.toMap
+    rows.foreach { r =>
+      val v = byId(r.getAs[Long]("vec_id"))
+      (0 until SimilarityOps.PcaR).foreach { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < 64) {
+          acc += (v(i).toDouble - mean1(i)) * comps1(c)(i); i += 1
+        }
+        val want = BigDecimal(acc)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double](s"p$c") === want,
+          s"vec ${r.getAs[Long]("vec_id")} component $c")
+      }
+    }
+  }
+
   // ------------------------------------------------- span-level dedup
 
   test("q_text_span_dedup matches a reference recompute and its invariants") {

@@ -346,8 +346,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "operators/SourceOps.scala" -> 1,
       // IVF: .limit(IvfSampleCap) k-means training sample (bounded
       // regardless of corpus size) + the NQ-row query-vector fetches in
-      // ivfResults and ivfpqResults (one each)
-      "operators/SimilarityOps.scala" -> 3,
+      // ivfResults and ivfpqResults (one each); PCA: three 1-row
+      // aggregate fetches (the gram/moment buffer in pcaModel and the
+      // audit, and the audit's per-component variance scalar)
+      "operators/SimilarityOps.scala" -> 6,
       // k-means training loop: .limit(K) seed fetch + the K×Dim-row
       // per-iteration centroid-sum collect (kilobytes at any corpus size
       // — the MLlib collect-broadcast iteration shape)
