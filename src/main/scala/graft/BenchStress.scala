@@ -170,7 +170,7 @@ object BenchStress {
     "q_text_quality_model",
     // subword-id sequences: word explode + broadcast dict/vocab joins +
     // one grouped shuffle — linear, same class as q_text_token_ids
-    "q_text_bpe_ids",
+    "q_text_bpe_ids", "q_text_unigram_ids",
     // tokenizer artifact + coverage curve: vocab-sized plans over the
     // memoized learned dict — never touch the corpus beyond the learning
     // pass, which x_bpe_learn times at 10x
@@ -217,7 +217,7 @@ object BenchStress {
     "q_text_fingerprint_winnow_audit", "q_dedup_embedding_audit",
     "q_simsearch_ann_srp_audit", "q_simsearch_ivf_audit",
     "q_simsearch_ivfpq_audit", "q_text_unigram_audit",
-    "q_embed_pca_audit",
+    "q_text_unigram_ids_audit", "q_embed_pca_audit",
     "q_text_heavy_hitters_audit",
     // watermarked single-window streams already covered by
     // q_stream_tumbling; combine is a 5-row formatting step

@@ -222,6 +222,94 @@ object UnigramOps extends QueryPack {
       s"rounds over the word dict, $FinalVocab-piece vocab, per-doc " +
       "Viterbi piece counts — EM is not SQL-replayable, audited instead")
 
+  // ----------------------------------------------- q_text_unigram_ids
+  // The tokenizer deliverable (q_text_bpe_ids' sibling): each document
+  // as its ordered piece-ID sequence, ids = rank in the learned vocab's
+  // (count DESC, UTF-8 lex) order. Scale shape identical to the BPE
+  // tier: the (word → ids) dict broadcasts, the corpus explodes words
+  // with positions, and the sequence reassembles in ONE doc_id grouped
+  // shuffle.
+  private val textUnigramIds = QueryDef(
+    "q_text_unigram_ids",
+    (s, d) => {
+      import s.implicits._
+      val (vocab, dictTok) = learnUnigram(s, d)
+      val pieceId = vocab.map(_._1).zipWithIndex
+        .map { case (p, i) => p -> (i + 1L) }.toMap
+      val idsOf = udfFreeIds(s, dictTok, pieceId)
+      val posWords = Tables.documents(s, d)
+        .select($"doc_id", posexplode(split(lower($"text"), " +")))
+        .toDF("doc_id", "pos", "w0")
+        .filter(length($"w0") > 0)
+      val ids = posWords
+        .join(broadcast(idsOf), $"w0" === $"word")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"n_pieces").as("n_pieces"),
+          array_join(transform(
+            array_sort(collect_list(struct($"pos", $"ids"))),
+            x => x.getField("ids")), ",").as("ids_str"))
+      Tables.documents(s, d).select($"doc_id")
+        .join(ids, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_words", lit(0L)).as("n_words"),
+          coalesce($"n_pieces", lit(0L)).as("n_pieces"),
+          coalesce($"ids_str", lit("")).as("ids_str"))
+        .orderBy($"doc_id")
+    },
+    None,
+    "Per-document unigram piece-ID sequences (rank ids from the learned " +
+      "vocab) — broadcast dict + one grouped shuffle, the q_text_bpe_ids " +
+      "sibling")
+
+  /** The (word, ids CSV, n_pieces) broadcast relation — each dict word's
+    * piece sequence rendered to its id string once, driver-side (the
+    * dict is vocab-sized). */
+  private def udfFreeIds(s: SparkSession, dictTok: DataFrame,
+      pieceId: Map[String, Long]): DataFrame = {
+    import s.implicits._
+    dictTok.select($"word", $"pieces", $"n_pieces")
+      .as[(String, Seq[String], Long)].collect().toSeq
+      .map { case (w, ps, n) => (w, ps.map(pieceId).mkString(","), n) }
+      .toDF("word", "ids", "n_pieces")
+  }
+
+  private val unigramIdsAudit = QueryDef(
+    "q_text_unigram_ids_audit",
+    (s, d) => {
+      import s.implicits._
+      val (vocab, dictTok) = learnUnigram(s, d)
+      val v = vocab.size.toLong
+      val stats = Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"))
+      // engine-side flags over the declared output itself
+      val out = textUnigramIds.fn(s, d)
+      val flags = out.agg(
+        // ids all in [1, |vocab|]
+        (lit(1L) - coalesce(max((size(filter(
+          split($"ids_str", ","), x => x =!= "" &&
+            (x.cast("long") < 1 || x.cast("long") > v))) > 0)
+          .cast("long")), lit(0L))).as("ids_in_vocab_ok"),
+        // per-doc id count equals the piece count
+        (lit(1L) - coalesce(max((size(filter(split($"ids_str", ","),
+          x => x =!= "")) =!= $"n_pieces").cast("long")), lit(0L)))
+          .as("count_consistent_ok"))
+      // and the id map itself round-trips: rank ids are 1..|vocab| dense
+      val dense = (vocab.map(_._1).distinct.size.toLong == v &&
+        v >= 1L)
+      stats.join(broadcast(flags))
+        .select($"n_docs",
+          $"ids_in_vocab_ok", $"count_consistent_ok",
+          lit(if (dense) 1L else 0L).as("vocab_dense_ok"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(1 AS BIGINT) AS ids_in_vocab_ok,
+        CAST(1 AS BIGINT) AS count_consistent_ok,
+        CAST(1 AS BIGINT) AS vocab_dense_ok
+      FROM documents"""),
+    "Unigram piece-ID audit: id-range, count-consistency, and dense-" +
+      "vocab flags over the declared output; doc scalar oracle-recomputed")
+
   // --------------------------------------------- q_text_unigram_audit
   // The no_oracle companion (house rule): re-proves the headline
   // invariants of the learned tokenizer from the engine side with the
@@ -265,5 +353,6 @@ object UnigramOps extends QueryPack {
     "Unigram tokenizer audit: round-trip, vocab-size, and piece-shape " +
       "flags over the learned dict; scalars oracle-recomputed")
 
-  override def defs: Seq[QueryDef] = Seq(textUnigram, unigramAudit)
+  override def defs: Seq[QueryDef] =
+    Seq(textUnigram, textUnigramIds, unigramAudit, unigramIdsAudit)
 }

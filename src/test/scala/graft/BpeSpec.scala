@@ -346,4 +346,25 @@ class BpeSpec extends SparkTestBase {
       assert(np === ws.map(dict).sum)
     }
   }
+
+  test("q_text_unigram_ids: id sequences decode to the Viterbi pieces in order") {
+    import graft.operators.UnigramOps
+    val (vocab, dictTok) = UnigramOps.learnUnigram(spark, sf)
+    val pieceId = vocab.map(_._1).zipWithIndex
+      .map { case (p, i) => p -> (i + 1L) }.toMap
+    val dict = dictTok.select($"word", $"pieces")
+      .as[(String, Seq[String])].collect().toMap
+    val rows = q("q_text_unigram_ids")
+      .as[(Long, Long, Long, String)].collect()
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect().toMap
+    assert(rows.length === texts.size)
+    rows.foreach { case (id, nWords, nPieces, idsStr) =>
+      val ws = texts(id).split(" +").filter(_.nonEmpty).toSeq
+      val want = ws.flatMap(w => dict(w).map(pieceId))
+      assert(nWords === ws.length.toLong, s"doc $id n_words")
+      assert(nPieces === want.length.toLong, s"doc $id n_pieces")
+      assert(idsStr === want.mkString(","), s"doc $id id sequence")
+    }
+  }
 }

@@ -240,6 +240,7 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_simsearch_ivf_audit", // 1-row recall flag crossJoin
       "q_simsearch_ivfpq_audit", // 1-row recall flag crossJoin
       "q_text_unigram_audit", // 1-row scalar/flag attach crossJoin
+      "q_text_unigram_ids_audit", // 1-row scalar/flag attach crossJoin
       "q_text_heavy_hitters_audit", // 1-row stats/flag attachments
       "q_agg_sketch_rollup_audit", // 1-row exact-total attach
       // K-row centroid broadcast against the corpus (the MLlib k-means
@@ -359,8 +360,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // at any corpus size)
       "operators/TrainOps.scala" -> 1,
       // unigram-LM learning: ONE vocab-sized dict collect guarded by the
-      // MaxDictWords require — the BpeOps industrial-learner shape
-      "operators/UnigramOps.scala" -> 1,
+      // MaxDictWords require (the BpeOps industrial-learner shape) + the
+      // vocab-sized (word → ids) render for the broadcast dict
+      "operators/UnigramOps.scala" -> 2,
       // BPE learning (round 10, driver-local): ONE vocab-sized dict
       // collect guarded by the MaxDictWords require — the industrial
       // learner shape — plus the spec-only distributed reference's
