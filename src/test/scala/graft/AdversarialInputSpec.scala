@@ -60,7 +60,7 @@ class AdversarialInputSpec extends SparkTestBase {
     "q_text_quality_model", "q_text_chunk", "q_mix_weights",
     "q_bpe_vocab", "q_pack_bpe", "q_bpe_encode", "q_dsir_weights",
     "q_vocab_coverage", "q_mix_sample", "q_train_classifier",
-    "q_text_unigram")
+    "q_text_unigram", "q_text_unigram_ids")
 
   test("every text/dedup query completes on the edge corpus") {
     val failures = tier.flatMap { name =>
