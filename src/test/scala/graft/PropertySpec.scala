@@ -182,4 +182,48 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: gram_agg + sum_vector equal a local fold on random corpora") {
+    val dim = 8
+    val vecGen = Gen.listOfN(20,
+      Gen.listOfN(dim, Gen.choose(-1000000L, 1000000L)))
+    forAll(vecGen) { (vecs: List[List[Long]]) =>
+      val df = vecs.map(v => Tuple1(v)).toDF("sa")
+      val got = df.agg(
+        graft.functions.GramAggregate.gram_agg($"sa", dim).as("g"),
+        graft.functions.SumVector.sum_vector($"sa", dim).as("m"))
+        .as[((Long, Seq[Long]), Seq[Long])].collect().head
+      val ((n, cells), m1) = got
+      assert(n === vecs.length.toLong)
+      val wantM = (0 until dim).map(i => vecs.map(_(i)).sum)
+      assert(m1.toSeq === wantM)
+      var p = 0
+      for (i <- 0 until dim; j <- i until dim) {
+        val want = vecs.map(v => v(i) * v(j)).sum
+        assert(cells(p) === want, s"cell ($i,$j)")
+        p += 1
+      }
+    }
+  }
+
+  test("property: centered_dot equals the local centered projection loop") {
+    val dim = 8
+    val g = Gen.zip(
+      Gen.listOfN(dim, Gen.choose(-1.0, 1.0)),
+      Gen.listOfN(dim, Gen.choose(-1.0, 1.0)),
+      Gen.listOfN(10, Gen.listOfN(dim, Gen.choose(-1.0f, 1.0f))))
+    forAll(g) { case (mean, comp, vecs) =>
+      val m = mean.toArray; val c = comp.toArray
+      val df = vecs.map(v => Tuple1(v)).toDF("v")
+      val got = df.select(
+        graft.functions.CenteredDot.centered_dot($"v", m, c).as("p"))
+        .as[Double].collect()
+      got.zip(vecs).foreach { case (gv, v) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += (v(i).toDouble - m(i)) * c(i); i += 1 }
+        assert(gv === acc) // bit-identical: same loop order, IEEE ops
+      }
+    }
+  }
 }
