@@ -109,13 +109,19 @@ final class GramBuffer(dim: Int) {
   val cells: Array[Long] = new Array[Long](dim * (dim + 1) / 2)
 
   /** Fold one scale-6 vector's outer product in. Rows whose length
-    * differs from `dim` are the caller's filter bug — fail loudly. */
+    * differs from `dim` — or that carry a null element — are the
+    * caller's filter bug: fail loudly (getLong would silently read a
+    * null slot as 0 and corrupt the exact sums). */
   def add(v: ArrayData): Unit = {
     require(v.numElements() == dim,
       s"gram_agg: vector of length ${v.numElements()}, expected $dim")
     val x = new Array[Long](dim)
     var i = 0
-    while (i < dim) { x(i) = v.getLong(i); i += 1 }
+    while (i < dim) {
+      require(!v.isNullAt(i), s"gram_agg: null element at index $i — " +
+        "filter invalid vectors before aggregating")
+      x(i) = v.getLong(i); i += 1
+    }
     var p = 0
     i = 0
     while (i < dim) {

@@ -48,7 +48,11 @@ case class SumVector(
       require(a.numElements() == dim,
         s"sum_vector: vector of length ${a.numElements()}, expected $dim")
       var i = 0
-      while (i < dim) { buf(i) += a.getLong(i); i += 1 }
+      while (i < dim) {
+        require(!a.isNullAt(i), s"sum_vector: null element at index $i — " +
+          "filter invalid vectors before aggregating")
+        buf(i) += a.getLong(i); i += 1
+      }
     }
     buf
   }

@@ -329,6 +329,10 @@ object ClusterOps extends QueryPack {
       val book = pqCodebook(s, sv)
       val centDf = book.map { case (m, c, a) => (m.toLong, c, a.toSeq) }
         .toDF("sub", "cluster", "carr")
+      // eagerly materialized BEFORE the corpus cache releases — the
+      // sibling kmeans/semdedup pattern: unpersisting first would make
+      // the lazily-returned encode recompute decimal_scale6 from
+      // parquet uncached when the caller finally executes it
       val out = sv.crossJoin(broadcast(centDf))
         .select($"vec_id", $"sub", $"cluster",
           dist2(slice($"sa", ($"sub" * PqDsub + 1).cast("int"),
@@ -341,9 +345,9 @@ object ClusterOps extends QueryPack {
             array_sort(collect_list(struct($"sub", $"b.cluster".as("code")))),
             x => x.getField("code").cast("string")), ",").as("codes"),
           sum($"b.d2").as("err12"))
-        .orderBy($"vec_id")
+        .localCheckpoint()
       sv.unpersist(false)
-      out
+      out.orderBy($"vec_id")
     },
     Some {
       val subCtes = (0 until PqM).map { m =>

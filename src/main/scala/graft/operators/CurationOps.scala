@@ -275,8 +275,7 @@ object CurationOps extends QueryPack {
           explode(split(lower($"text"), " +")).as("w"))
         .filter($"w" =!= "")
         .select($"doc_id", $"source",
-          pmod(conv(substring(md5($"w"), 1, 8), 16, 10).cast("long"),
-            lit(DsirBuckets)).as("b"))
+          OpHash.md5Bucket($"w", DsirBuckets).as("b"))
       val raw = tok.groupBy($"b").agg(count(lit(1)).as("r_cnt"))
       val tgt = tok.filter($"source" === DsirTarget)
         .groupBy($"b").agg(count(lit(1)).as("t_cnt"))

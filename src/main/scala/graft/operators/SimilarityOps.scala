@@ -372,15 +372,19 @@ object SimilarityOps extends QueryPack {
   // of the exact top-K) for no meaningful memory win.
   private[graft] val IvfPqK = 256
 
-  /** M per-subspace codebooks trained on the sample's coarse residuals. */
+  /** M per-subspace codebooks trained on the sample's coarse residuals.
+    * The per-subspace centroid count clamps to the sample size (the same
+    * guard the coarse quantizer's k takes — kmeansFit seeds from the
+    * first k sample vectors and would index past the end otherwise). */
   private[graft] def pqBooks(sample: Array[Array[Double]],
       cents: Array[Array[Double]], dsub: Int): Array[Array[Array[Double]]] = {
+    val kSub = math.min(IvfPqK, sample.length)
     val resid = sample.map { v =>
       val c = cents(nearestCentroid(cents, v))
       Array.tabulate(v.length)(i => v(i) - c(i))
     }
     Array.tabulate(IvfPqM) { m =>
-      kmeansFit(resid.map(_.slice(m * dsub, (m + 1) * dsub)), IvfPqK, IvfIters)
+      kmeansFit(resid.map(_.slice(m * dsub, (m + 1) * dsub)), kSub, IvfIters)
     }
   }
 
@@ -398,6 +402,7 @@ object SimilarityOps extends QueryPack {
     val dim = sample.head.length
     val dsub = dim / IvfPqM
     val books = pqBooks(sample, cents, dsub)
+    val kSub = books.head.length // = min(IvfPqK, sample size)
     // distributed encode. Residuals are float (the stored-code precision
     // PQ quantizes anyway); the spec replays this float arithmetic
     // exactly. The M sliced sub-assigns re-evaluate the zip_with after
@@ -417,14 +422,15 @@ object SimilarityOps extends QueryPack {
           slice($"resid", m * dsub + 1, dsub), books(m)).as(s"c$m")
       }: _*)
     // query-side: NQ rows; one (qid, list, LUT) row per probed list with
-    // LUT[m*K+j] = ||(q − cent_list)_m − book_m[j]||² — M×K doubles per
-    // probe, computed driver-side (kilobytes at any corpus size)
+    // LUT[m*kSub+j] = ||(q − cent_list)_m − book_m[j]||² — M×kSub
+    // doubles per probe, computed driver-side (kilobytes at any corpus
+    // size)
     val queries = emb.filter($"vec_id" < NQ)
       .as[(Long, Seq[Float])].collect().toSeq.flatMap { case (qid, qv) =>
         val q = qv.map(_.toDouble).toArray
         probeLists(cents, q, IvfNProbe).map { list =>
-          val lut = Array.tabulate(IvfPqM * IvfPqK) { x =>
-            val m = x / IvfPqK; val j = x % IvfPqK
+          val lut = Array.tabulate(IvfPqM * kSub) { x =>
+            val m = x / kSub; val j = x % kSub
             var dd = 0.0; var i = 0
             while (i < dsub) {
               val t = (q(m * dsub + i) - cents(list)(m * dsub + i)) -
@@ -437,7 +443,7 @@ object SimilarityOps extends QueryPack {
         }
       }.toDF("qid", "list", "lut")
     val adc = (0 until IvfPqM).map { m =>
-      element_at($"lut", col(s"c$m") + lit(m * IvfPqK + 1))
+      element_at($"lut", col(s"c$m") + lit(m * kSub + 1))
     }.reduce(_ + _)
     broadcast(queries).join(coded, Seq("list"))
       .filter($"qid" =!= $"cid")
@@ -649,35 +655,52 @@ object SimilarityOps extends QueryPack {
 
   /** (n, mean vector, top-R eigenpairs) of the embedding covariance —
     * assembled from the two exact integer aggregates. */
-  private[graft] def pcaModel(s: SparkSession, d: String)
-      : (Long, Array[Double], Array[Double], Array[Array[Double]]) = {
-    import s.implicits._
-    val dim = GramDim
-    val gram = gramInput(s, d)
-      .agg(graft.functions.GramAggregate.gram_agg($"sa", dim).as("g"),
-        graft.functions.SumVector.sum_vector($"sa", dim).as("m"))
-      .as[((Long, Seq[Long]), Seq[Long])].collect().head
-    val ((n, cells), m1) = gram
-    require(n > 0, s"PCA needs at least one valid embedding vector in $d")
-    val mean = m1.map(_.toDouble / 1e6 / n).toArray
-    // covariance: E[x_i x_j] − μ_i μ_j from the exact integer moments
-    val c = Array.ofDim[Double](dim, dim)
-    var p = 0
-    for (i <- 0 until dim; j <- i until dim) {
-      val eij = cells(p).toDouble / 1e12 / n
-      val cij = eij - mean(i) * mean(j)
-      c(i)(j) = cij; c(j)(i) = cij
-      p += 1
+  /** The learned PCA state: (n, mean, covariance, top-R eigenvalues,
+    * top-R components). The COVARIANCE rides along so the audit's
+    * residual check reuses it instead of re-running the Gram aggregate
+    * it was derived from. */
+  private[graft] final case class PcaState(n: Long, mean: Array[Double],
+      cov: Array[Array[Double]], evals: Array[Double],
+      comps: Array[Array[Double]])
+
+  // memoized per (context, corpus, fingerprint) — driver-local arrays
+  // only, the learnBpe/learnUnigram convention: the model trains once
+  // per corpus and is read by q_embed_pca, its audit, and the specs
+  private val pcaMemo = new graft.Memo.Bounded[
+    (String, String, String), PcaState](cap = 4, onEvict = _ => ())
+  private[graft] def pcaModel(s: SparkSession, d: String): PcaState =
+    pcaMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+      graft.FixtureStamp.stamp("pca1", d, "embeddings"))) {
+      import s.implicits._
+      val dim = GramDim
+      val gram = gramInput(s, d)
+        .agg(graft.functions.GramAggregate.gram_agg($"sa", dim).as("g"),
+          graft.functions.SumVector.sum_vector($"sa", dim).as("m"))
+        .as[((Long, Seq[Long]), Seq[Long])].collect().head
+      val ((n, cells), m1) = gram
+      require(n > 0, s"PCA needs at least one valid embedding vector in $d")
+      val mean = m1.map(_.toDouble / 1e6 / n).toArray
+      // covariance: E[x_i x_j] − μ_i μ_j from the exact integer moments
+      val c = Array.ofDim[Double](dim, dim)
+      var p = 0
+      for (i <- 0 until dim; j <- i until dim) {
+        val eij = cells(p).toDouble / 1e12 / n
+        val cij = eij - mean(i) * mean(j)
+        c(i)(j) = cij; c(j)(i) = cij
+        p += 1
+      }
+      // jacobiEigen mutates its input — keep the covariance for the audit
+      val work = c.map(_.clone())
+      val (evals, evecs) = jacobiEigen(work)
+      PcaState(n, mean, c, evals.take(PcaR), evecs.take(PcaR))
     }
-    val (evals, evecs) = jacobiEigen(c)
-    (n, mean, evals.take(PcaR), evecs.take(PcaR))
-  }
 
   private val embedPca = QueryDef(
     "q_embed_pca",
     (s, d) => {
       import s.implicits._
-      val (_, mean, _, comps) = pcaModel(s, d)
+      val st = pcaModel(s, d)
+      val (mean, comps) = (st.mean, st.comps)
       // projection: p_r = Σ_i (x_i − μ_i)·v_ri, a pure map against the
       // broadcast R×dim component matrix (codegen kernel per component)
       val x = Tables.embeddings(s, d)
@@ -707,7 +730,8 @@ object SimilarityOps extends QueryPack {
     "q_embed_pca_audit",
     (s, d) => {
       import s.implicits._
-      val (n, mean, evals, comps) = pcaModel(s, d)
+      val m = pcaModel(s, d)
+      val (n, mean, evals, comps) = (m.n, m.mean, m.evals, m.comps)
       val dim = GramDim
       // driver-side exact checks on the decomposition
       var ortho = 0.0
@@ -717,34 +741,31 @@ object SimilarityOps extends QueryPack {
         while (i < dim) { dot += comps(a)(i) * comps(b)(i); i += 1 }
         ortho = math.max(ortho, math.abs(dot - (if (a == b) 1.0 else 0.0)))
       }
-      // rebuild the covariance for the residual check
-      val gram = gramInput(s, d)
-        .agg(graft.functions.GramAggregate.gram_agg($"sa", dim).as("g"))
-        .select($"g.cells").as[Seq[Long]].collect().head
-      val c = Array.ofDim[Double](dim, dim)
-      var p = 0
-      for (i <- 0 until dim; j <- i until dim) {
-        val cij = gram(p).toDouble / 1e12 / n - mean(i) * mean(j)
-        c(i)(j) = cij; c(j)(i) = cij
-        p += 1
-      }
+      // residual check against the covariance the model CARRIES — no
+      // second Gram aggregation (the model memoizes per corpus)
       var resid = 0.0
       for (r <- 0 until PcaR) {
         for (i <- 0 until dim) {
           var cv = 0.0
           var j = 0
-          while (j < dim) { cv += c(i)(j) * comps(r)(j); j += 1 }
+          while (j < dim) { cv += m.cov(i)(j) * comps(r)(j); j += 1 }
           resid = math.max(resid,
             math.abs(cv - evals(r) * comps(r)(i)) / (1.0 + math.abs(evals(r))))
         }
       }
-      // distributed variance of each projection vs its eigenvalue
+      // distributed variance of every projection in ONE aggregation
+      // (2R sum columns), not R sequential jobs
       val proj = pcaProjection(s, d, mean, comps)
+      val sums = proj.agg(
+        sum(col("p0")).as("a0"),
+        (1 until PcaR).map(r => sum(col(s"p$r")).as(s"a$r")) ++
+          (0 until PcaR).map(r =>
+            sum(col(s"p$r") * col(s"p$r")).as(s"b$r")): _*)
+        .collect().head
       val varOk = (0 until PcaR).forall { r =>
-        val st = proj.agg(
-          sum(col(s"p$r")).as("s1"), sum(col(s"p$r") * col(s"p$r")).as("s2"))
-          .as[(Double, Double)].collect().head
-        val vr = st._2 / n - (st._1 / n) * (st._1 / n)
+        val s1 = sums.getAs[Double](s"a$r")
+        val s2 = sums.getAs[Double](s"b$r")
+        val vr = s2 / n - (s1 / n) * (s1 / n)
         math.abs(vr - evals(r)) <= 1e-3 * (1.0 + math.abs(evals(r)))
       }
       Seq((n, dim.toLong,

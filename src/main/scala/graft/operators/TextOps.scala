@@ -150,8 +150,7 @@ object TextOps extends QueryPack {
       .otherwise(array().cast("array<string>"))
     val grams = concat(t, bi)
     val wOf = (g: Column) =>
-      pmod(pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
-        lit(QmBuckets)) * QmKnuth, lit(QmMod)) - lit(1000L)
+      pmod(OpHash.md5Bucket(g, QmBuckets) * QmKnuth, lit(QmMod)) - lit(1000L)
     (size(grams).cast("long"),
       aggregate(grams, lit(0L), (acc, g) => acc + wOf(g)))
   }

@@ -69,8 +69,7 @@ object TrainOps extends QueryPack {
           explode(split(lower($"text"), " +")).as("w"))
         .filter($"w" =!= "")
         .select($"doc_id", $"y",
-          pmod(conv(substring(md5($"w"), 1, 8), 16, 10).cast("long"),
-            lit(TrainBuckets)).as("b"))
+          OpHash.md5Bucket($"w", TrainBuckets).as("b"))
         .groupBy($"doc_id", $"y", $"b").agg(count(lit(1)).as("c"))
         .unionByName(docs.select($"doc_id", yCol.as("y"),
           lit(-1L).as("b"), lit(1L).as("c")))

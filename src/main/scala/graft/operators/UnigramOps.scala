@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   *      (M; unused non-alphabet pieces drop out, alphabet floors at 1 so
   *      every word stays segmentable).
   *   3. prune to [[FinalVocab]] pieces (alphabet + top multi-cp by
-  *      count), one final E round under the pruned vocab.
+  *      count; the whole alphabet is always kept for coverage, so the
+  *      real bound is max(FinalVocab, |alphabet|) — what the audit
+  *      pins), one final E round under the pruned vocab.
   *
   * Scale shape: identical to BPE — ONE corpus-sized word aggregation,
   * ONE vocab-sized collect ([[BpeOps.MaxDictWords]] bound), learning in
@@ -237,9 +239,14 @@ object UnigramOps extends QueryPack {
       val pieceId = vocab.map(_._1).zipWithIndex
         .map { case (p, i) => p -> (i + 1L) }.toMap
       val idsOf = udfFreeIds(s, dictTok, pieceId)
+      // same word stream as the learner (BpeOps.corpusWords): delimiter
+      // stripped BEFORE the dict join, or a word containing U+0001 would
+      // silently miss the dict and drop from the sequence
       val posWords = Tables.documents(s, d)
         .select($"doc_id", posexplode(split(lower($"text"), " +")))
         .toDF("doc_id", "pos", "w0")
+        .select($"doc_id", $"pos",
+          replace($"w0", lit("\u0001"), lit("")).as("w0"))
         .filter(length($"w0") > 0)
       val ids = posWords
         .join(broadcast(idsOf), $"w0" === $"word")
@@ -325,7 +332,15 @@ object UnigramOps extends QueryPack {
     "q_text_unigram_audit",
     (s, d) => {
       import s.implicits._
-      val (_, dictTok) = learnUnigram(s, d)
+      val (vocab, dictTok) = learnUnigram(s, d)
+      // the honest vocab bound: the learner keeps the WHOLE alphabet
+      // for segmentation coverage (standard SentencePiece character
+      // coverage), so a corpus with more than FinalVocab distinct code
+      // points legitimately exceeds FinalVocab — the invariant is
+      // max(FinalVocab, |alphabet|), measured from the learned vocab's
+      // single-code-point pieces
+      val bound = math.max(FinalVocab.toLong, vocab.count { case (p, _) =>
+        p.codePointCount(0, p.length) == 1 }.toLong)
       val stats = BpeOps.corpusWords(s, d).agg(
         count(lit(1)).as("n_words"),
         countDistinct($"word").as("n_types"))
@@ -333,7 +348,7 @@ object UnigramOps extends QueryPack {
         (lit(1L) - coalesce(max((concat_ws("", $"pieces") =!= $"word")
           .cast("long")), lit(0L))).as("round_trip_ok"),
         (size(array_distinct(flatten(collect_list($"pieces")))) <=
-          FinalVocab).cast("long").as("vocab_ok"),
+          bound).cast("long").as("vocab_ok"),
         (lit(1L) - coalesce(max((size(filter($"pieces",
           p => length(p) === 0 || length(p) > MaxPieceLen)) > 0)
           .cast("long")), lit(0L))).as("pieces_ok"))

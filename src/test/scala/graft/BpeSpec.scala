@@ -275,7 +275,8 @@ class BpeSpec extends SparkTestBase {
     import graft.operators.UnigramOps
     val (vocab, dictTok) = UnigramOps.learnUnigram(spark, sf)
     val voc = vocab.toMap
-    assert(voc.size <= UnigramOps.FinalVocab)
+    val alphabet = voc.keys.count(p => p.codePointCount(0, p.length) == 1)
+    assert(voc.size <= math.max(UnigramOps.FinalVocab, alphabet))
     val T = BigInt(voc.values.sum)
     val rows = dictTok.select($"word", $"pieces")
       .as[(String, Seq[String])].collect()

@@ -334,14 +334,37 @@ class IterativeOpsSpec extends SparkTestBase {
     assert(gram.forall(_._3 == 19L), "gram n must exclude the null row")
   }
 
+  test("q_simsearch_ivfpq clamps its sub-codebooks to a tiny corpus " +
+      "(fewer vectors than IvfPqK)") {
+    // regression: kmeansFit seeds from the first k sample vectors; an
+    // unclamped K=256 indexed past the end of a 20-vector sample
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tiny_emb").toString
+    val dim = ClusterOps.Dim
+    val rows = (0L until 20L).map { id =>
+      (id, (0 until dim).map(j => ((id * dim + j) % 97 / 97.0f)), 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_simsearch_ivfpq")(spark, dir)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, c, _) => q != c && c < 20L })
+  }
+
   test("q_embed_pca: deterministic decomposition, projections match a " +
       "local recompute") {
     import graft.operators.SimilarityOps
-    val (n1, mean1, ev1, comps1) = SimilarityOps.pcaModel(spark, sf)
-    val (n2, mean2, ev2, comps2) = SimilarityOps.pcaModel(spark, sf)
-    assert(n1 === n2 && mean1.toSeq === mean2.toSeq)
-    assert(ev1.toSeq === ev2.toSeq, "eigenvalues must be bit-deterministic")
-    assert(comps1.map(_.toSeq).toSeq === comps2.map(_.toSeq).toSeq)
+    val st = SimilarityOps.pcaModel(spark, sf)
+    val (n1, mean1, ev1, comps1) = (st.n, st.mean, st.evals, st.comps)
+    // determinism: re-derive the decomposition from the covariance the
+    // model carries (the memo would otherwise hand back the same object)
+    val (ev2, comps2) =
+      SimilarityOps.jacobiEigen(st.cov.map(_.clone()))
+    assert(ev1.toSeq === ev2.take(SimilarityOps.PcaR).map(identity).toSeq,
+      "eigenvalues must be bit-deterministic")
+    assert(comps1.map(_.toSeq).toSeq ===
+      comps2.take(SimilarityOps.PcaR).map(_.toSeq).toSeq)
     // sorted desc; sign canon (largest-|component| positive)
     assert(ev1.toSeq === ev1.sorted(Ordering[Double].reverse).toSeq)
     comps1.foreach { row =>
