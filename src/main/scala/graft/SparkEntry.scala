@@ -15,7 +15,7 @@ object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
     CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps,
     TextOps, BpeOps, UnigramOps, DedupOps, GraphOps, ClusterOps,
-    SimilarityOps,
+    SimilarityOps, SearchOps,
     CustomOps, MultimodalOps, TypedOps, SourceOps, CleanPipelineOps,
     CurationOps, MixOps, TrainOps, ProfileOps, LayoutOps, AuditOps,
     graft.streaming.StreamingOps)

@@ -34,7 +34,11 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [queryName...] — the optional trailing names
+    // restrict the dump to those queries (dev iteration; the driver
+    // always calls with exactly two args and dumps everything)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,7 +49,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         assertFlatSchema(name, df.schema) // rethrown below: contract breach

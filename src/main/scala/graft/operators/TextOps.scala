@@ -156,26 +156,26 @@ object TextOps extends QueryPack {
   }
 
   /** Exact decimal(38,6) score from (n_grams, raw). Empty docs score 0. */
-  private[operators] def modelScore(nGrams: Column, raw: Column): Column =
+  private[graft] def modelScore(nGrams: Column, raw: Column): Column =
     when(nGrams > 0,
       round(raw.cast("decimal(18,2)") / (nGrams * 1000L), 6))
       .otherwise(lit(0)).cast("decimal(38,6)")
 
   /** The DuckDB mirror of the full scorer, as a scalar SQL expression
     * over a text column reference: (n_grams, raw) pair via two exprs. */
-  private[operators] def modelSqlGrams(textRef: String): String =
+  private[graft] def modelSqlGrams(textRef: String): String =
     s"""(list_filter(regexp_split_to_array(lower($textRef), ' +'), x -> x <> '') ||
       CASE WHEN len(list_filter(regexp_split_to_array(lower($textRef), ' +'), x -> x <> '')) >= 2
         THEN list_transform(range(1, len(list_filter(regexp_split_to_array(lower($textRef), ' +'), x -> x <> ''))),
           i -> list_filter(regexp_split_to_array(lower($textRef), ' +'), x -> x <> '')[i] || ' ' ||
                list_filter(regexp_split_to_array(lower($textRef), ' +'), x -> x <> '')[i+1])
         ELSE [] END)"""
-  private[operators] def modelSqlRaw(gramsRef: String): String =
+  private[graft] def modelSqlRaw(gramsRef: String): String =
     s"""CAST(coalesce(list_sum(list_transform($gramsRef, gr ->
       ((CAST(list_sum(list_transform(range(1, 9), i ->
           (strpos('0123456789abcdef', substr(md5(gr), i, 1)) - 1) * (16 ** (8 - i))))
         AS BIGINT) % $QmBuckets) * $QmKnuth) % $QmMod - 1000)), 0) AS BIGINT)"""
-  private[operators] def modelSqlScore(nRef: String, rawRef: String): String =
+  private[graft] def modelSqlScore(nRef: String, rawRef: String): String =
     s"""CASE WHEN $nRef > 0
       THEN CAST(round(CAST($rawRef AS DECIMAL(18,2)) / ($nRef * 1000), 6) AS DECIMAL(38,6))
       ELSE CAST(0 AS DECIMAL(38,6)) END"""

@@ -873,9 +873,98 @@ object StreamingOps extends QueryPack {
     "Built-in streaming parquet sink: exactly-once _spark_metadata commit " +
       "log + checkpoint; read-back equals the batch aggregate")
 
+  // ------------------------- streaming curation: model quality gate
+  /** Documents as a two-file landing zone under target/ — the corpus
+    * split on doc_id parity so `maxFilesPerTrigger=1` exercises two
+    * micro-batches. No watermark/mtime pinning needed: the gate is
+    * stateless and the complete-mode aggregate is batch-order-invariant.
+    * Idempotent per sf ([[graft.FixtureStamp]]-guarded). */
+  private[graft] def streamDocsDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = java.nio.file.Paths.get("target", "stream_docs",
+      new java.io.File(d).getName).toAbsolutePath
+    val marker = dir.resolve("_complete")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "documents")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
+    val docs = graft.Tables.documents(s, d)
+      .select($"doc_id", $"text", $"source")
+    docs.filter($"doc_id" % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    docs.filter($"doc_id" % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    graft.FixtureStamp.complete(marker, stamp)
+    dir.toString
+  }
+
+  // The streaming form of the curation tier's model gate
+  // (q_text_quality_model): score each arriving document with the
+  // one-pass codegen kernel, drop failures BEFORE any state — the
+  // stateless filter is where a production firehose sheds volume — and
+  // keep only source-cardinality-sized aggregation state. Integer
+  // raw-score sums make the batch oracle replay exact.
+  private val streamQualityGate = QueryDef(
+    "q_stream_quality_gate",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamDocsDir(s, d)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType)))
+      val (n, raw) = graft.operators.TextOps.modelRawScore($"text")
+      withStreamPartitions(s, 8) { ss =>
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .parquet(dir)
+          .select($"source", n.as("n_grams"), raw.as("raw"))
+          .filter(graft.operators.TextOps.modelScore($"n_grams", $"raw") >=
+            lit(0).cast("decimal(38,6)"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_pass"), sum($"n_grams").as("sum_grams"),
+            sum($"raw").as("sum_raw"))
+          .writeStream.format("memory").queryName("graft_stream_quality")
+          .outputMode("complete")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        ss.table("graft_stream_quality")
+      }
+        .select($"source", $"n_pass",
+          $"sum_grams".cast("long").as("sum_grams"),
+          $"sum_raw".cast("long").as("sum_raw"),
+          graft.operators.TextOps.modelScore($"sum_grams", $"sum_raw")
+            .cast("double").as("corpus_score"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH g AS (
+        SELECT source, ${graft.operators.TextOps.modelSqlGrams("text")} AS grams
+        FROM documents),
+      sc AS (
+        SELECT source, CAST(len(grams) AS BIGINT) AS n_grams,
+          ${graft.operators.TextOps.modelSqlRaw("grams")} AS raw
+        FROM g),
+      f AS (SELECT * FROM sc
+        WHERE ${graft.operators.TextOps.modelSqlScore("n_grams", "raw")} >= 0),
+      a AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_pass,
+          CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+          CAST(sum(raw) AS BIGINT) AS sum_raw
+        FROM f GROUP BY source)
+      SELECT source, n_pass, sum_grams, sum_raw,
+        CAST(${graft.operators.TextOps.modelSqlScore("sum_grams", "sum_raw")}
+          AS DOUBLE) AS corpus_score
+      FROM a ORDER BY source"""),
+    "Streaming curation gate: per-document model quality score as a " +
+      "stateless filter ahead of source-keyed complete-mode state; " +
+      "batch oracle replays the integer score sums exactly")
+
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamChained,
       streamStateful, streamTransformWithState, streamTimerExpiry,
       sessionWindowBatch, streamDedup, streamJoin, streamStaticJoin,
-      streamForeachBatch, streamSinkFiles)
+      streamForeachBatch, streamSinkFiles, streamQualityGate)
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q_stream_quality_gate: the streaming gate must emit exactly the batch
+  * quality-model aggregation, and its landing zone must really be a
+  * two-file (two-micro-batch) stream. */
+class StreamQualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming quality gate equals the batch recompute") {
+    val got = q("q_stream_quality_gate")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    val (n, raw) = graft.operators.TextOps.modelRawScore($"text")
+    val expect = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", n.as("n_grams"), raw.as("raw"))
+      .filter(graft.operators.TextOps.modelScore($"n_grams", $"raw") >=
+        lit(0).cast("decimal(38,6)"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_pass"), sum($"n_grams").as("sum_grams"),
+        sum($"raw").as("sum_raw"))
+      .select($"source", $"n_pass", $"sum_grams".cast("long"),
+        $"sum_raw".cast("long"),
+        graft.operators.TextOps.modelScore($"sum_grams", $"sum_raw")
+          .cast("double"))
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+    // the gate must actually reject something and pass something at this
+    // fixture, or the filter is vacuous
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(got.map(_._2).sum > 0L && got.map(_._2).sum < total)
+  }
+
+  test("the landing zone is a two-file stream (two micro-batches)") {
+    val dir = graft.streaming.StreamingOps.streamDocsDir(spark, sf)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.length == 2, s"expected 2 part files, got ${parts.length}")
+  }
+}
