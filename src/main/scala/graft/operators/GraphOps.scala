@@ -146,5 +146,108 @@ object GraphOps extends QueryPack {
     "Near-dup group resolution: large-star/small-star connected components " +
       "over the exact J>=0.5 pair graph")
 
-  override def defs: Seq[QueryDef] = Seq(dedupComponents)
+  // ------------------------------------------------- q_graph_pagerank
+  /** Fixed iteration count — PageRank here is a quality-weighting pass
+    * (rank docs by how central they are in the near-dup/similarity
+    * graph, the web-graph analog of per-page quality weights a corpus
+    * pipeline attaches before sampling), not a convergence study; a
+    * fixed unrolled depth is also what makes the DuckDB oracle exact. */
+  private[graft] val PrIters = 8
+
+  /** Integer-millionths PageRank with damping 0.85 over an UNDIRECTED
+    * edge set (every node has deg >= 1, so no dangling-mass term).
+    * All arithmetic is the engine's mil idiom — BIGINT millionths with
+    * HALF_UP rational rounding at every division — so an 8-iteration
+    * unrolled DuckDB replay is bit-identical. Per iteration: one keyed
+    * join (edge source → rank), one keyed aggregation (edge target);
+    * lineage cut per round with localCheckpoint, the house iterative
+    * pattern (see [[connectedComponents]]).
+    *
+    * Precondition: `edgesIn` is a DISTINCT canonical pair set
+    * (a < b, no self-loops) — what [[DedupOps.sharedNgramPairs]]
+    * produces; symmetrization here assumes it. */
+  private[graft] def pagerankMil(
+      s: SparkSession, edgesIn: DataFrame, iters: Int): DataFrame = {
+    import s.implicits._
+    def mil0(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      round(num.cast("decimal(28,2)") / den, 0).cast("bigint")
+    val e0 = edgesIn.toDF("a", "b")
+    val edges = e0.select($"a".as("u"), $"b".as("v"))
+      .union(e0.select($"b".as("u"), $"a".as("v")))
+      .localCheckpoint()
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count() // node count: the same driver-scalar class as
+                        // k-means K — bounded, one job
+    if (n == 0)
+      return deg.select($"u".as("doc_id"), $"deg",
+        lit(0L).as("pagerank_mil"))
+    def ratMil(num: Long): Long =
+      new java.math.BigDecimal(num).setScale(2)
+        .divide(new java.math.BigDecimal(n), 0,
+          java.math.RoundingMode.HALF_UP).longValueExact()
+    val initMil = ratMil(1000000L) // uniform start: round(1e6 / N)
+    val baseMil = ratMil(150000L)  // teleport term: round(0.15e6 / N)
+    // (u, v, deg(u)) — static across iterations, materialized once
+    val ew = edges.join(deg, "u").localCheckpoint()
+    var pr = deg.select($"u".as("node"), lit(initMil).as("pr"))
+    for (_ <- 1 to iters) {
+      pr = ew.join(pr, ew("u") === pr("node"))
+        .select($"v", mil0($"pr", $"deg").as("c"))
+        .groupBy($"v").agg(sum($"c").as("s"))
+        .select($"v".as("node"),
+          (lit(baseMil) + mil0(lit(85L) * $"s", lit(100L))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.join(deg, pr("node") === deg("u"))
+      .select($"node".as("doc_id"), $"deg", $"pr".as("pagerank_mil"))
+      .orderBy($"doc_id")
+  }
+
+  /** The unrolled-iteration oracle body: pr0..pr$iters as MATERIALIZED
+    * CTEs (plain CTEs inline and re-expand the chain exponentially —
+    * the q_text_bpe lesson). */
+  private def prIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""pr$k AS MATERIALIZED (
+        SELECT e.v AS node, (SELECT base FROM nn) +
+          CAST(round(CAST(85 * sum(CAST(round(
+              CAST(p.pr AS DECIMAL(28,2)) / d.deg, 0) AS BIGINT))
+            AS DECIMAL(28,2)) / 100, 0) AS BIGINT) AS pr
+        FROM edges e JOIN pr${k - 1} p ON e.u = p.node
+        JOIN deg d ON e.u = d.u
+        GROUP BY e.v)"""
+    }.mkString(",\n      ")
+
+  private val graphPagerank = QueryDef(
+    "q_graph_pagerank",
+    (s, d) => {
+      import s.implicits._
+      pagerankMil(s,
+        DedupOps.sharedNgramPairs(s, d).select($"doc1", $"doc2"), PrIters)
+    },
+    Some(s"""WITH ${DedupOps.NgramPairCtes},
+      prs AS (SELECT doc1 AS u, doc2 AS v FROM jpairs WHERE j >= 0.5),
+      edges AS MATERIALIZED (
+        SELECT u, v FROM prs UNION ALL SELECT v AS u, u AS v FROM prs),
+      deg AS MATERIALIZED (
+        SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+      nn AS MATERIALIZED (SELECT
+          CAST(round(CAST(1000000 AS DECIMAL(28,2)) / count(*), 0)
+            AS BIGINT) AS init,
+          CAST(round(CAST(150000 AS DECIMAL(28,2)) / count(*), 0)
+            AS BIGINT) AS base
+        FROM deg),
+      pr0 AS MATERIALIZED (
+        SELECT u AS node, (SELECT init FROM nn) AS pr FROM deg),
+      ${prIterCtes(PrIters)}
+      SELECT CAST(p.node AS BIGINT) AS doc_id, d.deg AS deg,
+        p.pr AS pagerank_mil
+      FROM pr$PrIters p JOIN deg d ON p.node = d.u
+      ORDER BY doc_id"""),
+    s"$PrIters-iteration integer-millionths PageRank (damping 0.85) over " +
+      "the J>=0.5 near-dup graph — per-doc centrality/quality weights; " +
+      "one keyed join + one keyed aggregation per iteration")
+
+  override def defs: Seq[QueryDef] = Seq(dedupComponents, graphPagerank)
 }

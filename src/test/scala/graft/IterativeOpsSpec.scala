@@ -46,6 +46,79 @@ class IterativeOpsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  // --------------------------------------------------------- pagerank
+
+  /** Exact replay of the engine's integer-millionths PageRank: the mil
+    * division is two-step like Spark's (decimal quotient at adjusted
+    * scale, then HALF_UP to 0 digits). */
+  private def prReplay(pairs: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Long, Long)] = {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size.toLong
+    def div0(num: JBD, den: Long): Long =
+      num.setScale(12, RM.HALF_UP)
+        .divide(new JBD(den), 12, RM.HALF_UP)
+        .setScale(0, RM.HALF_UP).longValueExact()
+    def rat(num: Long): Long =
+      new JBD(num).setScale(2).divide(new JBD(n), 0, RM.HALF_UP)
+        .longValueExact()
+    val (init, base) = (rat(1000000L), rat(150000L))
+    var pr = deg.keys.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val s = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => div0(new JBD(pr(u)), deg(u)) }.sum
+      }
+      pr = s.map { case (v, sv) =>
+        v -> (base + div0(new JBD(85L * sv), 100L))
+      }
+    }
+    pr.map { case (k, p) => k -> (deg(k), p) }
+  }
+
+  test("pagerankMil matches an exact local replay on planted graphs " +
+      "(path + triangle + star) and conserves mass up to rounding") {
+    val pairs: Seq[(Long, Long)] =
+      // 4-path
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)) ++
+      // triangle
+      Seq((10L, 11L), (10L, 12L), (11L, 12L)) ++
+      // 5-star centered at 20 (degree skew)
+      (21L to 25L).map(i => (20L, i))
+    val got = GraphOps
+      .pagerankMil(spark, pairs.toDF("a", "b"), GraphOps.PrIters)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, dg, p) => id -> (dg, p) }.toMap
+    val want = prReplay(pairs, GraphOps.PrIters)
+    assert(got === want)
+    // mass conservation: Σ pr ≈ 1e6, drift bounded by per-node rounding
+    val mass = got.values.map(_._2).sum
+    assert(math.abs(mass - 1000000L) <= 8L * got.size,
+      s"pagerank mass drifted: $mass")
+    // centrality sanity: the star center out-ranks its leaves
+    assert(got(20L)._2 > got(21L)._2)
+  }
+
+  test("q_graph_pagerank rows align with the declared near-dup node set") {
+    val nodes = q("q_graph_pagerank")
+      .as[(Long, Long, Long)].collect()
+    val pairNodes = DedupOps.sharedNgramPairs(spark, sf)
+      .select($"doc1").union(
+        DedupOps.sharedNgramPairs(spark, sf).select($"doc2"))
+      .distinct().as[Long].collect().toSet
+    assert(nodes.map(_._1).toSet === pairNodes)
+    nodes.foreach { case (id, dg, p) =>
+      assert(dg >= 1L, s"node $id degree")
+      assert(p > 0L, s"node $id rank must be positive")
+    }
+  }
+
+  test("pagerank of an empty edge set is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraphOps.pagerankMil(spark, empty, 3).count() === 0L)
+  }
+
   test("q_dedup_components matches union-find over the declared pair set") {
     val pairs = DedupOps
       .ngramJaccardPairs(spark, sf, prefixFilter = true, presentation = false)
