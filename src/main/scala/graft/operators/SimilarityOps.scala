@@ -836,8 +836,65 @@ object SimilarityOps extends QueryPack {
       FROM qv ORDER BY vec_id"""),
     "Symmetric int8 scalar quantization audit: exact integer code stats")
 
+  // ------------------------------------------- metadata-filtered search
+  /** The filter predicate of the declared filtered-search query. */
+  private[graft] val FilterLang = "fr"
+
+  // Filtered vector search — top-k under a metadata predicate, the
+  // production retrieval shape ("nearest English docs", "nearest docs
+  // from source X"). This is PRE-filtering: the candidate set is cut to
+  // the predicate BEFORE any scoring (a broadcast id semi-join feeding
+  // the scoring join), so top-k is exact over the filtered set — unlike
+  // post-filtering an unfiltered ANN head, which silently loses recall
+  // when the predicate is selective. The doc-id side of the semi-join is
+  // metadata-only (the text column never loads: ReadSchema pruning), and
+  // at 100 TB it is the small side by construction whenever the
+  // predicate is selective enough to matter.
+  private val simsearchFiltered = QueryDef(
+    "q_simsearch_filtered",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.ScaledDot.{decimal_scale6, scaled_dot}
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", decimal_scale6($"embedding").as("sv"))
+      val keep = Tables.documents(s, d)
+        .filter($"lang" === FilterLang)
+        .select($"doc_id".as("vec_id"))
+      val queries = emb.filter($"vec_id" < NQ)
+        .select($"vec_id".as("qid"), $"sv".as("qvec"))
+      emb.join(broadcast(keep), Seq("vec_id"), "left_semi")
+        .select($"vec_id".as("cid"), $"sv".as("cvec"))
+        .join(broadcast(queries))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid", scaled_dot($"qvec", $"cvec").as("dot"))
+        .groupBy($"qid")
+        .agg(graft.functions.TopKPairs.top_k_pairs($"dot", $"cid", K).as("tk"))
+        .select($"qid", posexplode($"tk"))
+        .select($"qid", $"col.id".as("cid"),
+          $"col.score".cast("double").as("dot"),
+          ($"pos" + 1).cast("long").as("rank"))
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""SELECT q.vec_id AS qid, c.vec_id AS cid,
+      CAST(CAST(round(list_sum(list_transform(range(1, 65),
+        i -> CAST(CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+           * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(20,12)))), 6)
+        AS DECIMAL(38,6)) AS DOUBLE) AS dot,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        CAST(round(list_sum(list_transform(range(1, 65),
+          i -> CAST(CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+             * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(20,12)))), 6)
+          AS DECIMAL(38,6)) DESC, c.vec_id) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id
+      JOIN documents dd ON c.vec_id = dd.doc_id AND dd.lang = '$FilterLang'
+      QUALIFY rank <= $K
+      ORDER BY qid, rank"""),
+    s"Metadata-filtered exact top-k: lang='$FilterLang' candidates only, " +
+      "pre-filter semi-join BEFORE scoring (no post-filter recall loss)")
+
   override def defs: Seq[QueryDef] =
     Seq(simsearchCosine, simsearchAnn, dedupEmbedding, simsearchIvf,
       simsearchIvfPq, embedNorm, embedQuantize, embedGram, embedPca,
-      pcaAudit)
+      pcaAudit, simsearchFiltered)
 }

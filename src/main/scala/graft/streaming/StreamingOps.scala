@@ -962,9 +962,82 @@ object StreamingOps extends QueryPack {
       "stateless filter ahead of source-keyed complete-mode state; " +
       "batch oracle replays the integer score sums exactly")
 
+  // --------------------------- streaming retrieval: index maintenance
+  // Incremental inverted-index maintenance — the serving-side companion
+  // of q_search_index: each arriving micro-batch of documents appends
+  // its per-term postings DELTA (df/cf increments tagged with the
+  // batchId) to an index delta log; readers aggregate the log into the
+  // current term statistics. This is the LSM shape real index
+  // maintenance uses at scale — append bounded deltas per batch, let a
+  // background pass compact (q_sink_compaction's job) — instead of
+  // rewriting the index per batch. Each batch's delta aggregation is
+  // corpus-batch-sized and map-side combined; nothing global recomputes.
+  // The read-back sum over deltas equals the batch index stats, which is
+  // the DuckDB oracle; n_batches counts the delta rows a term received
+  // (= distinct doc_id parities, since streamDocsDir splits on parity).
+  private val streamIndexMaintain = QueryDef(
+    "q_stream_index_maintain",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamDocsDir(s, d)
+      val outPath = java.nio.file.Paths.get("target", "sink_index_deltas",
+        new java.io.File(d).getName).toAbsolutePath
+      if (java.nio.file.Files.exists(outPath)) { // fresh delta log per run
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(outPath).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val out = outPath.toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType)))
+      withStreamPartitions(s, 8) { ss =>
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir)
+          .writeStream
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            batch
+              .select(col("doc_id"), explode(array_remove(
+                split(lower(col("text")), " +"), "")).as("tok"))
+              .groupBy(col("tok"))
+              .agg(countDistinct(col("doc_id")).as("df_d"),
+                count(lit(1)).as("cf_d"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        ss.read.parquet(out)
+      }
+        .groupBy($"tok")
+        .agg(sum($"df_d").cast("long").as("df"),
+          sum($"cf_d").cast("long").as("cf"),
+          count(lit(1)).as("n_batches"))
+        .select($"tok".as("term"), $"df", $"cf", $"n_batches")
+        .orderBy($"term")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(text), ' +'), x -> x <> '')) AS tok
+        FROM documents)
+      SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        CAST(count(*) AS BIGINT) AS cf,
+        CAST(count(DISTINCT doc_id % 2) AS BIGINT) AS n_batches
+      FROM toks GROUP BY tok ORDER BY term"""),
+    "Incremental inverted-index maintenance: per-micro-batch postings " +
+      "deltas appended to an index log (LSM shape); the delta-sum " +
+      "read-back equals the batch index statistics")
+
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamChained,
       streamStateful, streamTransformWithState, streamTimerExpiry,
       sessionWindowBatch, streamDedup, streamJoin, streamStaticJoin,
-      streamForeachBatch, streamSinkFiles, streamQualityGate)
+      streamForeachBatch, streamSinkFiles, streamQualityGate,
+      streamIndexMaintain)
 }

@@ -109,6 +109,35 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_simsearch_filtered equals brute force restricted to the " +
+      "predicate's candidates (pre-filter, no recall loss)") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    val keep = Tables.documents(spark, sf)
+      .filter($"lang" === SimilarityOps.FilterLang)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keep.nonEmpty && keep.size < emb.size,
+      "fixture must make the predicate selective but non-empty")
+    def dot(a: Seq[Float], b: Seq[Float]): BigDecimal =
+      a.zip(b).map { case (x, y) =>
+        BigDecimal(x.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+          BigDecimal(y.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val got = q("q_simsearch_filtered")
+      .select($"qid", $"rank", $"cid").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0L until 10L).foreach { qid =>
+      val expect = keep.filter(_ != qid).toSeq
+        .map(c => (dot(emb(qid), emb(c)), c))
+        .sortBy { case (s, c) => (-s, c) }.take(5).map(_._2)
+      assert(got.getOrElse(qid, Seq.empty) === expect,
+        s"query $qid filtered top-5 mismatch")
+      got.getOrElse(qid, Seq.empty).foreach(c =>
+        assert(keep(c), s"candidate $c violates the predicate"))
+    }
+  }
+
   test("q_simsearch_ann_srp: at most K rows per query, all queries present") {
     val df = q("q_simsearch_ann_srp")
     val perQ = df.groupBy($"qid").count().as[(Long, Long)].collect().toMap

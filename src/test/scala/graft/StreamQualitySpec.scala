@@ -32,6 +32,25 @@ class StreamQualitySpec extends SparkTestBase {
     assert(got.map(_._2).sum > 0L && got.map(_._2).sum < total)
   }
 
+  test("q_stream_index_maintain: delta-log sum equals the batch index " +
+      "stats, and terms spanning both halves received two deltas") {
+    val got = q("q_stream_index_maintain")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val expect = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", explode(array_remove(
+        split(lower($"text"), " +"), "")).as("tok"))
+      .groupBy($"tok")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("cf"),
+        countDistinct($"doc_id" % 2).as("n_batches"))
+      .select($"tok", $"df", $"cf", $"n_batches")
+      .orderBy($"tok")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // the maintenance must genuinely be incremental: at least one term
+    // accumulated deltas from BOTH micro-batches
+    assert(got.exists(_._4 == 2L), "no term spanned two micro-batches")
+  }
+
   test("the landing zone is a two-file stream (two micro-batches)") {
     val dir = graft.streaming.StreamingOps.streamDocsDir(spark, sf)
     val parts = new java.io.File(dir).listFiles()
