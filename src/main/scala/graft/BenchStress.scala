@@ -149,7 +149,20 @@ object BenchStress {
     // round-10: PCA projection — two single-buffer moment aggregates +
     // a driver eigensolve + a map-side projection; stressed to prove the
     // whole composition is two scans + a map at any corpus size
-    "q_embed_pca")
+    "q_embed_pca",
+    // round-10: inverted-index build — the corpus-sized (term, doc) tf
+    // shuffle grows xREP while the per-term heap stays O(P); stressed to
+    // prove the postings-head state never follows df
+    "q_search_index",
+    // round-10: PageRank consumes the shared near-dup pair set, whose
+    // edge count grows SUPER-linearly under replication (replicated docs
+    // are near-dups of each other) — same risk class as the stressed
+    // q_dedup_components, plus 8 iteration rounds over the edges
+    "q_graph_pagerank",
+    // round-10: per-micro-batch index-delta appends — write
+    // amplification per batch, stressed for parity with
+    // q_stream_foreachbatch whose sink shape it shares
+    "q_stream_index_maintain")
 
   /** Declared queries deliberately NOT in the stress run, with the class
     * of reason. Everything here is linear-in-input map/filter/agg work,
@@ -226,7 +239,23 @@ object BenchStress {
     // — linear in tokens; a single one-pass profile aggregation whose
     // Expand factor is the fixed column count; and the z-order bucket
     // aggregation (pure map + one bounded-output shuffle)
-    "q_text_salient_terms", "q_profile_table", "q_layout_zorder")
+    "q_text_salient_terms", "q_profile_table", "q_layout_zorder",
+    // round-10 retrieval tier: term search prunes the token stream to
+    // the fixed query's terms BEFORE any shuffle (matching postings
+    // only); phrase search is a pure map + filter; hybrid fuses two
+    // bounded top-N heads (its corpus-sized inputs are the stressed
+    // q_search_index/q_simsearch_cosine cost families)
+    "q_search_term", "q_search_phrase", "q_search_hybrid_rrf",
+    // pre-filtered subset of the stressed q_simsearch_cosine scan —
+    // strictly less scoring work at every replication
+    "q_simsearch_filtered",
+    // stateless per-row gate ahead of source-cardinality-bounded state
+    // (20 rows at any corpus size); the stream fixed costs are covered
+    // by the stressed stream family
+    "q_stream_quality_gate",
+    // two vocabulary-bounded category aggregations + a |vocab|-row
+    // full-outer join — linear scan, bounded exchanges
+    "q_profile_drift")
 
   def materialize(s: SparkSession, base: String, rep: Int): String = {
     import s.implicits._

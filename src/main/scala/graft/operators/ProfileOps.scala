@@ -83,5 +83,74 @@ object ProfileOps extends QueryPack {
     "One-pass table profile: per-column nulls, exact distincts, " +
       "portable-rendered min/max (Expand-planned multi-distinct)")
 
-  override def defs: Seq[QueryDef] = Seq(profileTable)
+  // ---------------------------------------------------- q_profile_drift
+  /** Categorical dimensions monitored for drift. */
+  private[graft] val DriftDims = Seq("lang", "source")
+
+  // Snapshot drift monitor — the check a training pipeline runs before
+  // trusting a new corpus drop: compare each categorical dimension's
+  // distribution between the baseline half and the new half (doc_id
+  // parity, the same split the streaming landing zone uses as its
+  // batch boundary) and publish per-category share deltas. The distance
+  // is total-variation (TVD = Σ|p − q| / 2), chosen over PSI/KL because
+  // it is RATIONAL in the counts — exact in integer millionths, so the
+  // oracle replays it bit-for-bit (ln has no engine-portable fixed-point
+  // form; the same substitution reasoning as the search tier's linear
+  // idf). Scale shape: one category-keyed aggregation per dimension
+  // (vocabulary-bounded), share totals attached by 1-row broadcast —
+  // zero corpus-sized joins.
+  private def milShare(num: Column, den: Column): Column =
+    (round(num.cast("decimal(28,2)") / den, 6)
+      .cast("decimal(38,6)") * 1000000L).cast("long")
+
+  private val profileDrift = QueryDef(
+    "q_profile_drift",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      def sideShares(parity: Int, dim: String): DataFrame = {
+        val side = docs.filter($"doc_id" % 2 === parity)
+        val total = side.agg(count(lit(1)).as("n_total"))
+        side.groupBy(col(dim).as("category"))
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(total))
+          .select($"category", milShare($"n", $"n_total").as("share_mil"))
+      }
+      DriftDims.map { dim =>
+        sideShares(0, dim).as("b")
+          .join(sideShares(1, dim).as("n"), Seq("category"), "full_outer")
+          .select(lit(dim).as("dim"), $"category",
+            coalesce($"b.share_mil", lit(0L)).as("base_mil"),
+            coalesce($"n.share_mil", lit(0L)).as("new_mil"))
+          .withColumn("diff_mil", abs($"base_mil" - $"new_mil"))
+      }.reduce(_.union(_))
+        .orderBy($"dim", $"category")
+    },
+    Some {
+      val dims = DriftDims.map { dim =>
+        s"""SELECT '$dim' AS dim, coalesce(b.category, n.category) AS category,
+          coalesce(b.share_mil, 0) AS base_mil,
+          coalesce(n.share_mil, 0) AS new_mil,
+          abs(coalesce(b.share_mil, 0) - coalesce(n.share_mil, 0)) AS diff_mil
+        FROM (
+          SELECT $dim AS category,
+            CAST(CAST(round(CAST(count(*) AS DECIMAL(28,2)) /
+              (SELECT count(*) FROM documents WHERE doc_id % 2 = 0), 6)
+              AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS share_mil
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY $dim) b
+        FULL OUTER JOIN (
+          SELECT $dim AS category,
+            CAST(CAST(round(CAST(count(*) AS DECIMAL(28,2)) /
+              (SELECT count(*) FROM documents WHERE doc_id % 2 = 1), 6)
+              AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS share_mil
+          FROM documents WHERE doc_id % 2 = 1 GROUP BY $dim) n
+        ON b.category = n.category"""
+      }
+      dims.mkString("", "\nUNION ALL\n", "\nORDER BY dim, category")
+    },
+    "Snapshot drift monitor: per-category share deltas (exact integer " +
+      "millionths) between the baseline and new corpus halves over the " +
+      "declared categorical dimensions — TVD = sum(diff_mil)/2 per dim")
+
+  override def defs: Seq[QueryDef] = Seq(profileTable, profileDrift)
 }

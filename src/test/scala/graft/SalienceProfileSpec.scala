@@ -35,6 +35,42 @@ class SalienceProfileSpec extends SparkTestBase {
     }
   }
 
+  test("q_profile_drift matches a local share recompute and its shares " +
+      "sum to ~1e6 per (dim, side)") {
+    import graft.operators.ProfileOps
+    val rows = q("q_profile_drift")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"source")
+      .as[(Long, String, String)].collect()
+    def mil(n: Long, tot: Long): Long =
+      (BigDecimal(n).setScale(2) / tot)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(1000000L).toLongExact
+    ProfileOps.DriftDims.foreach { dim =>
+      def catOf(r: (Long, String, String)) = if (dim == "lang") r._2 else r._3
+      val base = docs.filter(_._1 % 2 == 0)
+      val neu = docs.filter(_._1 % 2 == 1)
+      val cats = (base.map(catOf) ++ neu.map(catOf)).distinct.sorted
+      val expect = cats.map { c =>
+        val b = if (base.isEmpty) 0L
+          else mil(base.count(catOf(_) == c).toLong, base.length.toLong)
+        val n = if (neu.isEmpty) 0L
+          else mil(neu.count(catOf(_) == c).toLong, neu.length.toLong)
+        (dim, c, b, n, math.abs(b - n))
+      }
+      val got = rows.filter(_._1 == dim)
+      assert(got == expect.toSeq, s"dim $dim drift rows diverge")
+      // shares on each side are a distribution (up to per-category
+      // rounding); TVD is within [0, 1e6]
+      val bSum = got.map(_._3).sum; val nSum = got.map(_._4).sum
+      assert(math.abs(bSum - 1000000L) <= got.size &&
+        math.abs(nSum - 1000000L) <= got.size, s"$dim shares: $bSum/$nSum")
+      val tvd = got.map(_._5).sum / 2
+      assert(tvd >= 0L && tvd <= 1000000L)
+    }
+  }
+
   test("q_profile_table: invariants against the raw table") {
     val li = Tables.lineitem(spark, sf)
     val n = li.count()

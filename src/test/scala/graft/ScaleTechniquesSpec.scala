@@ -233,6 +233,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_join_range_asof", // declarative as-of: broadcast sorted date spine
       // (the custom-exec q_join_asof_exec is the hash-partitioned scale path)
       "q_simsearch_cosine", // NQ query vectors broadcast against the corpus
+      "q_simsearch_filtered", // same NQ-row query broadcast, pre-filtered corpus
+      // 1-row corpus-total broadcast crossJoins (share/idf denominators)
+      "q_search_term", "q_search_hybrid_rrf", "q_profile_drift",
       "q_dedup_embedding", // 1-row near-dup total attached to the 8-row audit
       // audit companions: bounded-window all-pairs / 1-row flag attachments
       "q_dedup_embedding_audit", // 200-vector audit window, constant work
