@@ -60,7 +60,10 @@ class AdversarialInputSpec extends SparkTestBase {
     "q_text_quality_model", "q_text_chunk", "q_mix_weights",
     "q_bpe_vocab", "q_pack_bpe", "q_bpe_encode", "q_dsir_weights",
     "q_vocab_coverage", "q_mix_sample", "q_train_classifier",
-    "q_text_unigram", "q_text_unigram_ids")
+    "q_text_unigram", "q_text_unigram_ids",
+    // round-10 retrieval/graph/profiling tier (documents-only inputs)
+    "q_search_index", "q_search_term", "q_search_phrase",
+    "q_graph_pagerank", "q_profile_drift")
 
   test("every text/dedup query completes on the edge corpus") {
     val failures = tier.flatMap { name =>
@@ -104,6 +107,31 @@ class AdversarialInputSpec extends SparkTestBase {
     assert(toks(1003L).getAs[Int]("n_chars") === bigLine.length)
     assert(toks(1009L).getAs[Int]("n_ws_tokens") === 40000)
     assert(toks(1009L).getAs[Int]("n_distinct") === 1)
+  }
+
+  test("edge semantics: the index bounds the df=N block's postings head " +
+      "and pagerank spreads the clique's mass uniformly") {
+    import graft.operators.SearchOps
+    val idx = SparkEntry.queries("q_search_index")(spark, edgeDir)
+      .select($"term", $"df", $"postings").as[(String, Long, String)]
+      .collect().map { case (t, d, p) => t -> ((d, p)) }.toMap
+    // 'the' appears in all 50 identical docs (df >= 50) but its postings
+    // head must still be IndexTopP entries — the bounded-buffer guarantee
+    // exercised at df >> P
+    val (dfThe, postings) = idx("the")
+    assert(dfThe >= 50L)
+    assert(postings.split(",").length == SearchOps.IndexTopP)
+    // the 40k-token repetition bomb is ONE doc: cf huge, df small
+    val (dfX, postX) = idx("x")
+    assert(dfX === 1L && postX.startsWith("1009:40000"))
+    // pagerank over the 50-clique: every member has the same degree and
+    // the same rank (symmetry), and the clique carries all the mass
+    val pr = SparkEntry.queries("q_graph_pagerank")(spark, edgeDir)
+      .as[(Long, Long, Long)].collect()
+    val clique = pr.filter(r => r._1 >= 2000L && r._1 < 2050L)
+    assert(clique.length === 50)
+    assert(clique.map(_._2).distinct.length === 1, "clique degrees equal")
+    assert(clique.map(_._3).distinct.length === 1, "clique ranks equal")
   }
 
   test("edge semantics: exact dedup collapses the 50-copy block to one keeper") {
