@@ -255,7 +255,11 @@ object BenchStress {
     "q_stream_quality_gate",
     // two vocabulary-bounded category aggregations + a |vocab|-row
     // full-outer join — linear scan, bounded exchanges
-    "q_profile_drift")
+    "q_profile_drift",
+    // behavioral analytics: one user-keyed shuffle each, then
+    // user-cardinality relations only — the event stream is scanned once
+    // and never joined at event grain
+    "q_cohort_retention", "q_funnel_conversion")
 
   def materialize(s: SparkSession, base: String, rep: Int): String = {
     import s.implicits._

@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All operator families the engine declares. */
   val packs: Seq[QueryPack] = Seq(
-    CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps,
+    CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps, CohortOps,
     TextOps, BpeOps, UnigramOps, DedupOps, GraphOps, ClusterOps,
     SimilarityOps, SearchOps,
     CustomOps, MultimodalOps, TypedOps, SourceOps, CleanPipelineOps,
