@@ -40,10 +40,15 @@ object CohortOps extends QueryPack {
     "q_cohort_retention",
     (s, d) => {
       import s.implicits._
+      // (user, active day) — ONE event scan + user-keyed shuffle; cached
+      // because three consumers read it (first-day, cohort sizes, the
+      // retention join) and it is the op's user×days working set, not
+      // the event-grain input (the searchTerm tf convention)
       val active = Tables.events(s, d)
         .select($"user_id", unix_timestamp($"ts").as("ts_s"))
         .select($"user_id", day.as("day"))
-        .distinct() // (user, active day) — the user-keyed shuffle
+        .distinct()
+        .cache()
       val first = active.groupBy($"user_id").agg(min($"day").as("cohort"))
       val sizes = first.groupBy($"cohort").agg(count(lit(1)).as("n_cohort"))
       active.join(first, "user_id")
