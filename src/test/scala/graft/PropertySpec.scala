@@ -206,6 +206,69 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: pagerank on random graphs — exact replay, mass " +
+      "conservation, positivity") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(40, Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+    forAll(edgeGen) { (raw: List[(Long, Long)]) =>
+      // canonicalize to the op's precondition: distinct a < b
+      val pairs = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      whenever(pairs.nonEmpty) {
+        val got = operators.GraphOps
+          .pagerankMil(spark, pairs.toDF("a", "b"), 4)
+          .as[(Long, Long, Long)].collect()
+          .map { case (n, dg, p) => n -> ((dg, p)) }.toMap
+        // independent local replay (the IterativeOpsSpec arithmetic)
+        val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+        val n = deg.size.toLong
+        def div0(num: JBD, den: Long): Long =
+          num.setScale(12, RM.HALF_UP).divide(new JBD(den), 12, RM.HALF_UP)
+            .setScale(0, RM.HALF_UP).longValueExact()
+        def rat(num: Long): Long = new JBD(num).setScale(2)
+          .divide(new JBD(n), 0, RM.HALF_UP).longValueExact()
+        var pr = deg.keys.map(_ -> rat(1000000L)).toMap
+        for (_ <- 1 to 4) {
+          val s = edges.groupBy(_._2).map { case (v, es) =>
+            v -> es.map { case (u, _) => div0(new JBD(pr(u)), deg(u)) }.sum }
+          pr = s.map { case (v, sv) =>
+            v -> (rat(150000L) + div0(new JBD(85L * sv), 100L)) }
+        }
+        assert(got.map { case (k, (_, p)) => k -> p } === pr)
+        assert(got.values.forall(_._2 > 0L), "ranks positive")
+        val mass = got.values.map(_._2).sum
+        assert(math.abs(mass - 1000000L) <= 4L * got.size,
+          s"mass drifted: $mass over ${got.size} nodes")
+      }
+    }
+  }
+
+  test("property: RRF fusion respects rank domination on random rankings") {
+    // a doc ranked at least as well in BOTH systems (and strictly better
+    // in one) must fuse strictly higher — monotonicity of Σ 1/(k + r)
+    def mil(den: Long): Long =
+      (BigDecimal(1).setScale(2) / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(1000000L).toLongExact
+    def rrf(l: Long, d: Long): Long =
+      (if (l > 0) mil(60L + l) else 0L) + (if (d > 0) mil(60L + d) else 0L)
+    val rankGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 20L)))
+    forAll(rankGen) { (rows: List[(Long, Long)]) =>
+      for {
+        (l1, d1) <- rows
+        (l2, d2) <- rows
+        // dominance only comparable when presence matches per system
+        if (l1 > 0) == (l2 > 0) && (d1 > 0) == (d2 > 0)
+        if (l1 > 0 && l1 <= l2 || l1 == 0) && (d1 > 0 && d1 <= d2 || d1 == 0)
+        if l1 < l2 || d1 < d2
+      } assert(rrf(l1, d1) > rrf(l2, d2),
+        s"($l1,$d1) must outrank ($l2,$d2)")
+    }
+  }
+
   test("property: centered_dot equals the local centered projection loop") {
     val dim = 8
     val g = Gen.zip(
