@@ -253,12 +253,12 @@ object BenchStress {
     // (20 rows at any corpus size); the stream fixed costs are covered
     // by the stressed stream family
     "q_stream_quality_gate",
-    // two vocabulary-bounded category aggregations + a |vocab|-row
-    // full-outer join — linear scan, bounded exchanges
+    // one corpus scan (bounded per-doc explode) into vocabulary-bounded
+    // category aggregations + a |vocab|-row full-outer join
     "q_profile_drift",
-    // behavioral analytics: one user-keyed shuffle each, then
-    // user-cardinality relations only — the event stream is scanned once
-    // and never joined at event grain
+    // behavioral analytics: retention scans events once into a cached
+    // user×day working set; the funnel is two pruned scans plus a linear
+    // user-keyed purchase shuffle — no event×event join in either
     "q_cohort_retention", "q_funnel_conversion")
 
   def materialize(s: SparkSession, base: String, rep: Int): String = {

@@ -39,6 +39,11 @@ object Verify {
     // always calls with exactly two args and dumps everything)
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
+    // fail fast on typos: a misspelled name would otherwise dump nothing
+    // and read as a green dev-loop pass downstream
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * (the reference's stack stops at windowed averages; these are the
   * standard compositions one tier up).
   *
-  * Scale shape, both ops: the event stream aggregates PER USER first
-  * (one user-keyed shuffle with map-side partials), and everything after
-  * operates on user-cardinality relations — the user-keyed join reuses
-  * the aggregation's partitioning (no extra exchange under AQE), and the
-  * final cohort/bucket aggregations are output-cardinality-bounded. No
-  * event-grain join exists anywhere: at 100 TB the event table is
-  * touched exactly once per op.
+  * Scale shape: the event stream reduces PER USER as early as possible
+  * and everything downstream operates on user-cardinality relations.
+  * Retention scans events ONCE into a cached (user, day) working set
+  * read by all three consumers. The funnel makes two predicate-pruned
+  * scans (view leg, purchase leg — each reads 3 columns and filters at
+  * the scan); the purchase stream then shuffles on user_id against the
+  * user-sized firstView relation — a linear event-grain shuffle, never
+  * an event×event join — and all later aggregations are
+  * output-cardinality-bounded.
   *
   * Rates ship in exact integer millionths (the engine's mil idiom), so
   * the DuckDB replay is bit-exact.
@@ -27,13 +29,7 @@ object CohortOps extends QueryPack {
     * weeks without plan change). Integer `div`, never `/`. */
   private def day: Column = expr("ts_s div 86400")
 
-  private def mil(num: Column, den: Column): Column =
-    (round(num.cast("decimal(28,2)") / den, 6)
-      .cast("decimal(38,6)") * 1000000L).cast("long")
-
-  private val milSqlFmt: (String, String) => String = (num, den) =>
-    s"""CAST(CAST(round(CAST($num AS DECIMAL(28,2)) / ($den), 6)
-      AS DECIMAL(38,6)) * 1000000 AS BIGINT)"""
+  import Exact.{mil, milSql}
 
   // ------------------------------------------------ q_cohort_retention
   private val cohortRetention = QueryDef(
@@ -73,7 +69,7 @@ object CohortOps extends QueryPack {
         FROM active a JOIN first f USING (user_id)
         GROUP BY 1, 2)
       SELECT r.cohort, r.day_offset, r.n_active, s.n_cohort,
-        ${milSqlFmt("r.n_active", "s.n_cohort")} AS retention_mil
+        ${milSql("r.n_active", "s.n_cohort")} AS retention_mil
       FROM ret r JOIN sizes s USING (cohort)
       ORDER BY cohort, day_offset"""),
     "Cohort retention: per (first-active-day cohort, day offset) active " +
@@ -124,12 +120,12 @@ object CohortOps extends QueryPack {
         CAST(count(*) AS BIGINT) AS n_viewers,
         CAST(count(conv.p_ts) AS BIGINT) AS n_converted,
         CAST(coalesce(sum(conv.p_ts - fv.v_ts), 0) AS BIGINT) AS sum_delay_s,
-        ${milSqlFmt("count(conv.p_ts)", "count(*)")} AS conv_mil
+        ${milSql("count(conv.p_ts)", "count(*)")} AS conv_mil
       FROM fv LEFT JOIN conv USING (user_id)
       GROUP BY 1 ORDER BY bucket"""),
     "View-to-purchase funnel: first-touch attribution within a 7-day " +
-      "window, per-bucket conversion in exact millionths; event stream " +
-      "scanned once, user-sized joins only")
+      "window, per-bucket conversion in exact millionths; two pruned " +
+      "event scans, user-keyed shuffle, no event-by-event join")
 
   override def defs: Seq[QueryDef] = Seq(cohortRetention, funnelConversion)
 }

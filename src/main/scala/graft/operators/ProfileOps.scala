@@ -96,34 +96,43 @@ object ProfileOps extends QueryPack {
   // it is RATIONAL in the counts — exact in integer millionths, so the
   // oracle replays it bit-for-bit (ln has no engine-portable fixed-point
   // form; the same substitution reasoning as the search tier's linear
-  // idf). Scale shape: one category-keyed aggregation per dimension
-  // (vocabulary-bounded), share totals attached by 1-row broadcast —
-  // zero corpus-sized joins.
-  private def milShare(num: Column, den: Column): Column =
-    (round(num.cast("decimal(28,2)") / den, 6)
-      .cast("decimal(38,6)") * 1000000L).cast("long")
+  // idf). Scale shape: ONE corpus scan (each doc emits one row per
+  // monitored dimension via a bounded explode), one category-keyed
+  // aggregation, then everything downstream is vocabulary-bounded.
+  // NULL metadata coalesces to a sentinel BEFORE grouping so the
+  // malformed-metadata case a drift monitor exists for groups AND
+  // orders identically in both engines (Spark sorts NULLS FIRST,
+  // DuckDB NULLS LAST — a real NULL category would order-diverge).
+  private[graft] val NullCategory = "<null>"
 
   private val profileDrift = QueryDef(
     "q_profile_drift",
     (s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      def sideShares(parity: Int, dim: String): DataFrame = {
-        val side = docs.filter($"doc_id" % 2 === parity)
-        val total = side.agg(count(lit(1)).as("n_total"))
-        side.groupBy(col(dim).as("category"))
-          .agg(count(lit(1)).as("n"))
-          .crossJoin(broadcast(total))
-          .select($"category", milShare($"n", $"n_total").as("share_mil"))
-      }
-      DriftDims.map { dim =>
-        sideShares(0, dim).as("b")
-          .join(sideShares(1, dim).as("n"), Seq("category"), "full_outer")
-          .select(lit(dim).as("dim"), $"category",
-            coalesce($"b.share_mil", lit(0L)).as("base_mil"),
-            coalesce($"n.share_mil", lit(0L)).as("new_mil"))
-          .withColumn("diff_mil", abs($"base_mil" - $"new_mil"))
-      }.reduce(_.union(_))
+      import Exact.mil
+      val cats = Tables.documents(s, d)
+        .select(($"doc_id" % 2).as("side"),
+          explode(array(DriftDims.map(dim =>
+            struct(lit(dim).as("dim"),
+              coalesce(col(dim), lit(NullCategory)).as("category"))): _*))
+            .as("e"))
+        .select($"side", $"e.dim".as("dim"), $"e.category".as("category"))
+      val counts = cats.groupBy($"side", $"dim", $"category")
+        .agg(count(lit(1)).as("n"))
+      // vocabulary-bounded from here down
+      val totals = counts.groupBy($"side", $"dim").agg(sum($"n").as("n_total"))
+      val shares = counts.join(totals, Seq("side", "dim"))
+        .select($"side", $"dim", $"category",
+          mil($"n", $"n_total").as("share_mil"))
+      shares.filter($"side" === 0)
+        .select($"dim", $"category", $"share_mil".as("b_mil"))
+        .join(shares.filter($"side" === 1)
+          .select($"dim", $"category", $"share_mil".as("n_mil")),
+          Seq("dim", "category"), "full_outer")
+        .select($"dim", $"category",
+          coalesce($"b_mil", lit(0L)).as("base_mil"),
+          coalesce($"n_mil", lit(0L)).as("new_mil"))
+        .withColumn("diff_mil", abs($"base_mil" - $"new_mil"))
         .orderBy($"dim", $"category")
     },
     Some {
@@ -133,24 +142,23 @@ object ProfileOps extends QueryPack {
           coalesce(n.share_mil, 0) AS new_mil,
           abs(coalesce(b.share_mil, 0) - coalesce(n.share_mil, 0)) AS diff_mil
         FROM (
-          SELECT $dim AS category,
-            CAST(CAST(round(CAST(count(*) AS DECIMAL(28,2)) /
-              (SELECT count(*) FROM documents WHERE doc_id % 2 = 0), 6)
-              AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS share_mil
-          FROM documents WHERE doc_id % 2 = 0 GROUP BY $dim) b
+          SELECT coalesce($dim, '$NullCategory') AS category,
+            ${Exact.milSql("count(*)",
+              "SELECT count(*) FROM documents WHERE doc_id % 2 = 0")} AS share_mil
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1) b
         FULL OUTER JOIN (
-          SELECT $dim AS category,
-            CAST(CAST(round(CAST(count(*) AS DECIMAL(28,2)) /
-              (SELECT count(*) FROM documents WHERE doc_id % 2 = 1), 6)
-              AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS share_mil
-          FROM documents WHERE doc_id % 2 = 1 GROUP BY $dim) n
+          SELECT coalesce($dim, '$NullCategory') AS category,
+            ${Exact.milSql("count(*)",
+              "SELECT count(*) FROM documents WHERE doc_id % 2 = 1")} AS share_mil
+          FROM documents WHERE doc_id % 2 = 1 GROUP BY 1) n
         ON b.category = n.category"""
       }
       dims.mkString("", "\nUNION ALL\n", "\nORDER BY dim, category")
     },
     "Snapshot drift monitor: per-category share deltas (exact integer " +
       "millionths) between the baseline and new corpus halves over the " +
-      "declared categorical dimensions — TVD = sum(diff_mil)/2 per dim")
+      "declared categorical dimensions — TVD = sum(diff_mil)/2 per dim; " +
+      "one corpus scan, vocabulary-bounded exchanges")
 
   override def defs: Seq[QueryDef] = Seq(profileTable, profileDrift)
 }

@@ -109,52 +109,58 @@ object SearchOps extends QueryPack {
       "kept by the bounded top_k_pairs heap — O(P) buffer per term at any df")
 
   // ------------------------------------------------- q_search_term
-  // millionths-rounding helper, the MixOps f_mil idiom: round the exact
-  // rational num/den (integer denominator) to 6 decimals in DECIMAL,
-  // publish as integer millionths
-  private def mil(num: Column, den: Column): Column =
-    (round(num.cast("decimal(28,2)") / den, 6)
-      .cast("decimal(38,6)") * 1000000L).cast("long")
+  import Exact.{mil, milSql}
+
+  /** The BM25-form per-(doc, term) contributions — the ONE scorer both
+    * q_search_term and q_search_hybrid_rrf rank with (the
+    * sharedNgramPairs factoring convention: a scoring change must reach
+    * every consumer or the hybrid silently fuses a different ranking).
+    * The tf relation is cached (it feeds the weight derivation and the
+    * scoring join — the span_dedup convention); weights are
+    * query-cardinality-sized and broadcast. Returns (doc_id, contrib). */
+  private def lexContrib(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val tf = toks(s, d).filter($"tok".isin(SearchTerms: _*))
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+      .cache()
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val weights = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select($"tok", mil($"n_docs" - $"df", $"n_docs").as("w_mil"))
+    tf.join(broadcast(weights), "tok")
+      .select($"doc_id", ($"w_mil" * mil($"tf" * 5L, $"tf" * 5L + 6L))
+        .as("contrib"))
+  }
+
+  /** DuckDB mirror of [[lexContrib]]: CTEs ending in
+    * `scored(doc_id, contrib)`. */
+  private val lexContribSql: String =
+    s"""toks AS ($toksSql),
+      tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM toks
+        WHERE tok IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
+        GROUP BY 1, 2),
+      w AS (SELECT tok, ${milSql("n_docs - df", "n_docs")} AS w_mil
+        FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+            (SELECT count(*) FROM documents) AS n_docs
+          FROM tf GROUP BY tok)),
+      scored AS (SELECT tf.doc_id,
+          w.w_mil * ${milSql("tf.tf * 5", "tf.tf * 5 + 6")} AS contrib
+        FROM tf JOIN w USING (tok))"""
 
   private val searchTerm = QueryDef(
     "q_search_term",
     (s, d) => {
       import s.implicits._
-      // cached: tf feeds both the weight derivation and the scoring join
-      // (the span_dedup convention) — without it the corpus scans twice
-      val tf = toks(s, d).filter($"tok".isin(SearchTerms: _*))
-        .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
-        .cache()
-      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      // query-cardinality-sized: one row per matched query term
-      val weights = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(n))
-        .select($"tok", mil($"n_docs" - $"df", $"n_docs").as("w_mil"))
-      tf.join(broadcast(weights), "tok")
-        .select($"doc_id", $"tok",
-          ($"w_mil" * mil($"tf" * 5L, $"tf" * 5L + 6L)).as("contrib"))
+      lexContrib(s, d)
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_terms"), sum($"contrib").as("score"))
         .select($"doc_id", $"n_terms", $"score".cast("long").as("score"))
         .orderBy($"score".desc, $"doc_id")
         .limit(SearchTopN)
     },
-    Some(s"""WITH toks AS ($toksSql),
-      tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
-        FROM toks
-        WHERE tok IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
-        GROUP BY 1, 2),
-      w AS (SELECT tok,
-          CAST(CAST(round(CAST((n_docs - df) AS DECIMAL(28,2)) / n_docs, 6)
-            AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS w_mil
-        FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df,
-            (SELECT count(*) FROM documents) AS n_docs
-          FROM tf GROUP BY tok)),
-      scored AS (SELECT tf.doc_id,
-          w.w_mil * CAST(CAST(round(
-              CAST(tf.tf * 5 AS DECIMAL(28,2)) / (tf.tf * 5 + 6), 6)
-            AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS contrib
-        FROM tf JOIN w USING (tok))
+    Some(s"""WITH $lexContribSql
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
         CAST(sum(contrib) AS BIGINT) AS score
       FROM scored GROUP BY doc_id
@@ -206,28 +212,15 @@ object SearchOps extends QueryPack {
   // TakeOrdered shapes documented on their own ops), so the fusion
   // joins two N-row relations — driver-trivial at any corpus size; the
   // heavy lifting stays in the per-system retrieval plans.
-  private def milSql(num: String, den: String): String =
-    s"""CAST(CAST(round(CAST($num AS DECIMAL(28,2)) / ($den), 6)
-      AS DECIMAL(38,6)) * 1000000 AS BIGINT)"""
-
   private val searchHybrid = QueryDef(
     "q_search_hybrid_rrf",
     (s, d) => {
       import s.implicits._
       import graft.functions.TopKPairs.top_k_pairs
-      // lexical head: the q_search_term scoring, ranked 1..N by the
-      // bounded-heap aggregate (partial heaps merge map-side; no global
-      // sort, no single-partition window)
-      val tf = toks(s, d).filter($"tok".isin(SearchTerms: _*))
-        .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
-        .cache()
-      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      val weights = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(n))
-        .select($"tok", mil($"n_docs" - $"df", $"n_docs").as("w_mil"))
-      val lexTop = tf.join(broadcast(weights), "tok")
-        .select($"doc_id",
-          ($"w_mil" * mil($"tf" * 5L, $"tf" * 5L + 6L)).as("contrib"))
+      // lexical head: the SHARED q_search_term scorer ([[lexContrib]]),
+      // ranked 1..N by the bounded-heap aggregate (partial heaps merge
+      // map-side; no global sort, no single-partition window)
+      val lexTop = lexContrib(s, d)
         .groupBy($"doc_id").agg(sum($"contrib").as("score"))
         .agg(top_k_pairs($"score", $"doc_id", SearchTopN).as("tk"))
         .select(posexplode($"tk"))
@@ -255,19 +248,9 @@ object SearchOps extends QueryPack {
         .orderBy($"rrf_mil".desc, $"doc_id")
         .limit(SearchTopN)
     },
-    Some(s"""WITH toks AS ($toksSql),
-      tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
-        FROM toks
-        WHERE tok IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
-        GROUP BY 1, 2),
-      w AS (SELECT tok, ${milSql("n_docs - df", "n_docs")} AS w_mil
-        FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df,
-            (SELECT count(*) FROM documents) AS n_docs
-          FROM tf GROUP BY tok)),
-      lexs AS (SELECT tf.doc_id,
-          CAST(sum(w.w_mil * ${milSql("tf.tf * 5", "tf.tf * 5 + 6")})
-            AS BIGINT) AS score
-        FROM tf JOIN w USING (tok) GROUP BY tf.doc_id),
+    Some(s"""WITH $lexContribSql,
+      lexs AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+        FROM scored GROUP BY doc_id),
       lex AS (SELECT doc_id, CAST(row_number() OVER
             (ORDER BY score DESC, doc_id) AS BIGINT) AS l_rank
         FROM lexs QUALIFY l_rank <= $SearchTopN),

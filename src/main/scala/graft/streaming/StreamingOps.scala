@@ -1015,6 +1015,13 @@ object StreamingOps extends QueryPack {
         q.stop()
         ss.read.parquet(out)
       }
+        // idempotent read-back: a replayed micro-batch (at-least-once
+        // foreachBatch retry) re-appends the SAME delta under the same
+        // batch_id — collapsing per (term, batch_id) first makes the
+        // delta-sum exactly-once, which is what the batch_id column the
+        // writer tags exists for
+        .groupBy($"tok", $"batch_id")
+        .agg(max($"df_d").as("df_d"), max($"cf_d").as("cf_d"))
         .groupBy($"tok")
         .agg(sum($"df_d").cast("long").as("df"),
           sum($"cf_d").cast("long").as("cf"),
