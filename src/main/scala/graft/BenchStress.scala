@@ -259,7 +259,10 @@ object BenchStress {
     // behavioral analytics: retention scans events once into a cached
     // user×day working set; the funnel is two pruned scans plus a linear
     // user-keyed purchase shuffle — no event×event join in either
-    "q_cohort_retention", "q_funnel_conversion")
+    "q_cohort_retention", "q_funnel_conversion",
+    // one windowed aggregation (the stressed q_agg_avg_window5m cost
+    // family) + a 5-row moment broadcast + a map-side flag
+    "q_anomaly_windows")
 
   def materialize(s: SparkSession, base: String, rep: Int): String = {
     import s.implicits._

@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All operator families the engine declares. */
   val packs: Seq[QueryPack] = Seq(
-    CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps, CohortOps,
+    CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps,
+    CohortOps, AnomalyOps,
     TextOps, BpeOps, UnigramOps, DedupOps, GraphOps, ClusterOps,
     SimilarityOps, SearchOps,
     CustomOps, MultimodalOps, TypedOps, SourceOps, CleanPipelineOps,
