@@ -117,9 +117,12 @@ object ProfileOps extends QueryPack {
               coalesce(col(dim), lit(NullCategory)).as("category"))): _*))
             .as("e"))
         .select($"side", $"e.dim".as("dim"), $"e.category".as("category"))
+      // vocabulary-bounded from here down — CACHED, because four plan
+      // references (two sides × (shares + totals)) would otherwise each
+      // re-expand the corpus scan (Catalyst has no common-subtree reuse)
       val counts = cats.groupBy($"side", $"dim", $"category")
         .agg(count(lit(1)).as("n"))
-      // vocabulary-bounded from here down
+        .cache()
       val totals = counts.groupBy($"side", $"dim").agg(sum($"n").as("n_total"))
       val shares = counts.join(totals, Seq("side", "dim"))
         .select($"side", $"dim", $"category",
