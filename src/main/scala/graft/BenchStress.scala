@@ -262,7 +262,9 @@ object BenchStress {
     "q_cohort_retention", "q_funnel_conversion",
     // one windowed aggregation (the stressed q_agg_avg_window5m cost
     // family) + a 5-row moment broadcast + a map-side flag
-    "q_anomaly_windows")
+    "q_anomaly_windows",
+    // pure interval filter over the stressed q_scd2_build's windows
+    "q_scd2_asof")
 
   def materialize(s: SparkSession, base: String, rep: Int): String = {
     import s.implicits._

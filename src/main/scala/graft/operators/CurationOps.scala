@@ -520,33 +520,35 @@ object CurationOps extends QueryPack {
   // SCD-2 must be built at 100 TB (the naive formulation joins the
   // change stream to itself on key + adjacent-time).
   private val CurrentSentinel = 32503680000L // 3000-01-01 epoch s
-  private val scd2Build = QueryDef(
-    "q_scd2_build",
-    (s, d) => {
-      import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
-      val wv = Window.partitionBy($"user_id")
-        .orderBy($"valid_from_s", $"event_id")
-      Tables.events(s, d)
-        .select($"user_id", $"event_id",
-          unix_timestamp($"ts").as("ts_s"), $"event_type")
-        .withColumn("prev", lag($"event_type", 1).over(w))
-        .filter($"prev".isNull || $"prev" =!= $"event_type")
-        .select($"user_id", $"event_id", $"event_type",
-          $"ts_s".as("valid_from_s"))
-        .withColumn("valid_to_s",
-          coalesce(lead($"valid_from_s", 1).over(wv), lit(CurrentSentinel)))
-        .withColumn("is_current",
-          ($"valid_to_s" === CurrentSentinel).cast("long"))
-        .drop($"event_id")
-        // valid_to_s in the sort keys makes the order TOTAL: two runs of
-        // the same event_type can start in the same second (A,B,A all at
-        // ts T), identical on the first three keys but with different
-        // valid_to_s — without it Spark and DuckDB may order them
-        // differently (ADVICE r8)
-        .orderBy($"user_id", $"valid_from_s", $"event_type", $"valid_to_s")
-    },
-    Some(s"""WITH e AS (
+
+  /** The SCD-2 version intervals (shared by the build dump and the
+    * point-in-time lookup): one row per (user, event_type run) with
+    * [valid_from_s, valid_to_s) and the current flag. Carries event_id
+    * only as the deterministic same-second tiebreak inside the windows. */
+  private def scd2Intervals(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    val wv = Window.partitionBy($"user_id")
+      .orderBy($"valid_from_s", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        unix_timestamp($"ts").as("ts_s"), $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+      .select($"user_id", $"event_id", $"event_type",
+        $"ts_s".as("valid_from_s"))
+      .withColumn("valid_to_s",
+        coalesce(lead($"valid_from_s", 1).over(wv), lit(CurrentSentinel)))
+      .withColumn("is_current",
+        ($"valid_to_s" === CurrentSentinel).cast("long"))
+      .drop($"event_id")
+  }
+
+  /** DuckDB mirror of [[scd2Intervals]]: CTEs ending in
+    * `v(user_id, event_type, valid_from_s, valid_to_s)`. */
+  private val scd2IntervalsSql: String =
+    s"""e AS (
         SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type,
           lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
         FROM events),
@@ -558,7 +560,21 @@ object CurationOps extends QueryPack {
           COALESCE(lead(valid_from_s) OVER (PARTITION BY user_id
               ORDER BY valid_from_s, event_id),
             $CurrentSentinel) AS valid_to_s
-        FROM runs)
+        FROM runs)"""
+
+  private val scd2Build = QueryDef(
+    "q_scd2_build",
+    (s, d) => {
+      import s.implicits._
+      scd2Intervals(s, d)
+        // valid_to_s in the sort keys makes the order TOTAL: two runs of
+        // the same event_type can start in the same second (A,B,A all at
+        // ts T), identical on the first three keys but with different
+        // valid_to_s — without it Spark and DuckDB may order them
+        // differently (ADVICE r8)
+        .orderBy($"user_id", $"valid_from_s", $"event_type", $"valid_to_s")
+    },
+    Some(s"""WITH $scd2IntervalsSql
       SELECT user_id, event_type, valid_from_s, valid_to_s,
         CAST(CASE WHEN valid_to_s = $CurrentSentinel THEN 1 ELSE 0 END AS BIGINT)
           AS is_current
@@ -566,8 +582,44 @@ object CurationOps extends QueryPack {
     "SCD Type-2 dimension build: per-key version intervals from the " +
       "change stream via lag/lead windows, no self-join")
 
+  // ------------------------------------------------------ q_scd2_asof
+  /** Point-in-time instant for the AS OF lookup: mid-range of the
+    * fixture's 30-day event span (2024-01-15T00:00:00Z). */
+  private[graft] val Scd2AsOfS = 1705276800L
+
+  // The query SCD-2 exists FOR: reconstruct every key's state at an
+  // instant T — "what was each user doing on Jan 15" — as a pure filter
+  // over the versioned intervals (valid_from <= T < valid_to). No
+  // window re-evaluation, no as-of join: the interval table answers
+  // point-in-time questions by construction, which is the argument for
+  // paying the build cost once. Users whose history starts after T are
+  // absent by semantics.
+  private val scd2AsOf = QueryDef(
+    "q_scd2_asof",
+    (s, d) => {
+      import s.implicits._
+      scd2Intervals(s, d)
+        .filter($"valid_from_s" <= Scd2AsOfS && lit(Scd2AsOfS) < $"valid_to_s")
+        .select($"user_id", $"event_type".as("state_at_t"),
+          $"valid_from_s".as("since_s"),
+          (lit(Scd2AsOfS) - $"valid_from_s").as("tenure_s"),
+          $"is_current")
+        .orderBy($"user_id")
+    },
+    Some(s"""WITH $scd2IntervalsSql
+      SELECT user_id, event_type AS state_at_t,
+        valid_from_s AS since_s,
+        $Scd2AsOfS - valid_from_s AS tenure_s,
+        CAST(CASE WHEN valid_to_s = $CurrentSentinel THEN 1 ELSE 0 END AS BIGINT)
+          AS is_current
+      FROM v
+      WHERE valid_from_s <= $Scd2AsOfS AND $Scd2AsOfS < valid_to_s
+      ORDER BY user_id"""),
+    "Point-in-time SCD-2 lookup: every key's state AS OF the instant T " +
+      "as a pure interval filter — the query the versioned build exists for")
+
   override def defs: Seq[QueryDef] =
     Seq(mergeUpsert, sampleStratified, packSequences, redactScrub,
       decontaminate, dsirWeights, shuffleDeterministic, textSpanDedup,
-      scd2Build)
+      scd2Build, scd2AsOf)
 }
