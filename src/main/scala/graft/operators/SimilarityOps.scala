@@ -847,9 +847,15 @@ object SimilarityOps extends QueryPack {
   // the scoring join), so top-k is exact over the filtered set — unlike
   // post-filtering an unfiltered ANN head, which silently loses recall
   // when the predicate is selective. The doc-id side of the semi-join is
-  // metadata-only (the text column never loads: ReadSchema pruning), and
-  // at 100 TB it is the small side by construction whenever the
-  // predicate is selective enough to matter.
+  // metadata-only (the text column never loads: ReadSchema pruning).
+  // The id set is NOT broadcast: a selective predicate would fit, but a
+  // non-selective one ("lang <> 'xx'", a date range spanning the corpus)
+  // is a corpus-scale relation and a forced broadcast aborts at the
+  // 8 GiB limit (VERDICT r10 task 1). SHUFFLE_HASH-hinting the keep
+  // side keeps it the build side per-partition — each task holds only
+  // its vec_id slice, so the semi-join scales with the predicate's
+  // selectivity instead of cliffing on it (the DedupOps verify-join
+  // pattern). Only `queries` (bounded at NQ rows) is broadcast.
   private val simsearchFiltered = QueryDef(
     "q_simsearch_filtered",
     (s, d) => {
@@ -862,7 +868,7 @@ object SimilarityOps extends QueryPack {
         .select($"doc_id".as("vec_id"))
       val queries = emb.filter($"vec_id" < NQ)
         .select($"vec_id".as("qid"), $"sv".as("qvec"))
-      emb.join(broadcast(keep), Seq("vec_id"), "left_semi")
+      emb.join(keep.hint("shuffle_hash"), Seq("vec_id"), "left_semi")
         .select($"vec_id".as("cid"), $"sv".as("cvec"))
         .join(broadcast(queries))
         .filter($"qid" =!= $"cid")

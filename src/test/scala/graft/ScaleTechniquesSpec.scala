@@ -603,4 +603,31 @@ class ScaleTechniquesSpec extends SparkTestBase {
       assert(rows(base + 300) === 1L)
     } finally q.stop()
   }
+
+  test("q_simsearch_filtered: the metadata keep-set is never broadcast " +
+      "(semi-join is shuffle-hash; only the NQ-row query side broadcasts)") {
+    // VERDICT r10 task 1: the keep side tracks the PREDICATE's
+    // selectivity, not a fixed bound — a non-selective filter makes it
+    // corpus-scale and a forced broadcast(keep) aborts at the 8 GiB
+    // limit. The fix SHUFFLE_HASH-hints it: the semi-join must plan as
+    // ShuffledHashJoin with the keep (right/hinted) side building
+    // per-partition, and the ONLY BroadcastExchange in the plan is the
+    // bounded NQ-row query relation feeding the scoring BNLJ.
+    val df = SparkEntry.queries("q_simsearch_filtered")(spark, sf)
+    df.collect() // resolve AQE stages so the final plan is inspectable
+    val plan = df.queryExecution.executedPlan.toString
+    val semiLines = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("LeftSemi")).toSeq
+    assert(semiLines.nonEmpty, "pre-filter semi-join missing:\n" + plan)
+    assert(semiLines.forall(l =>
+        l.contains("ShuffledHashJoin") && l.contains("BuildRight")),
+      "keep-set semi-join must be ShuffledHashJoin BuildRight (no " +
+        "broadcast cliff under a non-selective predicate):\n" + plan)
+    // AQE toString repeats nodes in == Initial Plan == sections; count
+    // broadcast JOIN KINDS instead of exchange lines: no BroadcastHashJoin
+    // at all (the scoring join is the deliberate BNLJ over NQ rows)
+    assert(!plan.contains("BroadcastHashJoin"),
+      "no hash-join side may be broadcast — only the bounded query " +
+        "relation's BNLJ broadcast is allowed:\n" + plan)
+  }
 }
