@@ -127,12 +127,13 @@ object Bench {
     // against the draining burst and the whole run inflated ~uniformly
     // (its own regressions list stayed empty: the contamination
     // signature). If timing started on a non-idle box, wait for a
-    // GENUINE settle (the stricter retry threshold), run one more
-    // interleaved pass, and ship each query's MINIMUM across all passes:
-    // contention-only noise strictly over-estimates, so with a clean
-    // pass in hand the min is the steady-state number. On an idle box
-    // the retry never fires and the median-of-passes contract is
-    // unchanged.
+    // GENUINE settle (the stricter retry threshold), then DISCARD the
+    // contaminated samples and re-run the full interleaved pass set:
+    // the shipped estimator is median-of-passes in BOTH branches, so
+    // history entries written under load use the same statistic as
+    // idle-box entries and vs_prev/regression comparisons stay
+    // like-for-like across runs of mixed provenance (ADVICE r10 — the
+    // previous min-across-all-passes retry systematically under-read).
     val retryLoad =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_LOAD", "1.5").toDouble
     val retried = loadAtTiming.exists(_ > retryLoad)
@@ -142,10 +143,9 @@ object Bench {
         Thread.sleep(5000)
       loadAvg()
     } else None
-    val allSamples = if (retried) samples :+ runPass() else samples
-    val results = names.map(n => n ->
-      (if (retried) allSamples.map(_(n)).min
-       else median(samples.map(_(n)))))
+    val cleanSamples = if (retried) (1 to passes).map(_ => runPass())
+                       else samples
+    val results = names.map(n => n -> median(cleanSamples.map(_(n))))
     // The driver captures only the last ~2000 chars of output; the full-
     // precision JSON line overflowed that window in round 1 (parsed:null).
     // Rounded values + the sf basename keep the whole line under the

@@ -40,8 +40,16 @@ object Memo {
           val it = m.entrySet().iterator()
           val eldest = it.next()
           it.remove()
+          // best-effort cleanup may fail (a dead session's checkpoint
+          // release), but fatal errors (OOM, interrupt) must propagate —
+          // swallowing an InterruptedException would also lose the
+          // thread's interrupt status (ADVICE r10)
           try onEvict(eldest.getValue)
-          catch { case _: Throwable => () }
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt(); throw ie
+            case scala.util.control.NonFatal(_) => ()
+          }
         }
         v
       }
@@ -52,7 +60,11 @@ object Memo {
 
     /** Drop (and clean up) every entry — test/shutdown hook. */
     def clear(): Unit = synchronized {
-      m.values.forEach(v => try onEvict(v) catch { case _: Throwable => () })
+      m.values.forEach(v => try onEvict(v) catch {
+        case ie: InterruptedException =>
+          Thread.currentThread().interrupt(); throw ie
+        case scala.util.control.NonFatal(_) => ()
+      })
       m.clear()
     }
   }

@@ -46,21 +46,33 @@ object ClusterOps extends QueryPack {
   private[graft] def effectiveK(n: Long): Int =
     math.max(8, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
 
-  /** The (corpus dir, K) each declared query actually used this run,
-    * recorded so the lazily-rendered oracle (QueryDef.oracleFn) replays
-    * the SAME training loop — the corpus-count → K computation cannot
-    * happen in static SQL. Keyed per query and carrying the dir so a
-    * multi-corpus JVM records which corpus the replay belongs to;
+  /** The K each declared query actually used this run, keyed by
+    * (query, corpus dir), recorded so the lazily-rendered oracle
+    * (QueryDef.oracleFn) replays the SAME training loop — the
+    * corpus-count → K computation cannot happen in static SQL.
     * [[recordedK]] FAILS LOUDLY when rendering precedes running (ADVICE
     * r9 — the silent K=8 default could produce a plausible-but-wrong
-    * oracle). Verify's contract (queries run, THEN oracles render)
-    * satisfies it by construction. */
+    * oracle), and also when a multi-corpus JVM recorded DIFFERENT Ks
+    * for different corpora (ADVICE r10 — the nullary oracleFn cannot
+    * name its corpus, so last-write-wins would silently embed the wrong
+    * corpus's K; ambiguity must abort, not guess). Verify's contract
+    * (one corpus; queries run, THEN oracles render) satisfies both by
+    * construction. */
   private val lastK =
-    scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
-  private[graft] def recordedK(query: String): Int =
-    lastK.getOrElse(query, throw new IllegalStateException(
+    scala.collection.concurrent.TrieMap.empty[(String, String), Int]
+  private[graft] def recordK(query: String, dir: String, k: Int): Unit =
+    lastK((query, dir)) = k
+  private[graft] def recordedK(query: String): Int = {
+    val ks = lastK.collect { case ((q, dir), k) if q == query => dir -> k }
+    if (ks.isEmpty) throw new IllegalStateException(
       s"oracle for $query rendered before the query ran: no recorded K " +
-        "(run the query fn first; Verify does)"))._2
+        "(run the query fn first; Verify does)")
+    if (ks.values.toSet.size > 1) throw new IllegalStateException(
+      s"oracle for $query is ambiguous: different K per corpus " +
+        ks.map { case (d, k) => s"$d->K=$k" }.mkString("(", ", ", ")") +
+        " — rerun the query fn for the corpus this oracle targets")
+    ks.values.head
+  }
 
   private[graft] val Dim = 64
   private[graft] val Iters = 3
@@ -201,7 +213,7 @@ object ClusterOps extends QueryPack {
       import s.implicits._
       val sv = scaledCorpus(s, d)
       val k = effectiveK(sv.count())
-      lastK("q_cluster_kmeans") = (d, k)
+      recordK("q_cluster_kmeans", d, k)
       val cents = fitCentroids(s, sv, k)
       // eager K-row materialization of the final assignment stats, so the
       // corpus cache can be RELEASED here instead of accumulating one
@@ -249,7 +261,7 @@ object ClusterOps extends QueryPack {
       import s.implicits._
       val sv = scaledCorpus(s, d)
       val k = effectiveK(sv.count())
-      lastK("q_cluster_semdedup") = (d, k)
+      recordK("q_cluster_semdedup", d, k)
       val cents = fitCentroids(s, sv, k)
       // eagerly materialized ONCE: `asg` feeds both sides of the pair
       // self-join below plus the final keep projection — without the

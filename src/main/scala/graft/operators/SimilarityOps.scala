@@ -546,6 +546,12 @@ object SimilarityOps extends QueryPack {
         .toDF("pos", "i", "j")
       gramInput(s, d)
         .agg(graft.functions.GramAggregate.gram_agg($"sa", GramDim).as("g"))
+        // degenerate-corpus guard (ADVICE r10): a global aggregate over
+        // zero valid vectors still emits its initial buffer — a full
+        // 2080-row zero triangle — while the oracle's GROUP BY over the
+        // empty cross join returns no rows. Drop the n=0 triangle so
+        // both engines agree that an empty corpus has no Gram matrix.
+        .filter($"g.n" > 0)
         .select($"g.n".as("n"), posexplode($"g.cells").as(Seq("pos", "s")))
         .join(broadcast(idx), "pos")
         .select($"i", $"j", $"n", $"s")

@@ -343,6 +343,19 @@ class IterativeOpsSpec extends SparkTestBase {
     assert(k >= 8)
     val sql = SparkEntry.oracleSql("q_cluster_kmeans")
     assert(sql.contains(s"WHERE vec_id < $k"), "oracle embeds the run's K")
+    // ADVICE r10: a multi-corpus JVM that recorded DIFFERENT Ks for the
+    // same query must abort the render (the nullary oracleFn can't name
+    // its corpus, so last-write-wins would embed the wrong corpus's K)
+    ClusterOps.recordK("q_cluster_ambig_test", "/corpus/a", 8)
+    ClusterOps.recordK("q_cluster_ambig_test", "/corpus/b", 23)
+    val ex = intercept[IllegalStateException] {
+      ClusterOps.recordedK("q_cluster_ambig_test")
+    }
+    assert(ex.getMessage.contains("ambiguous"))
+    // same K from two corpora is NOT ambiguous — the replay is identical
+    ClusterOps.recordK("q_cluster_same_k", "/corpus/a", 8)
+    ClusterOps.recordK("q_cluster_same_k", "/corpus/b", 8)
+    assert(ClusterOps.recordedK("q_cluster_same_k") === 8)
   }
 
   test("q_dedup_incremental equals the full pair set restricted to " +
@@ -405,6 +418,24 @@ class IterativeOpsSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect()
     assert(gram.length === ClusterOps.Dim * (ClusterOps.Dim + 1) / 2)
     assert(gram.forall(_._3 == 19L), "gram n must exclude the null row")
+  }
+
+  test("q_embed_gram of an all-invalid corpus is empty (matches the " +
+      "oracle's empty GROUP BY, not the aggregate's initial buffer)") {
+    // ADVICE r10: a global aggregate over zero valid vectors still emits
+    // its initial buffer — a 2080-row zero triangle — while the DuckDB
+    // oracle's GROUP BY over the empty cross join returns no rows
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_empty_emb").toString
+    val dim = ClusterOps.Dim
+    // every row invalid: one wrong-length vector, one with a null element
+    val rows = Seq(
+      (0L, (0 until dim - 1).map(j => java.lang.Float.valueOf(j / 97.0f)), 0),
+      (1L, (0 until dim).map(j =>
+        if (j == 3) null else java.lang.Float.valueOf(j / 97.0f)), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(SparkEntry.queries("q_embed_gram")(spark, dir).count() === 0L)
   }
 
   test("q_simsearch_ivfpq clamps its sub-codebooks to a tiny corpus " +
