@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,30 +84,40 @@ object MixOps extends QueryPack {
   // factor is carried in integer MILLIONTHS (f_mil, the exact decimal
   // the weights op publishes ×10⁶), so floor/frac arithmetic is
   // integer-exact on both engines.
+  /** The per-document copy-count relation both mixture executors share:
+    * (doc_id, source, n_chars, f_mil, n_copies) — q_mix_sample publishes
+    * it, q_mix_execute explodes it into the realized corpus. */
+  private def copyCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy()
+    val factors = Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(sum($"n_chars".cast("long")).as("total_chars"))
+      .withColumn("total", sum($"total_chars").over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select($"source",
+        (round(($"total_chars" * 20 + $"total").cast("decimal(28,2)") /
+            (($"k" + 20) * $"total_chars"), 6)
+          .cast("decimal(38,6)") * 1000000L).cast("long").as("f_mil"))
+    // residue in [0, 1e6): first 8 hex digits of md5(doc_id:mix:42)
+    val residue = pmod(
+      conv(substring(md5(concat($"doc_id".cast("string"), lit(":mix:42"))),
+        1, 8), 16, 10).cast("long"), lit(1000000L))
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("n_chars"))
+      .join(broadcast(factors), "source")
+      .select($"doc_id", $"source", $"n_chars", $"f_mil",
+        (floor($"f_mil" / 1000000L) +
+          when(residue < $"f_mil" % 1000000L, 1L).otherwise(0L))
+          .cast("long").as("n_copies"))
+  }
+
   private val mixSample = QueryDef(
     "q_mix_sample",
     (s, d) => {
       import s.implicits._
-      val w = Window.partitionBy()
-      val factors = Tables.documents(s, d)
-        .groupBy($"source")
-        .agg(sum($"n_chars".cast("long")).as("total_chars"))
-        .withColumn("total", sum($"total_chars").over(w))
-        .withColumn("k", count(lit(1)).over(w))
-        .select($"source",
-          (round(($"total_chars" * 20 + $"total").cast("decimal(28,2)") /
-              (($"k" + 20) * $"total_chars"), 6)
-            .cast("decimal(38,6)") * 1000000L).cast("long").as("f_mil"))
-      // residue in [0, 1e6): first 8 hex digits of md5(doc_id:mix:42)
-      val residue = pmod(
-        conv(substring(md5(concat($"doc_id".cast("string"), lit(":mix:42"))),
-          1, 8), 16, 10).cast("long"), lit(1000000L))
-      Tables.documents(s, d).select($"doc_id", $"source")
-        .join(broadcast(factors), "source")
-        .select($"doc_id", $"source", $"f_mil",
-          (floor($"f_mil" / 1000000L) +
-            when(residue < $"f_mil" % 1000000L, 1L).otherwise(0L))
-            .cast("long").as("n_copies"))
+      copyCounts(s, d)
+        .select($"doc_id", $"source", $"f_mil", $"n_copies")
         .orderBy($"doc_id")
     },
     Some("""WITH per_source AS (
@@ -134,6 +145,62 @@ object MixOps extends QueryPack {
     "Mixture-plan execution: deterministic per-doc copy counts realizing " +
       "the rebalancing factors (floor + hash-residue fractional copy), " +
       "domain-sized factor broadcast, zero corpus shuffle")
+
+  // ----------------------------------------------- q_mix_execute
+  // MATERIALIZE the mixture (VERDICT r10 task 4): explode each document
+  // into its n_copies rows with a per-copy index — the actual resampled
+  // training corpus a shard writer would consume downstream (the copy
+  // index keys shard assignment / per-epoch shuffling; the text column
+  // joins back by doc_id at write time, so the resample relation itself
+  // stays metadata-narrow).
+  //
+  // Scale shape: the explode is a bounded Generate — amplification per
+  // row is n_copies ≤ ⌈f⌉, and the smoothing algebra caps f at
+  // (20·chars_s + total)/((20+K)·chars_s); total output mass is exactly
+  // the target mixture's, ≈ the input corpus size. Zero-copy docs
+  // (downsampled out by the hash residue) are filtered BEFORE the
+  // Generate. No corpus shuffle before the presentation sort, and
+  // sequence() never sees an empty range (Spark's default step would
+  // flip to -1 for n_copies = 0 and emit a phantom [1,0] pair).
+  private val mixExecute = QueryDef(
+    "q_mix_execute",
+    (s, d) => {
+      import s.implicits._
+      copyCounts(s, d)
+        .filter($"n_copies" > 0)
+        .select($"doc_id", $"source", $"n_chars",
+          explode(sequence(lit(1L), $"n_copies")).as("copy_idx"))
+        .select($"doc_id", $"copy_idx", $"source", $"n_chars")
+        .orderBy($"doc_id", $"copy_idx")
+    },
+    Some("""WITH per_source AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source),
+      f AS (SELECT source,
+          CAST(CAST(round(CAST(total_chars * 20 + total AS DECIMAL(28,2))
+              / ((k + 20) * total_chars), 6) AS DECIMAL(38,6)) * 1000000
+            AS BIGINT) AS f_mil
+        FROM (SELECT *, CAST(sum(total_chars) OVER () AS BIGINT) AS total,
+                CAST(count(*) OVER () AS BIGINT) AS k FROM per_source)),
+      r AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(list_sum(list_transform(range(1, 9), i ->
+              (strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':mix:42'), i, 1)) - 1)
+                * (16 ** (8 - i))))
+            AS BIGINT) % 1000000 AS residue
+        FROM documents),
+      n AS (SELECT r.doc_id, r.source, r.n_chars,
+          CAST(f.f_mil // 1000000
+            + CASE WHEN r.residue < f.f_mil % 1000000 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_copies
+        FROM r JOIN f USING (source))
+      SELECT doc_id, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx,
+        source, n_chars
+      FROM n WHERE n_copies > 0
+      ORDER BY doc_id, copy_idx"""),
+    "Materialized mixture: each doc exploded n_copies times with a " +
+      "per-copy index — the realized resampled training corpus, bounded " +
+      "Generate, zero corpus shuffle")
 
   // ----------------------------------------------- q_text_chunk
   // Fixed-context chunking with overlap: L-token windows, stride L−O, a
@@ -186,5 +253,6 @@ object MixOps extends QueryPack {
       "-token overlap, tail-preserving, chunk text included — one-pass " +
       "codegen kernel + bounded explode")
 
-  override def defs: Seq[QueryDef] = Seq(mixWeights, mixSample, textChunk)
+  override def defs: Seq[QueryDef] =
+    Seq(mixWeights, mixSample, mixExecute, textChunk)
 }

@@ -140,4 +140,33 @@ class MixSpec extends SparkTestBase {
         s"$src realized share ${m / total} vs target ${weights(src)._1}")
     }
   }
+
+  test("q_mix_execute materializes exactly the q_mix_sample plan: row " +
+      "multiplicities, dense copy indices, per-source char mass equal") {
+    import spark.implicits._
+    val plan = q("q_mix_sample").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(3))) // (doc_id, source, n_copies)
+    val exec = q("q_mix_execute").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // each doc appears exactly n_copies times with copy_idx 1..n_copies
+    val byDoc = exec.groupBy(_._1)
+    plan.foreach { case (id, src, n) =>
+      val copies = byDoc.getOrElse(id, Array.empty)
+      assert(copies.length.toLong === n, s"doc $id multiplicity")
+      assert(copies.map(_._2).sorted.toSeq === (1L to n).toSeq,
+        s"doc $id copy indices not dense")
+      assert(copies.forall(_._3 == src), s"doc $id source")
+    }
+    assert(exec.length.toLong === plan.map(_._3).sum, "total realized rows")
+    // realized per-source char mass is EXACTLY the integer expectation
+    // Σ n_chars·n_copies from the plan — the executor adds no sampling
+    // noise on top of the plan's (the whole point of materializing it)
+    val chars = Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars".cast("long")).as[(Long, Long)].collect().toMap
+    val expected = plan.groupBy(_._2).view
+      .mapValues(_.map(p => chars(p._1) * p._3).sum).toMap
+    val realized = exec.groupBy(_._3).view
+      .mapValues(_.map(e => e._4).sum).toMap
+    assert(realized === expected.filter(_._2 > 0))
+  }
 }
