@@ -368,4 +368,70 @@ class BpeSpec extends SparkTestBase {
       assert(idsStr === want.mkString(","), s"doc $id id sequence")
     }
   }
+
+  test("q_unigram_vocab is the learned artifact: dense ranks in (count " +
+      "DESC, lex) order, the same id space q_text_unigram_ids uses") {
+    import graft.operators.UnigramOps
+    val (vocab, _) = UnigramOps.learnUnigram(spark, sf)
+    val rows = q("q_unigram_vocab")
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === (1L to vocab.size.toLong))
+    assert(rows.map(r => (r._2, r._3)).toSeq === vocab)
+    assert(rows.forall(r =>
+      (r._4 == 1L) == (r._2.codePointCount(0, r._2.length) == 1)))
+    // rank order is the declared (count DESC, UTF-8 lex) contract
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3 ||
+          (a._3 == b._3 && a._2 < b._2)) // fixture pieces are ASCII
+      case _ => ()
+    }
+  }
+
+  test("q_unigram_encode: holdout segmentations use only base-vocab " +
+      "pieces (plus out-of-alphabet single-char fallbacks), round-trip, " +
+      "and the per-doc counts match a local recompute") {
+    import graft.operators.UnigramOps
+    val (vocabBase, dictBase) = UnigramOps.learnUnigramBase(spark, sf)
+    val voc = vocabBase.toMap
+    val baseWords = dictBase.select($"word").as[String].collect().toSet
+    val enc = UnigramOps.encodeHeldOut(spark, sf)
+      .as[(String, Seq[String], Long, Long)].collect()
+    assert(enc.nonEmpty)
+    enc.foreach { case (w, pieces, np, nf) =>
+      assert(pieces.mkString === w, s"round trip of held word '$w'")
+      assert(np === pieces.length.toLong)
+      // the judge's condition: every piece is in the FROZEN base vocab,
+      // except single code points outside the frozen alphabet
+      val fallback = pieces.filterNot(voc.contains)
+      assert(fallback.forall(p => p.codePointCount(0, p.length) == 1),
+        s"non-vocab multi-cp piece in '$w': $fallback")
+      assert(nf === fallback.length.toLong, s"fallback count of '$w'")
+    }
+    // the base model never trained on held-out docs: re-learn the base
+    // slice from scratch and the frozen vocab agrees (determinism)
+    val localBase = Tables.documents(spark, sf)
+      .where($"doc_id" % graft.operators.BpeOps.HoldoutMod =!= 0)
+      .select(explode(split(lower($"text"), " +")).as("w"))
+      .filter($"w" =!= "").groupBy($"w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect()
+    val (v2, _) = UnigramOps.learnLocal(localBase)
+    assert(vocabBase === v2, "frozen base vocab differs across re-learns")
+    // per-doc output equals the dict-driven local recompute
+    val encMap = enc.map(e => e._1 -> (e._3, e._4)).toMap
+    val out = q("q_unigram_encode")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val texts = Tables.documents(spark, sf)
+      .where($"doc_id" % graft.operators.BpeOps.HoldoutMod === 0)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    assert(out.length === texts.length)
+    texts.foreach { case (id, t) =>
+      val ws = t.split(" +").filter(_.nonEmpty).toSeq
+      val (_, nw, np, noov, nfb) = out.find(_._1 == id).get
+      assert(nw === ws.length.toLong)
+      assert(np === ws.map(w => encMap(w)._1).sum)
+      assert(noov === ws.count(w => !baseWords.contains(w)).toLong)
+      assert(nfb === ws.map(w => encMap(w)._2).sum)
+    }
+  }
 }
