@@ -91,6 +91,11 @@ object BenchStress {
     // base-slice learning pass (corpus scan + dict collect) plus the
     // Merges-deep replace chain over held-out distinct words
     "q_bpe_encode",
+    // round-11: the unigram sibling — base-slice EM learning (dict-
+    // bounded driver Viterbi loop) + frozen holdout encode; the 10x
+    // point proves the driver loop stays vocab/type-bound while the
+    // corpus scans scale linearly
+    "q_unigram_encode",
     "q_sink_text_roundtrip",
     "q_redact_scrub",
     "q_sample_stratified",
@@ -192,6 +197,14 @@ object BenchStress {
     // pure-map copy decision / a pure map + bounded explode
     // (≈ n_tok/stride rows per doc) — all linear
     "q_mix_weights", "q_mix_sample", "q_text_chunk",
+    // mixture materialization: q_mix_sample's plan + a bounded Generate
+    // (total output mass ≈ input corpus by the smoothing target) — the
+    // same linear class as q_text_chunk's explode
+    "q_mix_execute",
+    // unigram vocab artifact: vocab-sized plan over the memoized learned
+    // dict (the q_bpe_vocab class); its EM learning cost is what
+    // q_unigram_encode (stressed) pays in its base-slice pass
+    "q_unigram_vocab",
     "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_token_ids",
     "q_text_fingerprint", "q_text_repetition", "q_text_gopher",
     // MG sketch: vocabulary-bounded O(capacity) state per buffer — the
@@ -232,6 +245,7 @@ object BenchStress {
     "q_simsearch_ivfpq_audit", "q_text_unigram_audit",
     "q_text_unigram_ids_audit", "q_embed_pca_audit",
     "q_text_heavy_hitters_audit",
+    "q_unigram_vocab_audit", "q_unigram_encode_audit",
     // watermarked single-window streams already covered by
     // q_stream_tumbling; combine is a 5-row formatting step
     "q_stream_combine",

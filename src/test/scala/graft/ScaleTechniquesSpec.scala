@@ -365,8 +365,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "operators/TrainOps.scala" -> 1,
       // unigram-LM learning: ONE vocab-sized dict collect guarded by the
       // MaxDictWords require (the BpeOps industrial-learner shape) + the
-      // vocab-sized (word → ids) render for the broadcast dict
-      "operators/UnigramOps.scala" -> 2,
+      // vocab-sized (word → ids) render for the broadcast dict + the
+      // held-out distinct-word collect for the frozen encode (same
+      // MaxDictWords require guard)
+      "operators/UnigramOps.scala" -> 3,
       // BPE learning (round 10, driver-local): ONE vocab-sized dict
       // collect guarded by the MaxDictWords require — the industrial
       // learner shape — plus the spec-only distributed reference's
@@ -603,6 +605,54 @@ class ScaleTechniquesSpec extends SparkTestBase {
         "the late event must NOT be added to the already-finalized first window")
       assert(rows(base + 300) === 1L)
     } finally q.stop()
+  }
+
+  test("plan sweep: no partition-less Window over unbounded input " +
+      "(single-partition sort is the silent 100 TB serializer)") {
+    // VERDICT r10 task 5: a WindowExec with an empty partition spec
+    // pulls EVERY row into one task — invisible at fixture scale, a
+    // full-corpus single-machine sort at 100 TB. Gate the declared
+    // surface: any query whose optimized plan contains a partition-less
+    // logical Window must be on the documented allowlist, each entry
+    // provably bounded BEFORE the window (vocab cap, window-grain spine,
+    // domain cardinality).
+    import org.apache.spark.sql.catalyst.plans.logical
+    val windowOk: Set[String] = Set(
+      // vocab-sized rank windows: input capped by orderBy+limit(N) or
+      // the VocabSize filter before/around the window (BpeOps, TextOps)
+      "q_bpe_vocab", "q_text_token_ids", "q_text_bpe_ids",
+      // 5-minute-grain window spine: rows = distinct buckets of the
+      // event time range, not events (CoreOps fallback coalesce)
+      "q_window_fallback",
+      // domain-cardinality windows: one row per source (MixOps share/
+      // factor algebra)
+      "q_mix_weights", "q_mix_sample", "q_mix_execute",
+      // vocab-sized coverage curve (cumulative share over ranked vocab)
+      "q_vocab_coverage",
+      // bucket-sized totals: both windows run over the <=DsirBuckets-row
+      // ratio relation (the documented no-1-row-crossJoin alternative)
+      "q_dsir_weights"
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
+            case w: logical.Window if w.partitionSpec.isEmpty => w
+          }.size
+          if (n > 0 && !windowOk(name)) Some(s"$name: $n partition-less Window")
+          else None
+        } catch { case _: Throwable => None } // throwing queries fail SmokeSpec
+    }
+    assert(offenders.isEmpty,
+      "unbounded single-partition windows found (add a bound or an " +
+        "allowlist entry with its bound):\n" + offenders.mkString("\n"))
+    // the detector itself: a corpus-grain offender must be caught
+    val bad = Tables.events(spark, sf).withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts")))
+    assert(bad.queryExecution.optimizedPlan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty => w
+    }.nonEmpty, "detector failed to flag a corpus-grain global window")
   }
 
   test("q_simsearch_filtered: the metadata keep-set is never broadcast " +
