@@ -155,6 +155,10 @@ object BenchStress {
     // a driver eigensolve + a map-side projection; stressed to prove the
     // whole composition is two scans + a map at any corpus size
     "q_embed_pca",
+    // round-11: reduce-then-cluster — the q_cluster_kmeans loop run in
+    // the 8-dim projected space; stressed to prove the projection map +
+    // reduced-dim assignment stays linear (and cheaper than raw kmeans)
+    "q_cluster_pca_kmeans",
     // round-10: inverted-index build — the corpus-sized (term, doc) tf
     // shuffle grows xREP while the per-term heap stays O(P); stressed to
     // prove the postings-head state never follows df
@@ -246,6 +250,7 @@ object BenchStress {
     "q_text_unigram_ids_audit", "q_embed_pca_audit",
     "q_text_heavy_hitters_audit",
     "q_unigram_vocab_audit", "q_unigram_encode_audit",
+    "q_cluster_pca_kmeans_audit",
     // watermarked single-window streams already covered by
     // q_stream_tumbling; combine is a 5-row formatting step
     "q_stream_combine",

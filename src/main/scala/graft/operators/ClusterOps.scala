@@ -412,6 +412,117 @@ object ClusterOps extends QueryPack {
       "codebooks (Lloyd's per subspace), per-vector PQ codes + " +
       "reconstruction error, codebook and codes both hash-oracle-checked")
 
+  // --------------------------------------- PCA-reduced clustering
+  // The composition Abbas et al. 2023 actually describe (VERDICT r10
+  // task 6): whiten/REDUCE the embedding space first, then cluster —
+  // k-means over the top-[[SimilarityOps.PcaR]] PCA projections instead
+  // of the raw 64 dims. Same integer-exact Lloyd's loop, 8× less
+  // distance arithmetic per assignment and 8× smaller centroid state;
+  // at 100 TB the reduction is what keeps the |corpus|×K assignment
+  // stage affordable.
+  //
+  // Determinism without an oracle: projections are per-row sequential
+  // kernel sums over DRIVER-deterministic (mean, components) — the
+  // exact-integer-moment + fixed-pivot-Jacobi pipeline — so they are
+  // bit-identical across partitionings and re-learns; quantized to
+  // scale-6 longs they feed the same partitioning-invariant integer
+  // k-means as q_cluster_kmeans. The Jacobi eigensolve is not
+  // SQL-replayable → no_oracle, audited below (retrain consistency +
+  // oracle-recomputed n/K scalars).
+  /** The PCA-projected scale-6 corpus: (vec_id, sa array<long>[PcaR]). */
+  private[graft] def pcaProjectedCorpus(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val st = SimilarityOps.pcaModel(s, d)
+    val cols = (0 until SimilarityOps.PcaR).map { r =>
+      (round(graft.functions.CenteredDot
+          .centered_dot($"embedding", st.mean, st.comps(r)), 6)
+        .cast("decimal(18,6)") * 1000000L).cast("long")
+    }
+    Tables.embeddings(s, d)
+      .filter($"embedding".isNotNull && size($"embedding") === Dim &&
+        !exists($"embedding", _.isNull))
+      .select($"vec_id", array(cols: _*).as("sa"))
+      .cache()
+  }
+
+  /** One full train+stats pass in the projected space — shared by the
+    * declared query and the audit's retrain-consistency check. */
+  private def pcaKmeansRun(s: SparkSession, d: String)
+      : (Seq[(Long, Array[Long])], DataFrame) = {
+    import s.implicits._
+    val sv = pcaProjectedCorpus(s, d)
+    val k = effectiveK(sv.count())
+    val cents = fitCentroids(s, sv, k)
+    val stats = assign(s, sv, cents)
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum($"d2").as("sse12"))
+      .localCheckpoint()
+    sv.unpersist(false)
+    (cents, stats)
+  }
+
+  private val clusterPcaKmeans = QueryDef(
+    "q_cluster_pca_kmeans",
+    (s, d) => {
+      import s.implicits._
+      val (cents, stats) = pcaKmeansRun(s, d)
+      val cnorm = cents.map { case (c, a) => (c, a.map(math.abs).sum) }
+        .toDF("cluster", "cnorm1_6")
+      cnorm.join(broadcast(stats), Seq("cluster"), "left")
+        .select($"cluster",
+          coalesce($"n_vecs", lit(0L)).as("n_vecs"),
+          coalesce($"sse12", lit(0L)).as("sse12"),
+          $"cnorm1_6")
+        .orderBy($"cluster")
+    },
+    None,
+    s"Reduce-then-cluster (Abbas 2023): k-means in the PCA-projected " +
+      s"${SimilarityOps.PcaR}-dim space — integer-exact Lloyd's over " +
+      "deterministic scale-6 projections, audited (Jacobi not in SQL)")
+
+  private val clusterPcaKmeansAudit = QueryDef(
+    "q_cluster_pca_kmeans_audit",
+    (s, d) => {
+      import s.implicits._
+      val (c1, s1) = pcaKmeansRun(s, d)
+      val (c2, s2) = pcaKmeansRun(s, d)
+      // retrain consistency: a SECOND full projection+training pass
+      // must reproduce the centroids bit-for-bit (integer k-means over
+      // deterministic projections) and the same assignment stats
+      val centsSame = c1.map { case (c, a) => (c, a.toSeq) } ==
+        c2.map { case (c, a) => (c, a.toSeq) }
+      val statsSame = s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty
+      val k = c1.size.toLong
+      // oracle-recomputable scalars: valid-vector count and the
+      // K = clamp(ceil(sqrt(n))) rule the run actually used
+      Tables.embeddings(s, d)
+        .filter($"embedding".isNotNull && size($"embedding") === Dim &&
+          !exists($"embedding", _.isNull))
+        .agg(count(lit(1)).as("n_vectors"))
+        .select($"n_vectors",
+          greatest(lit(8L), least(lit(4096L),
+            ceil(sqrt($"n_vectors")).cast("long"))).as("k"),
+          when(greatest(lit(8L), least(lit(4096L),
+              ceil(sqrt($"n_vectors")).cast("long"))) === k, 1L)
+            .otherwise(0L).as("k_matches_rule_ok"),
+          lit(if (centsSame) 1L else 0L).as("retrain_centroids_ok"),
+          lit(if (statsSame) 1L else 0L).as("retrain_stats_ok"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        CAST(GREATEST(8, LEAST(4096, CAST(ceil(sqrt(count(*))) AS BIGINT)))
+          AS BIGINT) AS k,
+        CAST(1 AS BIGINT) AS k_matches_rule_ok,
+        CAST(1 AS BIGINT) AS retrain_centroids_ok,
+        CAST(1 AS BIGINT) AS retrain_stats_ok
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0"""),
+    "PCA-kmeans audit: retrain reproducibility flags (bit-identical " +
+      "centroids and assignment stats across two full passes) with " +
+      "n/K scalars oracle-recomputed")
+
   override def defs: Seq[QueryDef] =
-    Seq(clusterKmeans, clusterSemdedup, embedPq)
+    Seq(clusterKmeans, clusterSemdedup, embedPq,
+      clusterPcaKmeans, clusterPcaKmeansAudit)
 }

@@ -420,6 +420,78 @@ class IterativeOpsSpec extends SparkTestBase {
     assert(gram.forall(_._3 == 19L), "gram n must exclude the null row")
   }
 
+  test("q_cluster_pca_kmeans: assignments match a local recompute in " +
+      "the projected space, and re-running is bit-deterministic") {
+    import graft.operators.{ClusterOps, SimilarityOps}
+    // the declared output, twice: the whole pipeline (projection +
+    // training + assignment) must be deterministic across re-learns
+    val out1 = q("q_cluster_pca_kmeans")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val out2 = q("q_cluster_pca_kmeans")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out1 === out2, "re-run diverged")
+    assert(out1.nonEmpty)
+    val n = out1.map(_._2).sum
+    // local recompute: project with the model's own (mean, comps),
+    // quantize to scale-6, run the same integer Lloyd's loop locally
+    val st = SimilarityOps.pcaModel(spark, sf)
+    val vecs = Tables.embeddings(spark, sf)
+      .filter($"embedding".isNotNull && size($"embedding") === 64 &&
+        !exists($"embedding", _.isNull))
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1)
+    assert(n === vecs.length.toLong, "every valid vector assigned once")
+    def proj(x: Seq[Float]): Array[Long] =
+      st.comps.map { comp =>
+        var s = 0.0
+        var i = 0
+        while (i < 64) { s += (x(i).toDouble - st.mean(i)) * comp(i); i += 1 }
+        (BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          * 1000000).toLongExact
+      }
+    val pv = vecs.map { case (id, x) => (id, proj(x)) }
+    val k = ClusterOps.effectiveK(pv.length.toLong)
+    assert(out1.length === k)
+    def d2(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
+    var cents = pv.filter(_._1 < k).map { case (c, a) => (c, a.clone()) }
+    def assignAll(): Map[Long, Seq[(Long, BigInt)]] =
+      pv.map { case (id, a) =>
+        val best = cents.map { case (c, ca) => (d2(a, ca), c) }
+          .minBy(identity)
+        (id, best._2, best._1)
+      }.groupBy(_._2).view
+        .mapValues(_.map(r => (r._1, r._3)).toSeq).toMap
+    def halfUp(sum: Long, cnt: Long): Long = {
+      val q = (2L * math.abs(sum) + cnt) / (2L * cnt)
+      if (sum >= 0) q else -q
+    }
+    val byId = pv.toMap
+    for (_ <- 0 until 3) {
+      val asg = assignAll()
+      cents = cents.map { case (c, old) =>
+        asg.get(c) match {
+          case Some(members) =>
+            val arr = (0 until 8).map { p =>
+              halfUp(members.map(m => byId(m._1)(p)).sum,
+                members.length.toLong) }.toArray
+            (c, arr)
+          case None => (c, old)
+        }
+      }
+    }
+    val finalAsg = assignAll()
+    val wantStats = finalAsg.view.mapValues(ms =>
+      (ms.length.toLong, ms.map(_._2).sum)).toMap
+    out1.foreach { case (c, nv, sse, cn) =>
+      val (wn, wsse) = wantStats.getOrElse(c, (0L, BigInt(0)))
+      assert(nv === wn, s"cluster $c size")
+      assert(BigInt(sse) === wsse, s"cluster $c sse")
+      assert(cn === cents.find(_._1 == c).get._2.map(math.abs).sum,
+        s"cluster $c centroid norm")
+    }
+  }
+
   test("q_embed_gram of an all-invalid corpus is empty (matches the " +
       "oracle's empty GROUP BY, not the aggregate's initial buffer)") {
     // ADVICE r10: a global aggregate over zero valid vectors still emits

@@ -250,7 +250,8 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // K-row centroid broadcast against the corpus (the MLlib k-means
       // assignment shape — kilobytes at any corpus size); PQ's codebook
       // is M×K rows, same class
-      "q_cluster_kmeans", "q_cluster_semdedup", "q_embed_pq"
+      "q_cluster_kmeans", "q_cluster_semdedup", "q_embed_pq",
+      "q_cluster_pca_kmeans", "q_cluster_pca_kmeans_audit"
     )
     // conservatively "pushable": plain comparison/IN/string-match shapes
     // over a bare attribute and literals — what parquet filter conversion
