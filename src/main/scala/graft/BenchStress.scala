@@ -58,6 +58,10 @@ object BenchStress {
     "q_stream_tumbling",
     "q_stream_dedup",
     "q_stream_session",
+    // round-11: the streaming z-gate — windowed append-mode state rows
+    // grow with (type x window) cardinality xREP; stressed with the
+    // rest of the stateful streaming tier
+    "q_stream_anomaly",
     // round-3 additions: stream-static enrichment (broadcast side grows
     // with the dim table), foreachBatch sink (per-batch write amplification),
     // JDBC round trip (writer fan-in) — stressed so the tracked surface

@@ -33,6 +33,29 @@ object AnomalyOps extends QueryPack {
 
   private def wide(c: Column): Column = c.cast("decimal(38,0)")
 
+  /** The moment + z-flag epilogue over a CLOSED-window relation
+    * (event_type, win_start, n_events, sum_cents) — shared by the batch
+    * query and the streaming gate (q_stream_anomaly), whose windowed
+    * aggregation arrives from the watermarked stream instead. The
+    * moment relation is event-type-cardinality-sized and broadcast;
+    * the flag is a pure map. */
+  private[graft] def flagWindows(w: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import w.sparkSession.implicits._
+    val moments = w.groupBy($"event_type")
+      .agg(count(lit(1)).as("m"), sum($"sum_cents").as("s1"),
+        sum(wide($"sum_cents") * wide($"sum_cents")).as("s2"))
+      .select($"event_type", $"m", wide($"s1").as("s1"), wide($"s2").as("s2"))
+    w.join(broadcast(moments), "event_type")
+      .select($"win_start", $"event_type", $"n_events", $"sum_cents",
+        // (x·m − S1)² > k²·(m·S2 − S1²), all in DECIMAL(38,0)
+        when(
+          pow2(wide($"sum_cents") * wide($"m") - $"s1") >
+            lit(KSigma * KSigma) * (wide($"m") * $"s2" - pow2($"s1")),
+          1L).otherwise(0L).as("is_outlier"))
+      .orderBy($"event_type", $"win_start")
+  }
+
   private val anomalyWindows = QueryDef(
     "q_anomaly_windows",
     (s, d) => {
@@ -44,18 +67,7 @@ object AnomalyOps extends QueryPack {
         .agg(count(lit(1)).as("n_events"), sum($"cents").as("sum_cents"))
         .select($"event_type", unix_timestamp($"win.start").as("win_start"),
           $"n_events", $"sum_cents".cast("long").as("sum_cents"))
-      val moments = w.groupBy($"event_type")
-        .agg(count(lit(1)).as("m"), sum($"sum_cents").as("s1"),
-          sum(wide($"sum_cents") * wide($"sum_cents")).as("s2"))
-        .select($"event_type", $"m", wide($"s1").as("s1"), wide($"s2").as("s2"))
-      w.join(broadcast(moments), "event_type")
-        .select($"win_start", $"event_type", $"n_events", $"sum_cents",
-          // (x·m − S1)² > k²·(m·S2 − S1²), all in DECIMAL(38,0)
-          when(
-            pow2(wide($"sum_cents") * wide($"m") - $"s1") >
-              lit(KSigma * KSigma) * (wide($"m") * $"s2" - pow2($"s1")),
-            1L).otherwise(0L).as("is_outlier"))
-        .orderBy($"event_type", $"win_start")
+      flagWindows(w)
     },
     Some(s"""WITH w AS (
         SELECT event_type,

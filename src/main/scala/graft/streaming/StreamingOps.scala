@@ -1041,10 +1041,118 @@ object StreamingOps extends QueryPack {
       "deltas appended to an index log (LSM shape); the delta-sum " +
       "read-back equals the batch index statistics")
 
+  // ------------------------------------------- streaming anomaly gate
+  /** Anomaly-stream landing zone: (ts, event_type, value) + a far-future
+    * sentinel row per file-ordering rules (events first, sentinel last
+    * by pinned mtime) so every real 5-minute window closes and emits in
+    * append mode. Idempotent per sf. */
+  private def streamInputDir3(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = java.nio.file.Paths.get("target", "stream_in3",
+      new java.io.File(d).getName).toAbsolutePath
+    val marker = dir.resolve("_complete")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "events")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
+    val ev = Tables.events(s, d).select($"ts", $"event_type", $"value")
+    ev.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    def parts: Set[java.io.File] = new java.io.File(dir.toString)
+      .listFiles().filter(_.getName.startsWith("part-")).toSet
+    val eventParts = parts
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+    Seq((new java.sql.Timestamp(maxTs.getTime + 86400L * 1000L),
+        SentinelType, 0.0))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    // pin batch order: events before sentinel (the streamInputDir rule —
+    // a mtime tie could admit the sentinel first and drop every real
+    // event as late)
+    val t = System.currentTimeMillis()
+    eventParts.foreach(_.setLastModified(t - 60000L))
+    (parts -- eventParts).foreach(_.setLastModified(t))
+    graft.FixtureStamp.complete(marker, stamp)
+    dir.toString
+  }
+
+  private val SentinelType = "sentinel"
+
+  // VERDICT r10 task 7: the z-flag pass over the event landing zone as a
+  // REAL watermarked stream — the reference's monitoring domain,
+  // streamed. The windowed (event_type, window) aggregation runs in the
+  // micro-batch engine in APPEND mode, so a window's (n, sum) pair emits
+  // exactly once, when the watermark closes it (the sentinel closes the
+  // tail); the per-type moment fit + cross-multiplied integer z-decision
+  // is the SAME epilogue the batch query uses (AnomalyOps.flagWindows)
+  // over the closed-window relation — event-type-cardinality-sized, a
+  // broadcast and a map. Result is hash-identical to q_anomaly_windows'
+  // batch CTE, which is the oracle.
+  private val streamAnomaly = QueryDef(
+    "q_stream_anomaly",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamInputDir3(s, d)
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val closed = withStreamPartitions(s, 8) { ss =>
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy($"event_type", window($"ts", "5 minutes").as("win"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+              .as("sum_cents"))
+          .writeStream.format("memory").queryName("graft_stream_anomaly")
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        ss.table("graft_stream_anomaly")
+      }
+        // the sentinel's own window never closes (nothing later advances
+        // the watermark past it), so it cannot appear — the filter is a
+        // defensive invariant, not a correction
+        .filter($"event_type" =!= SentinelType)
+        .select($"event_type", unix_timestamp($"win.start").as("win_start"),
+          $"n_events", $"sum_cents".cast("long").as("sum_cents"))
+        // the epilogue self-joins this relation (windows ⋈ per-type
+        // moments); Spark cannot dedup conflicting attribute ids across
+        // two reads of the same MemorySink VIEW, so cut lineage here.
+        // Window-grain-bounded rows — and the memory sink already holds
+        // them on the driver.
+        .localCheckpoint()
+      graft.operators.AnomalyOps.flagWindows(closed)
+    },
+    Some(s"""WITH w AS (
+        SELECT event_type,
+          CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS win_start,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1, 2),
+      mo AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS m,
+          CAST(sum(sum_cents) AS HUGEINT) AS s1,
+          sum(CAST(sum_cents AS HUGEINT) * CAST(sum_cents AS HUGEINT)) AS s2
+        FROM w GROUP BY event_type)
+      SELECT w.win_start, w.event_type, w.n_events, w.sum_cents,
+        CAST(CASE WHEN
+            (CAST(w.sum_cents AS HUGEINT) * mo.m - mo.s1)
+              * (CAST(w.sum_cents AS HUGEINT) * mo.m - mo.s1)
+            > ${graft.operators.AnomalyOps.KSigma *
+                graft.operators.AnomalyOps.KSigma}
+              * (mo.m * mo.s2 - mo.s1 * mo.s1)
+          THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+      FROM w JOIN mo USING (event_type)
+      ORDER BY event_type, win_start"""),
+    "Streaming anomaly gate: watermarked append-mode window aggregation " +
+      "over the event landing zone + the batch z-flag epilogue — " +
+      "hash-equal to q_anomaly_windows")
+
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamChained,
       streamStateful, streamTransformWithState, streamTimerExpiry,
       sessionWindowBatch, streamDedup, streamJoin, streamStaticJoin,
       streamForeachBatch, streamSinkFiles, streamQualityGate,
-      streamIndexMaintain)
+      streamIndexMaintain, streamAnomaly)
 }

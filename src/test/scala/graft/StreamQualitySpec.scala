@@ -57,4 +57,20 @@ class StreamQualitySpec extends SparkTestBase {
       .filter(_.getName.startsWith("part-"))
     assert(parts.length == 2, s"expected 2 part files, got ${parts.length}")
   }
+
+  test("q_stream_anomaly equals the batch z-flag pass row-for-row " +
+      "(watermarked append windows -> same moments, same flags)") {
+    val got = q("q_stream_anomaly")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val expect = q("q_anomaly_windows")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // every real window must have emitted exactly once (append-mode
+    // close), and the fixture must actually flag something and pass
+    // something or the gate is vacuous
+    assert(got.map(r => (r._2, r._1)).distinct.length == got.length)
+    val outliers = got.count(_._5 == 1L)
+    assert(outliers > 0 && outliers < got.length,
+      s"vacuous gate: $outliers outliers of ${got.length} windows")
+  }
 }
