@@ -62,6 +62,10 @@ object BenchStress {
     // grow with (type x window) cardinality xREP; stressed with the
     // rest of the stateful streaming tier
     "q_stream_anomaly",
+    // round-11: the LSM merge pass — folds a delta log that grows with
+    // (terms x batches) xREP and rewrites the base index; stressed to
+    // prove the fold stays term-sized while the corpus stream grows
+    "q_stream_index_compact",
     // round-3 additions: stream-static enrichment (broadcast side grows
     // with the dim table), foreachBatch sink (per-batch write amplification),
     // JDBC round trip (writer fan-in) — stressed so the tracked surface

@@ -975,10 +975,16 @@ object StreamingOps extends QueryPack {
   // The read-back sum over deltas equals the batch index stats, which is
   // the DuckDB oracle; n_batches counts the delta rows a term received
   // (= distinct doc_id parities, since streamDocsDir splits on parity).
-  private val streamIndexMaintain = QueryDef(
-    "q_stream_index_maintain",
-    (s, d) => {
-      import s.implicits._
+  /** Run the index-maintenance stream and return the delta-log path —
+    * shared by the LSM read (q_stream_index_maintain) and the compaction
+    * (q_stream_index_compact). Memoized per (context, corpus, stamp):
+    * the log content is deterministic within a JVM, so the second
+    * consumer reads the same log instead of re-running the stream. */
+  private val deltaLogMemo = new graft.Memo.Bounded[
+    (String, String, String), String](cap = 4, onEvict = _ => ())
+  private[graft] def indexDeltaLog(s: SparkSession, d: String): String =
+    deltaLogMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+      graft.FixtureStamp.stamp("v1", d, "documents"))) {
       val dir = streamDocsDir(s, d)
       val outPath = java.nio.file.Paths.get("target", "sink_index_deltas",
         new java.io.File(d).getName).toAbsolutePath
@@ -1013,8 +1019,15 @@ object StreamingOps extends QueryPack {
           .start()
         q.processAllAvailable()
         q.stop()
-        ss.read.parquet(out)
       }
+      out
+    }
+
+  private val streamIndexMaintain = QueryDef(
+    "q_stream_index_maintain",
+    (s, d) => {
+      import s.implicits._
+      s.read.parquet(indexDeltaLog(s, d))
         // idempotent read-back: a replayed micro-batch (at-least-once
         // foreachBatch retry) re-appends the SAME delta under the same
         // batch_id — collapsing per (term, batch_id) first makes the
@@ -1040,6 +1053,53 @@ object StreamingOps extends QueryPack {
     "Incremental inverted-index maintenance: per-micro-batch postings " +
       "deltas appended to an index log (LSM shape); the delta-sum " +
       "read-back equals the batch index statistics")
+
+  // --------------------------- index compaction (the LSM merge pass)
+  // VERDICT r10 task 3 — the composition the LSM comment above promises:
+  // fold the delta log into a compacted BASE index (one file set,
+  // per-term totals) and read THAT. The fold is the same exactly-once
+  // collapse the delta read uses — max per (term, batch_id), then sum —
+  // so a replayed at-least-once batch still counts once; the write is a
+  // term-cardinality-sized aggregation (never corpus-sized) coalesced to
+  // a single file at fixture scale (the file-count target is a layout
+  // knob; a production pass sizes it to HDFS-block multiples, exactly
+  // q_sink_compaction's rule). Serving reads then plan ONE small file
+  // set instead of one delta file per (batch × writer partition) — the
+  // read-amplification win compaction exists for. The compacted read is
+  // hash-checked against the SAME batch index oracle as the delta read.
+  private val streamIndexCompact = QueryDef(
+    "q_stream_index_compact",
+    (s, d) => {
+      import s.implicits._
+      val log = indexDeltaLog(s, d)
+      val basePath = java.nio.file.Paths.get("target", "sink_index_base",
+        new java.io.File(d).getName).toAbsolutePath
+      if (java.nio.file.Files.exists(basePath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(basePath).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      s.read.parquet(log)
+        .groupBy($"tok", $"batch_id")
+        .agg(max($"df_d").as("df_d"), max($"cf_d").as("cf_d"))
+        .groupBy($"tok")
+        .agg(sum($"df_d").cast("long").as("df"),
+          sum($"cf_d").cast("long").as("cf"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(basePath.toString)
+      s.read.parquet(basePath.toString)
+        .select($"tok".as("term"), $"df", $"cf")
+        .orderBy($"term")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(text), ' +'), x -> x <> '')) AS tok
+        FROM documents)
+      SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        CAST(count(*) AS BIGINT) AS cf
+      FROM toks GROUP BY tok ORDER BY term"""),
+    "Index-delta-log compaction: exactly-once fold into a single-file " +
+      "base index; the compacted read equals the batch index statistics")
 
   // ------------------------------------------- streaming anomaly gate
   /** Anomaly-stream landing zone: (ts, event_type, value) + a far-future
@@ -1154,5 +1214,5 @@ object StreamingOps extends QueryPack {
       streamStateful, streamTransformWithState, streamTimerExpiry,
       sessionWindowBatch, streamDedup, streamJoin, streamStaticJoin,
       streamForeachBatch, streamSinkFiles, streamQualityGate,
-      streamIndexMaintain, streamAnomaly)
+      streamIndexMaintain, streamIndexCompact, streamAnomaly)
 }

@@ -58,6 +58,42 @@ class StreamQualitySpec extends SparkTestBase {
     assert(parts.length == 2, s"expected 2 part files, got ${parts.length}")
   }
 
+  test("q_stream_index_compact: read-equivalent to the delta log, and " +
+      "the compacted read plans fewer files") {
+    val compacted = q("q_stream_index_compact")
+      .as[(String, Long, Long)].collect().toSeq
+    val fromDeltas = q("q_stream_index_maintain")
+      .select($"term", $"df", $"cf")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(compacted == fromDeltas,
+      "compaction changed the index contents")
+    // the read-amplification win: the base index is a strictly smaller
+    // file set than the delta log it folded
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles()
+        .count(f => f.getName.endsWith(".parquet") ||
+          f.getName.startsWith("part-"))
+    val sfName = new java.io.File(sf).getName
+    val nDelta = parquetFiles(s"target/sink_index_deltas/$sfName")
+    val nBase = parquetFiles(s"target/sink_index_base/$sfName")
+    assert(nBase < nDelta,
+      s"compaction must shrink the file set: base=$nBase delta=$nDelta")
+    assert(nBase == 1, s"fixture-scale compaction target is 1 file, got $nBase")
+    // and the planned scan reflects it: the compacted read's file scan
+    // reports fewer files than the delta read's
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length.toLong
+      }.sum
+    val baseScan = plannedFiles(
+      spark.read.parquet(s"target/sink_index_base/$sfName"))
+    val deltaScan = plannedFiles(
+      spark.read.parquet(s"target/sink_index_deltas/$sfName"))
+    assert(baseScan < deltaScan,
+      s"planned file count must shrink: $baseScan vs $deltaScan")
+  }
+
   test("q_stream_anomaly equals the batch z-flag pass row-for-row " +
       "(watermarked append windows -> same moments, same flags)") {
     val got = q("q_stream_anomaly")
