@@ -222,6 +222,9 @@ object BenchStress {
     // MG sketch: vocabulary-bounded O(capacity) state per buffer — the
     // whole point is that it does NOT scale with input
     "q_text_heavy_hitters",
+    // one keyed count + 1-row stats + TakeOrdered head — single-shuffle
+    // linear, the q_agg_groupby class
+    "q_profile_skew",
     // single-shuffle aggregations (partial-agg bound, linear map side)
     "q_agg_avg_window5m", "q_agg_collect", "q_agg_cube", "q_agg_distinct",
     "q_agg_dropdup", "q_agg_hll", "q_agg_sketch_rollup", "q_agg_percentile",

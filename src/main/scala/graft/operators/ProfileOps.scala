@@ -163,5 +163,85 @@ object ProfileOps extends QueryPack {
       "declared categorical dimensions — TVD = sum(diff_mil)/2 per dim; " +
       "one corpus scan, vocabulary-bounded exchanges")
 
-  override def defs: Seq[QueryDef] = Seq(profileTable, profileDrift)
+  // ---------------------------------------------------- q_profile_skew
+  // Hot-key diagnostics — the measurement a pipeline owner runs BEFORE
+  // choosing a partitioning/salting strategy for a 100 TB shuffle: the
+  // top hot keys of a join/agg key column with their exact corpus
+  // shares, plus the global concentration statistics that decide
+  // whether AQE skew-split suffices or the key needs salting
+  // (max-share and the Herfindahl concentration index Σ share², both
+  // exact in integer millionths — rational in the counts, the TVD
+  // substitution discipline).
+  //
+  // Scale shape: ONE keyed count aggregation (map-side combined — the
+  // shuffle being diagnosed, paid once), then a 1-row global stat
+  // aggregate and a TakeOrdered top-N head (per-partition heaps, no
+  // global sort, no key-cardinality window); the stats attach to the
+  // N-row head by a deliberate 1-row broadcast crossJoin. Nothing
+  // beyond the first aggregation scales with the corpus or the key
+  // cardinality.
+  private[graft] val SkewTopN = 10
+
+  private val profileSkew = QueryDef(
+    "q_profile_skew",
+    (s, d) => {
+      import s.implicits._
+      val counts = Tables.events(s, d)
+        .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      val dec = (c: Column) => c.cast("decimal(38,2)")
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum($"cnt").as("total"),
+        max($"cnt").as("max_cnt"),
+        sum($"cnt".cast("decimal(38,0)") * $"cnt".cast("decimal(38,0)"))
+          .as("sumsq"))
+        .select($"n_keys", $"total".cast("long").as("n_rows"),
+          round(dec($"max_cnt" * 1000000L) / $"total", 0)
+            .cast("long").as("max_share_mil"),
+          round(dec($"sumsq" * 1000000L) / ($"total" * $"total"), 0)
+            .cast("long").as("hhi_mil"))
+      val top = counts
+        .orderBy($"cnt".desc, $"user_id").limit(SkewTopN)
+        // bounded-input window: row_number over the SkewTopN-row head
+        // (the TextOps token-vocab pattern; plan-sweep allowlisted)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"cnt".desc, $"user_id")))
+        .select($"rank".cast("long").as("rank"), $"user_id", $"cnt")
+      top.crossJoin(broadcast(stats))
+        .select($"rank", $"user_id", $"cnt",
+          round(dec($"cnt" * 1000000L) / $"n_rows", 0)
+            .cast("long").as("share_mil"),
+          $"n_keys", $"n_rows", $"max_share_mil", $"hhi_mil")
+        .orderBy($"rank")
+    },
+    Some(s"""WITH c AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(sum(cnt) AS BIGINT) AS n_rows,
+          CAST(round(CAST(max(cnt) * 1000000 AS DECIMAL(38,2))
+            / sum(cnt), 0) AS BIGINT) AS max_share_mil,
+          CAST(round(CAST(sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT))
+              * 1000000 AS DECIMAL(38,2)) / (sum(cnt) * sum(cnt)), 0)
+            AS BIGINT) AS hhi_mil
+        FROM c),
+      t AS (
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+            AS BIGINT) AS rank, user_id, cnt
+        FROM c
+        QUALIFY rank <= $SkewTopN)
+      SELECT t.rank, t.user_id, t.cnt,
+        CAST(round(CAST(t.cnt * 1000000 AS DECIMAL(38,2)) / st.n_rows, 0)
+          AS BIGINT) AS share_mil,
+        st.n_keys, st.n_rows, st.max_share_mil, st.hhi_mil
+      FROM t CROSS JOIN st
+      ORDER BY t.rank"""),
+    s"Hot-key skew diagnostics: top-$SkewTopN keys with exact millionth " +
+      "shares + global concentration stats (max share, Herfindahl) — " +
+      "one keyed count, a 1-row stat attach, a TakeOrdered head")
+
+  override def defs: Seq[QueryDef] =
+    Seq(profileTable, profileDrift, profileSkew)
 }

@@ -90,4 +90,30 @@ class SalienceProfileSpec extends SparkTestBase {
       .foreach { case (c, _, _, _, mn, mx) =>
         assert(BigDecimal(mn) <= BigDecimal(mx), s"$c min<=max") }
   }
+
+  test("q_profile_skew matches a local hot-key recompute (shares, " +
+      "max share, Herfindahl) and its head is the true top-N") {
+    import org.apache.spark.sql.functions._
+    val rows = q("q_profile_skew")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) === (1L to rows.length.toLong))
+    val counts = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect()
+    val total = counts.map(_._2).sum
+    def shareMil(c: Long, denom: Long): Long =
+      (BigDecimal(c) * 1000000 / denom)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val want = counts.sortBy(t => (-t._2, t._1)).take(rows.length)
+    rows.zip(want).foreach { case ((_, uid, cnt, sm, nk, nr, ms, hhi), (wu, wc)) =>
+      assert(uid === wu && cnt === wc)
+      assert(sm === shareMil(wc, total))
+      assert(nk === counts.length.toLong && nr === total)
+      assert(ms === shareMil(counts.map(_._2).max, total))
+      val sumsq = counts.map(c => BigInt(c._2) * BigInt(c._2)).sum
+      assert(hhi === (BigDecimal(sumsq) * 1000000 /
+        (BigDecimal(total) * total))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+    }
+  }
 }

@@ -236,6 +236,7 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_simsearch_filtered", // same NQ-row query broadcast, pre-filtered corpus
       // 1-row corpus-total broadcast crossJoins (share/idf denominators)
       "q_search_term", "q_search_hybrid_rrf", "q_profile_drift",
+      "q_profile_skew", // 1-row stat attach to the bounded top-N head
       "q_dedup_embedding", // 1-row near-dup total attached to the 8-row audit
       // audit companions: bounded-window all-pairs / 1-row flag attachments
       "q_dedup_embedding_audit", // 200-vector audit window, constant work
@@ -632,7 +633,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_vocab_coverage",
       // bucket-sized totals: both windows run over the <=DsirBuckets-row
       // ratio relation (the documented no-1-row-crossJoin alternative)
-      "q_dsir_weights"
+      "q_dsir_weights",
+      // rank over the SkewTopN-row TakeOrdered head — bounded input
+      "q_profile_skew"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
