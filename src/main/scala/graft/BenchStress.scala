@@ -39,6 +39,11 @@ object BenchStress {
   private[graft] val StressQueries = Seq(
     "q_agg_groupby", // linear yardstick
     "q_dedup_exact",
+    // round-11: bloom pre-filtered delta-vs-base dedup — the filter
+    // build treeAggregate and the base hash scan grow xREP while the
+    // candidate verify stays (dups + fpp)-sized; stressed to prove the
+    // probe stage stays a pure map
+    "q_dedup_bloom",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -261,7 +266,7 @@ object BenchStress {
     "q_text_unigram_ids_audit", "q_embed_pca_audit",
     "q_text_heavy_hitters_audit",
     "q_unigram_vocab_audit", "q_unigram_encode_audit",
-    "q_cluster_pca_kmeans_audit",
+    "q_cluster_pca_kmeans_audit", "q_dedup_bloom_audit",
     // watermarked single-window streams already covered by
     // q_stream_tumbling; combine is a 5-row formatting step
     "q_stream_combine",

@@ -82,6 +82,112 @@ object DedupOps extends QueryPack {
       GROUP BY content_hash ORDER BY keep_doc"""),
     "Exact dedup: normalized-content hash, keep lowest doc_id per group")
 
+  // -------------------------------------- bloom membership pre-filter
+  // Delta-vs-base dedup at 100 TB without joining the base per drop:
+  // build a Bloom filter over the BASE corpus's content fingerprints
+  // once per base version (Spark's distributed treeAggregate;
+  // ~9.6 bits/key at 1% fpp — 1.2 GB per 10⁹ keys, broadcast-class;
+  // past ~10⁹ keys the standard move is sharding the filter by hash
+  // prefix), persist it beside the corpus, and probe each incoming
+  // delta row with a codegen map ([[graft.functions.BloomProbe]]).
+  // Only the bloom-POSITIVE candidates (true dups + ~fpp false
+  // positives) reach the exact content-hash verify join — the entire
+  // point: the per-delta work is a pure map plus a join whose probe
+  // side is candidate-sized, not delta-sized. No false negatives by
+  // construction (Bloom guarantee); false positives cost only a
+  // wasted verify probe, never a wrong answer. The filter bits are
+  // not SQL-replayable → no_oracle; the audit pins the exact-dup
+  // count (oracle-recomputed), the no-false-negative invariant, and
+  // a measured false-positive bound.
+  private[graft] val BloomFpp = 0.01
+  private def normText: Column =
+    regexp_replace(lower(col("text")), "\\s+", " ")
+
+  private val bloomMemo = new graft.Memo.Bounded[
+    (String, String, String), org.apache.spark.util.sketch.BloomFilter](
+    cap = 4, onEvict = _ => ()) // driver-local bits: GC reclaims them
+  private[graft] def baseBloom(s: SparkSession, d: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    bloomMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+      graft.FixtureStamp.stamp("bloom1", d, "documents"))) {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .where($"doc_id" % BpeOps.HoldoutMod =!= 0)
+        .select(xxhash64(normText).as("fp"))
+      // expectedNumItems sizes the bit array; the count is one exact
+      // aggregate over the base (paid once per base version, like the
+      // filter build itself)
+      val n = math.max(base.count(), 1L)
+      base.stat.bloomFilter("fp", n, BloomFpp)
+    }
+
+  private val dedupBloom = QueryDef(
+    "q_dedup_bloom",
+    (s, d) => {
+      import s.implicits._
+      val bloom = baseBloom(s, d)
+      val probed = Tables.documents(s, d)
+        .where($"doc_id" % BpeOps.HoldoutMod === 0)
+        .select($"doc_id", xxhash64(normText).as("fp"),
+          md5(normText).as("h"))
+        .withColumn("bloom_hit",
+          graft.functions.BloomProbe.bloom_probe($"fp", bloom)
+            .cast("long"))
+      // exact verify for CANDIDATES only — the probe side of this join
+      // is bloom-positive rows (dups + ~fpp of the delta), the
+      // read-amplification bloom buys; the base side is shuffle-hash
+      // (corpus-scale, never broadcast — the r10 filtered-search rule)
+      val baseH = Tables.documents(s, d)
+        .where($"doc_id" % BpeOps.HoldoutMod =!= 0)
+        .select(md5(normText).as("h")).distinct()
+      val dups = probed.filter($"bloom_hit" === 1L)
+        .join(baseH.hint("shuffle_hash"), Seq("h"), "left_semi")
+        .select($"doc_id", lit(1L).as("dup"))
+      probed.join(dups, Seq("doc_id"), "left")
+        .select($"doc_id", $"bloom_hit",
+          coalesce($"dup", lit(0L)).as("is_dup"))
+        .orderBy($"doc_id")
+    },
+    None,
+    s"Bloom pre-filtered delta-vs-base dedup: base fingerprint filter " +
+      s"(fpp $BloomFpp) probed by a codegen map; only candidates reach " +
+      "the exact verify join — filter bits not SQL-replayable, audited")
+
+  private val dedupBloomAudit = QueryDef(
+    "q_dedup_bloom_audit",
+    (s, d) => {
+      import s.implicits._
+      val out = dedupBloom.fn(s, d)
+      out.agg(
+        count(lit(1)).as("n_delta"),
+        sum($"is_dup").cast("long").as("n_dups"),
+        // Bloom guarantee, wired end-to-end: a true duplicate can never
+        // be bloom-negative
+        (lit(1L) - coalesce(max(($"is_dup" === 1L && $"bloom_hit" === 0L)
+          .cast("long")), lit(0L))).as("no_false_negative_ok"),
+        // measured false-positive bound: non-dup hits <= max(5, 5% of
+        // non-dups) — fpp is 1%, the margin absorbs small-n variance
+        // (fixture probe: 1 fp of 50 at sf0.001, 0 of 50 at sf0.01)
+        (sum(when($"bloom_hit" === 1L && $"is_dup" === 0L, 1L)
+            .otherwise(0L)) <=
+          greatest(lit(5L),
+            (sum(lit(1L) - $"is_dup") / 20L).cast("long")))
+          .cast("long").as("fp_bound_ok"))
+    },
+    Some(s"""WITH n AS (SELECT doc_id,
+          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        FROM documents)
+      SELECT CAST(count(*) AS BIGINT) AS n_delta,
+        CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM n b
+            WHERE b.doc_id % ${BpeOps.HoldoutMod} <> 0 AND b.t = d.t)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        CAST(1 AS BIGINT) AS no_false_negative_ok,
+        CAST(1 AS BIGINT) AS fp_bound_ok
+      FROM n d WHERE d.doc_id % ${BpeOps.HoldoutMod} = 0"""),
+    "Bloom dedup audit: exact-dup scalar oracle-recomputed via " +
+      "normalized-text membership; no-false-negative and measured " +
+      "false-positive-bound flags")
+
   // --------------------------------------- exact n-gram Jaccard pairs
   /** Exact J >= 0.5 pairs; two physically different, logically identical
     * strategies:
@@ -544,5 +650,5 @@ object DedupOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
-      dedupIncremental)
+      dedupIncremental, dedupBloom, dedupBloomAudit)
 }

@@ -443,4 +443,46 @@ class PipelineOpsSpec extends SparkTestBase {
       .as[(String, String)].collect()
       .foreach { case (k, v) => assert(BigDecimal(v) === BigDecimal(expect(k))) }
   }
+
+  test("q_dedup_bloom on a planted corpus: exact dup flags, no false " +
+      "negatives, probe agrees with the filter, fp rate sane") {
+    import graft.operators.DedupOps
+    // 90 base docs + 10 delta docs; delta docs 0,20,40 duplicate base
+    // content modulo whitespace (the normalization must catch them),
+    // the rest are unique
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloom").toString
+    def text(i: Long) = s"planted document number $i with unique tail ${i * 7}"
+    val rows = (0L until 100L).map { i =>
+      val t =
+        if (i % 10 == 0 && i % 20 == 0 && i < 60)
+          text(i + 1).replace(" ", "  ") // dup of base doc i+1, extra spaces
+        else text(i)
+      (i, t, "srcA", "en", t.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dedup_bloom")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.length === 10)
+    val expectDups = Set(0L, 20L, 40L)
+    out.foreach { case (id, hit, dup) =>
+      assert((dup == 1L) === expectDups(id), s"doc $id dup flag")
+      if (dup == 1L) assert(hit == 1L, s"doc $id: false negative")
+    }
+    // probe column agrees with the driver-side filter itself
+    val bloom = DedupOps.baseBloom(spark, dir)
+    val norm = Tables.documents(spark, dir)
+      .where($"doc_id" % 10 === 0)
+      .select($"doc_id",
+        xxhash64(regexp_replace(lower($"text"), "\\s+", " ")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (id, hit, _) =>
+      assert((hit == 1L) === bloom.mightContainLong(norm(id)),
+        s"doc $id probe mismatch")
+    }
+    // non-dup false positives bounded (7 uniques, fpp 1% — anything
+    // past 2 means the filter is miswired, not unlucky)
+    assert(out.count(r => r._2 == 1L && r._3 == 0L) <= 2)
+  }
 }
