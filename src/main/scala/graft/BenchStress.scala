@@ -45,6 +45,11 @@ object BenchStress {
     // probe stage stays a pure map
     "q_dedup_bloom",
     "q_dedup_ngram_jaccard",
+    // round-11: the shard-manifest composition — the stressed clean
+    // pipeline's survivor set chunked (bounded Generate) and packed
+    // (one shard shuffle + per-shard running sum); stressed with its
+    // parent q_pipeline_clean, whose near-dup stage dominates
+    "q_pipeline_shards",
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_text_fingerprint_winnow",

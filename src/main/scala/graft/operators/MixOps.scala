@@ -213,9 +213,9 @@ object MixOps extends QueryPack {
   // either copy the whole token array into every chunk row via the
   // Generate (O(n²/stride) bytes per doc) or re-tokenize per slice
   // after lambda inlining — both quadratic walls for book-length docs.
-  private val ChunkLen = 128
-  private val ChunkOverlap = 32
-  private val ChunkStride = ChunkLen - ChunkOverlap // 96
+  private[graft] val ChunkLen = 128
+  private[graft] val ChunkOverlap = 32
+  private[graft] val ChunkStride = ChunkLen - ChunkOverlap // 96
 
   private val textChunk = QueryDef(
     "q_text_chunk",

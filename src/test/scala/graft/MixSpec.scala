@@ -141,6 +141,48 @@ class MixSpec extends SparkTestBase {
     }
   }
 
+  test("q_pipeline_shards packs exactly the cleaned chunk stream: bins " +
+      "replay a local running-sum recompute, nothing dropped") {
+    import graft.operators.{CleanPipelineOps, MixOps}
+    val rows = q("q_pipeline_shards")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // independent local replay: kept docs -> chunk-length sequence (the
+    // q_text_chunk geometry) -> per-shard running sum -> bins
+    val kept = CleanPipelineOps.keptDocs(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (len, stride) = (MixOps.ChunkLen, MixOps.ChunkStride)
+    def chunkLens(t: String): Seq[Long] = {
+      val n = t.split(" +").count(_.nonEmpty)
+      if (n == 0) Nil
+      else {
+        val nc = if (n <= len) 1 else 1 + ((n - len + stride - 1) / stride)
+        (0 until nc).map(i => (math.min(i * stride + len, n) - i * stride).toLong)
+      }
+    }
+    val chunks = kept.flatMap { case (id, t) =>
+      chunkLens(t).zipWithIndex.map { case (l, ci) => (id % 32, id, ci.toLong, l) } }
+    val bins = chunks.groupBy(_._1).toSeq.flatMap { case (shard, cs) =>
+      var cum = 0L
+      cs.sortBy(c => (c._2, c._3)).map { c =>
+        cum += c._4
+        (shard, (cum - c._4) / 512, c._2, c._4)
+      }
+    }.groupBy(b => (b._1, b._2)).map { case ((shard, bin), bs) =>
+      (shard, bin) -> (bs.length.toLong, bs.map(_._3).distinct.length.toLong,
+        bs.map(_._4).sum, bs.map(_._3).min, bs.map(_._3).max)
+    }
+    assert(rows.length === bins.size)
+    rows.foreach { case (shard, bin, nc, nd, st, fd, ld) =>
+      val (wnc, wnd, wst, wfd, wld) = bins((shard, bin))
+      assert((nc, nd, st, fd, ld) === ((wnc, wnd, wst, wfd, wld)),
+        s"bin ($shard,$bin)")
+    }
+    // every kept chunk landed in exactly one bin
+    assert(rows.map(_._3).sum === chunks.length.toLong)
+  }
+
   test("q_mix_execute materializes exactly the q_mix_sample plan: row " +
       "multiplicities, dense copy indices, per-source char mass equal") {
     import spark.implicits._
