@@ -126,6 +126,11 @@ object DedupOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val bloom = baseBloom(s, d)
+      // eagerly materialized ONCE (the clusterSemdedup precedent, r11
+      // self-review): `probed` feeds both the candidate branch and the
+      // clean branch below — without the checkpoint the delta would be
+      // scanned and hashed TWICE. The materialized rows are metadata-
+      // narrow (id + two hashes + flag), never the text.
       val probed = Tables.documents(s, d)
         .where($"doc_id" % BpeOps.HoldoutMod === 0)
         .select($"doc_id", xxhash64(normText).as("fp"),
@@ -133,20 +138,24 @@ object DedupOps extends QueryPack {
         .withColumn("bloom_hit",
           graft.functions.BloomProbe.bloom_probe($"fp", bloom)
             .cast("long"))
+        .localCheckpoint()
       // exact verify for CANDIDATES only — the probe side of this join
       // is bloom-positive rows (dups + ~fpp of the delta), the
       // read-amplification bloom buys; the base side is shuffle-hash
-      // (corpus-scale, never broadcast — the r10 filtered-search rule)
+      // (corpus-scale, never broadcast — the r10 filtered-search rule).
+      // Bloom-negative rows bypass the join entirely (a free union, no
+      // delta-grain re-join on doc_id).
       val baseH = Tables.documents(s, d)
         .where($"doc_id" % BpeOps.HoldoutMod =!= 0)
         .select(md5(normText).as("h")).distinct()
-      val dups = probed.filter($"bloom_hit" === 1L)
-        .join(baseH.hint("shuffle_hash"), Seq("h"), "left_semi")
-        .select($"doc_id", lit(1L).as("dup"))
-      probed.join(dups, Seq("doc_id"), "left")
+      val cand = probed.filter($"bloom_hit" === 1L)
+        .join(baseH.select($"h", lit(1L).as("in_base"))
+          .hint("shuffle_hash"), Seq("h"), "left")
         .select($"doc_id", $"bloom_hit",
-          coalesce($"dup", lit(0L)).as("is_dup"))
-        .orderBy($"doc_id")
+          when($"in_base".isNotNull, 1L).otherwise(0L).as("is_dup"))
+      val clean = probed.filter($"bloom_hit" === 0L)
+        .select($"doc_id", $"bloom_hit", lit(0L).as("is_dup"))
+      cand.unionByName(clean).orderBy($"doc_id")
     },
     None,
     s"Bloom pre-filtered delta-vs-base dedup: base fingerprint filter " +

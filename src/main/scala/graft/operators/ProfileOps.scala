@@ -189,16 +189,19 @@ object ProfileOps extends QueryPack {
       val counts = Tables.events(s, d)
         .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
       val dec = (c: Column) => c.cast("decimal(38,2)")
+      // every multiply is widened BEFORE it happens: a raw long*long on
+      // counts in the billions (the exact scale this query diagnoses)
+      // would silently wrap where the oracle's HUGEINT does not
+      val wide = (c: Column) => c.cast("decimal(38,0)")
       val stats = counts.agg(
         count(lit(1)).as("n_keys"),
         sum($"cnt").as("total"),
         max($"cnt").as("max_cnt"),
-        sum($"cnt".cast("decimal(38,0)") * $"cnt".cast("decimal(38,0)"))
-          .as("sumsq"))
+        sum(wide($"cnt") * wide($"cnt")).as("sumsq"))
         .select($"n_keys", $"total".cast("long").as("n_rows"),
-          round(dec($"max_cnt" * 1000000L) / $"total", 0)
+          round(dec(wide($"max_cnt") * 1000000L) / $"total", 0)
             .cast("long").as("max_share_mil"),
-          round(dec($"sumsq" * 1000000L) / ($"total" * $"total"), 0)
+          round(dec($"sumsq" * 1000000L) / (wide($"total") * $"total"), 0)
             .cast("long").as("hhi_mil"))
       val top = counts
         .orderBy($"cnt".desc, $"user_id").limit(SkewTopN)
@@ -210,7 +213,7 @@ object ProfileOps extends QueryPack {
         .select($"rank".cast("long").as("rank"), $"user_id", $"cnt")
       top.crossJoin(broadcast(stats))
         .select($"rank", $"user_id", $"cnt",
-          round(dec($"cnt" * 1000000L) / $"n_rows", 0)
+          round(dec($"cnt".cast("decimal(38,0)") * 1000000L) / $"n_rows", 0)
             .cast("long").as("share_mil"),
           $"n_keys", $"n_rows", $"max_share_mil", $"hhi_mil")
         .orderBy($"rank")

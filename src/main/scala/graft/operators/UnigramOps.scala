@@ -422,19 +422,37 @@ object UnigramOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val (vocab, _) = learnUnigram(s, d)
-      // driver-local invariants of the artifact itself
-      val ranksDense = vocab.map(_._1).distinct.size == vocab.size
-      val countsPos = vocab.forall(_._2 >= 1L)
-      val shapeOk = vocab.forall { case (p, _) =>
-        val n = p.codePointCount(0, p.length); n >= 1 && n <= MaxPieceLen }
+      // invariants of the EMITTED artifact (not the learner state it
+      // derives from — r11 self-review: a piece-distinctness check on
+      // the Map-derived vocab could never fire): dense 1..n ranks,
+      // positive counts, and piece shape, checked on the declared
+      // output's own rows engine-side
+      val artFlags = unigramVocab.fn(s, d).agg(
+        when(count(lit(1)) === countDistinct($"rank") &&
+            min($"rank") === 1L && max($"rank") === count(lit(1)), 1L)
+          .otherwise(0L).as("ranks_dense_ok"),
+        (lit(1L) - coalesce(max(($"cnt" < 1L).cast("long")), lit(0L)))
+          .as("counts_positive_ok"),
+        (lit(1L) - coalesce(max((length($"piece") === 0 ||
+            length($"piece") > MaxPieceLen).cast("long")), lit(0L)))
+          .as("shape_ok"))
       val alpha = vocab.collect {
         case (p, _) if p.codePointCount(0, p.length) == 1 => p }
-      val alphaArr = array(alpha.map(lit): _*)
+      // "" is never a corpus code point or a piece — it pins the array's
+      // element type to STRING even when the learned alphabet is empty
+      // (a zero-arg array() is NullType and breaks array_contains on a
+      // degenerate corpus)
+      val alphaArr = array((lit("") +: alpha.map(lit)): _*)
       // corpus-side: the distinct code-point alphabet (oracle recomputes
       // the scalar); the learned single-cp pieces must be EXACTLY it —
       // SentencePiece character coverage — and the vocab size bounded by
-      // max(FinalVocab, |alphabet|)
+      // max(FinalVocab, |alphabet|). DISTINCT word types first: the
+      // per-cp explode walks an interpreted substring lambda that is
+      // quadratic in |word| (the documented HOF-inlining trap), so it
+      // runs over the dict-sized type set, bounded by max word length —
+      // never the corpus token stream.
       val cps = BpeOps.corpusWords(s, d)
+        .select($"word").distinct()
         .select(explode(expr(
           "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
           .as("c"))
@@ -450,10 +468,10 @@ object UnigramOps extends QueryPack {
           .otherwise(0L).as("alphabet_exact_ok"),
         (lit(vocab.size.toLong) <=
           greatest(lit(FinalVocab.toLong), count(lit(1))))
-          .cast("long").as("size_ok"),
-        lit(if (ranksDense) 1L else 0L).as("ranks_dense_ok"),
-        lit(if (countsPos) 1L else 0L).as("counts_positive_ok"),
-        lit(if (shapeOk) 1L else 0L).as("shape_ok"))
+          .cast("long").as("size_ok"))
+        .join(broadcast(artFlags))
+        .select($"n_alphabet", $"alphabet_exact_ok", $"size_ok",
+          $"ranks_dense_ok", $"counts_positive_ok", $"shape_ok")
     },
     Some("""WITH w AS (SELECT replace(w0, chr(1), '') AS word FROM (
           SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS w0
@@ -557,10 +575,12 @@ object UnigramOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val (vocabBase, _) = learnUnigramBase(s, d)
-      val vocabArr = array(vocabBase.map(v => lit(v._1)): _*)
+      // "" sentinel pins the element type to STRING on a degenerate
+      // (empty-vocab) base slice — see the vocab audit's note
+      val vocabArr = array((lit("") +: vocabBase.map(v => lit(v._1))): _*)
       val alpha = vocabBase.collect {
         case (p, _) if p.codePointCount(0, p.length) == 1 => p }
-      val alphaArr = array(alpha.map(lit): _*)
+      val alphaArr = array((lit("") +: alpha.map(lit)): _*)
       val enc = encodeHeldOut(s, d)
       val flags = enc.agg(
         // concat(pieces) rebuilds the word — nothing dropped or invented

@@ -980,14 +980,27 @@ object StreamingOps extends QueryPack {
     * (q_stream_index_compact). Memoized per (context, corpus, stamp):
     * the log content is deterministic within a JVM, so the second
     * consumer reads the same log instead of re-running the stream. */
+  /** Landing dir for a corpus-derived index artifact. The suffix hashes
+    * the FULL corpus path: the memo below is keyed by the full path, so
+    * a basename-only dir would let two corpora with the same basename
+    * (e.g. two fixture roots both ending in `sf0.01`) overwrite each
+    * other's logs while stale memo entries still point at them (r11
+    * self-review finding). */
+  private[graft] def indexArtifactDir(kind: String, d: String)
+      : java.nio.file.Path = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get("target", kind,
+      new java.io.File(d).getName + "-" + tag).toAbsolutePath
+  }
+
   private val deltaLogMemo = new graft.Memo.Bounded[
     (String, String, String), String](cap = 4, onEvict = _ => ())
   private[graft] def indexDeltaLog(s: SparkSession, d: String): String =
     deltaLogMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
       graft.FixtureStamp.stamp("v1", d, "documents"))) {
       val dir = streamDocsDir(s, d)
-      val outPath = java.nio.file.Paths.get("target", "sink_index_deltas",
-        new java.io.File(d).getName).toAbsolutePath
+      val outPath = indexArtifactDir("sink_index_deltas", d)
       if (java.nio.file.Files.exists(outPath)) { // fresh delta log per run
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(outPath).iterator().asScala.toSeq.reverse
@@ -1072,13 +1085,8 @@ object StreamingOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val log = indexDeltaLog(s, d)
-      val basePath = java.nio.file.Paths.get("target", "sink_index_base",
-        new java.io.File(d).getName).toAbsolutePath
-      if (java.nio.file.Files.exists(basePath)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(basePath).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      // overwrite mode replaces the directory itself — no manual delete
+      val basePath = indexArtifactDir("sink_index_base", d)
       s.read.parquet(log)
         .groupBy($"tok", $"batch_id")
         .agg(max($"df_d").as("df_d"), max($"cf_d").as("cf_d"))

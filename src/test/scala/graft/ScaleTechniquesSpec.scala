@@ -246,6 +246,7 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_text_unigram_audit", // 1-row scalar/flag attach crossJoin
       "q_text_unigram_ids_audit", // 1-row scalar/flag attach crossJoin
       "q_unigram_encode_audit", // 1-row scalar/flag attach crossJoin
+      "q_unigram_vocab_audit", // 1-row artifact-flag attach crossJoin
       "q_text_heavy_hitters_audit", // 1-row stats/flag attachments
       "q_agg_sketch_rollup_audit", // 1-row exact-total attach
       // K-row centroid broadcast against the corpus (the MLlib k-means

@@ -73,9 +73,12 @@ class StreamQualitySpec extends SparkTestBase {
       new java.io.File(p).listFiles()
         .count(f => f.getName.endsWith(".parquet") ||
           f.getName.startsWith("part-"))
-    val sfName = new java.io.File(sf).getName
-    val nDelta = parquetFiles(s"target/sink_index_deltas/$sfName")
-    val nBase = parquetFiles(s"target/sink_index_base/$sfName")
+    val deltaDir = graft.streaming.StreamingOps
+      .indexArtifactDir("sink_index_deltas", sf).toString
+    val baseDir = graft.streaming.StreamingOps
+      .indexArtifactDir("sink_index_base", sf).toString
+    val nDelta = parquetFiles(deltaDir)
+    val nBase = parquetFiles(baseDir)
     assert(nBase < nDelta,
       s"compaction must shrink the file set: base=$nBase delta=$nDelta")
     assert(nBase == 1, s"fixture-scale compaction target is 1 file, got $nBase")
@@ -86,10 +89,8 @@ class StreamQualitySpec extends SparkTestBase {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.inputFiles.length.toLong
       }.sum
-    val baseScan = plannedFiles(
-      spark.read.parquet(s"target/sink_index_base/$sfName"))
-    val deltaScan = plannedFiles(
-      spark.read.parquet(s"target/sink_index_deltas/$sfName"))
+    val baseScan = plannedFiles(spark.read.parquet(baseDir))
+    val deltaScan = plannedFiles(spark.read.parquet(deltaDir))
     assert(baseScan < deltaScan,
       s"planned file count must shrink: $baseScan vs $deltaScan")
   }
