@@ -146,7 +146,6 @@ object CleanPipelineOps extends QueryPack {
     "q_pipeline_shards",
     (s, d) => {
       import s.implicits._
-      val Budget = 512.0
       val chunks = keptDocs(s, d)
         .select($"doc_id",
           explode(graft.functions.ChunkText.chunk_text(
@@ -158,8 +157,10 @@ object CleanPipelineOps extends QueryPack {
         .partitionBy($"shard").orderBy($"doc_id", $"chunk_idx")
       chunks
         .withColumn("cum", sum($"n_tokens").over(w))
-        .withColumn("bin",
-          floor(($"cum" - $"n_tokens") / lit(Budget)).cast("long"))
+        // integer floor division (operands are non-negative longs): a
+        // double divide loses integer exactness past 2^53 cumulative
+        // tokens per shard, which a 100 TB corpus can reach (ADVICE r11)
+        .withColumn("bin", expr("(cum - n_tokens) div 512"))
         .groupBy($"shard", $"bin")
         .agg(count("*").as("n_chunks"),
           countDistinct($"doc_id").as("n_docs"),
@@ -186,7 +187,7 @@ object CleanPipelineOps extends QueryPack {
       cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
           ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) AS cum
         FROM cl)
-      SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+      SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
         count(*) AS n_chunks,
         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,

@@ -60,8 +60,20 @@ object ClusterOps extends QueryPack {
     * construction. */
   private val lastK =
     scala.collection.concurrent.TrieMap.empty[(String, String), Int]
-  private[graft] def recordK(query: String, dir: String, k: Int): Unit =
+  private[graft] def recordK(query: String, dir: String, k: Int): Unit = {
+    // Drop the query's entries for OTHER corpora: without this the
+    // ambiguity abort below was permanent once two corpora had recorded
+    // different Ks — the error's own advice ("rerun the query fn for the
+    // corpus this oracle targets") could never unblock a render (ADVICE
+    // r11). With the clear, a rerun re-scopes the recorded K to the
+    // corpus that ran last, which is exactly the corpus a
+    // subsequently-rendered oracle targets (Verify's run-then-render
+    // contract). The abort branch still guards the remaining window: a
+    // CONCURRENT multi-corpus interleaving between recordK and render.
+    lastK.keys.filter(e => e._1 == query && e._2 != dir)
+      .foreach(lastK.remove)
     lastK((query, dir)) = k
+  }
   private[graft] def recordedK(query: String): Int = {
     val ks = lastK.collect { case ((q, dir), k) if q == query => dir -> k }
     if (ks.isEmpty) throw new IllegalStateException(

@@ -451,6 +451,12 @@ object UnigramOps extends QueryPack {
       // quadratic in |word| (the documented HOF-inlining trap), so it
       // runs over the dict-sized type set, bounded by max word length —
       // never the corpus token stream.
+      // NB (ADVICE r11): Spark's length()/substring() on strings count
+      // CODE POINTS (UTF8String.numChars walks UTF-8 sequence starts),
+      // not UTF-16 units — so this split yields whole code points and
+      // agrees with the learner's codePointSymbols even for astral
+      // (4-byte) characters. AdversarialInputSpec pins the flags green
+      // on an emoji-bearing corpus.
       val cps = BpeOps.corpusWords(s, d)
         .select($"word").distinct()
         .select(explode(expr(

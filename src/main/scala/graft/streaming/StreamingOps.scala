@@ -1141,7 +1141,11 @@ object StreamingOps extends QueryPack {
     dir.toString
   }
 
-  private val SentinelType = "sentinel"
+  // The leading byte is U+0001 (invisible in most renderings - ADVICE
+  // r11 misread this as a bare "sentinel"): a control character no
+  // printable corpus event_type can collide with, spelled with an
+  // escape so the collision-proofing is visible in review.
+  private val SentinelType = "\u0001sentinel"
 
   // VERDICT r10 task 7: the z-flag pass over the event landing zone as a
   // REAL watermarked stream — the reference's monitoring domain,

@@ -61,6 +61,8 @@ class AdversarialInputSpec extends SparkTestBase {
     "q_bpe_vocab", "q_pack_bpe", "q_bpe_encode", "q_dsir_weights",
     "q_vocab_coverage", "q_mix_sample", "q_train_classifier",
     "q_text_unigram", "q_text_unigram_ids",
+    "q_unigram_vocab", "q_unigram_vocab_audit",
+    "q_unigram_encode", "q_unigram_encode_audit",
     // round-10 retrieval/graph/profiling tier (documents-only inputs)
     "q_search_index", "q_search_term", "q_search_phrase",
     "q_graph_pagerank", "q_profile_drift")
@@ -132,6 +134,25 @@ class AdversarialInputSpec extends SparkTestBase {
     assert(clique.length === 50)
     assert(clique.map(_._2).distinct.length === 1, "clique degrees equal")
     assert(clique.map(_._3).distinct.length === 1, "clique ranks equal")
+  }
+
+  test("edge semantics: unigram audits stay green on a non-BMP corpus " +
+      "(code-point audit parity, ADVICE r11)") {
+    // doc 1004 carries 4-byte emoji (astral, surrogate pair in UTF-16).
+    // Spark's length()/substring() and DuckDB's len()/[i:i] both count
+    // CODE POINTS, and the driver-local learner splits on code points —
+    // so the alphabet/shape/fallback flags must hold even where a
+    // UTF-16 (toCharArray) formulation would halve the emoji into
+    // unpaired surrogates and flag a correct run.
+    val va = SparkEntry.queries("q_unigram_vocab_audit")(spark, edgeDir)
+      .collect().head
+    for (c <- Seq("alphabet_exact_ok", "size_ok", "ranks_dense_ok",
+        "counts_positive_ok", "shape_ok"))
+      assert(va.getAs[Long](c) === 1L, s"vocab audit flag $c")
+    val ea = SparkEntry.queries("q_unigram_encode_audit")(spark, edgeDir)
+      .collect().head
+    for (c <- Seq("round_trip_ok", "base_vocab_ok", "fallback_count_ok"))
+      assert(ea.getAs[Long](c) === 1L, s"encode audit flag $c")
   }
 
   test("edge semantics: exact dedup collapses the 50-copy block to one keeper") {
