@@ -17,7 +17,7 @@ object SparkEntry {
     CohortOps, AnomalyOps,
     TextOps, BpeOps, UnigramOps, DedupOps, GraphOps, ClusterOps,
     SimilarityOps, SearchOps,
-    CustomOps, MultimodalOps, TypedOps, SourceOps, CleanPipelineOps,
+    CustomOps, MultimodalOps, TypedOps, SourceOps, CleanPipelineOps, ShardOps,
     CurationOps, MixOps, TrainOps, ProfileOps, LayoutOps, AuditOps,
     graft.streaming.StreamingOps)
 

@@ -392,46 +392,46 @@ object BpeOps extends QueryPack {
   // relation ever joins another.
   private val VocabSize = 1000
 
-  private val textBpeIds = QueryDef(
-    "q_text_bpe_ids",
-    (s, d) => {
-      import s.implicits._
-      val (_, dictTok) = learnBpe(s, d)
-      // subword vocab: corpus-weighted token frequency (Σ word-freq over
-      // occurrences), rank desc with lexicographic tie-break
-      val vocab = dictTok
-        .select(explode($"toks").as("tok"), $"freq")
-        .groupBy($"tok").agg(sum($"freq").as("cnt"))
-        .orderBy($"cnt".desc, $"tok").limit(VocabSize)
-        .withColumn("tid", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy($"cnt".desc, $"tok")))
-        .select($"tok", $"tid")
-      val posWords = Tables.documents(s, d)
-        .select($"doc_id", posexplode(split(lower($"text"), " +")))
-        .toDF("doc_id", "pos", "w0")
-        .select($"doc_id", $"pos", replace($"w0", lit(D), lit("")).as("word"))
-        .filter(length($"word") > 0)
-      val ids = posWords
-        .join(broadcast(dictTok.select($"word", $"toks")), "word")
-        .select($"doc_id", $"pos", posexplode($"toks"))
-        .toDF("doc_id", "pos", "subpos", "tok")
-        .join(broadcast(vocab), Seq("tok"), "left")
-        .select($"doc_id", $"pos", $"subpos",
-          coalesce($"tid", lit(0)).as("tid"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bpe_tokens"),
-          array_join(
-            transform(array_sort(collect_list(struct($"pos", $"subpos", $"tid"))),
-              x => x.getField("tid").cast("string")), ",").as("ids_str"))
-      Tables.documents(s, d).select($"doc_id")
-        .join(ids, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"),
-          coalesce($"ids_str", lit("")).as("ids_str"))
-        .orderBy($"doc_id")
-    },
-    Some(s"""WITH $learnCtes,
+  /** The corpus as one subword-ID token stream: (doc_id, pos, subpos,
+    * tid) — the shared plan under `q_text_bpe_ids` (which reassembles it
+    * per document) and `q_shard_write` (which packs it into fixed-length
+    * training rows). IDs are frequency ranks of the learned subword
+    * vocabulary (corpus-weighted, ties lexicographic); out-of-vocab
+    * subwords map to id 0. Dict and vocab are vocabulary-sized
+    * broadcasts; the corpus side is a pure map + posexplode — no
+    * corpus-sized relation ever joins another. */
+  private[graft] def subwordIdRows(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val (_, dictTok) = learnBpe(s, d)
+    // subword vocab: corpus-weighted token frequency (Σ word-freq over
+    // occurrences), rank desc with lexicographic tie-break
+    val vocab = dictTok
+      .select(explode($"toks").as("tok"), $"freq")
+      .groupBy($"tok").agg(sum($"freq").as("cnt"))
+      .orderBy($"cnt".desc, $"tok").limit(VocabSize)
+      .withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"cnt".desc, $"tok")))
+      .select($"tok", $"tid")
+    val posWords = Tables.documents(s, d)
+      .select($"doc_id", posexplode(split(lower($"text"), " +")))
+      .toDF("doc_id", "pos", "w0")
+      .select($"doc_id", $"pos", replace($"w0", lit(D), lit("")).as("word"))
+      .filter(length($"word") > 0)
+    posWords
+      .join(broadcast(dictTok.select($"word", $"toks")), "word")
+      .select($"doc_id", $"pos", posexplode($"toks"))
+      .toDF("doc_id", "pos", "subpos", "tok")
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select($"doc_id", $"pos", $"subpos",
+        coalesce($"tid", lit(0)).as("tid"))
+  }
+
+  /** DuckDB CTE chain replaying [[subwordIdRows]] — ends at `ids`
+    * (doc_id, pos, subpos, tid). Shared by the q_text_bpe_ids and
+    * q_shard_write oracles. */
+  private[operators] def subwordIdCtes: String = s"""$learnCtes,
       dtoks AS MATERIALIZED (SELECT word, freq,
         string_split(trim(t, chr(1)), chr(1)||chr(1)) AS tk FROM d$Merges),
       vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS tid
@@ -446,7 +446,26 @@ object BpeOps extends QueryPack {
           generate_subscripts(t.tk, 1) AS subpos, unnest(t.tk) AS tok
         FROM pw p JOIN dtoks t USING (word)),
       ids AS (SELECT s.doc_id, s.pos, s.subpos, COALESCE(v.tid, 0) AS tid
-        FROM seq s LEFT JOIN vocab v USING (tok)),
+        FROM seq s LEFT JOIN vocab v USING (tok))"""
+
+  private val textBpeIds = QueryDef(
+    "q_text_bpe_ids",
+    (s, d) => {
+      import s.implicits._
+      val ids = subwordIdRows(s, d)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bpe_tokens"),
+          array_join(
+            transform(array_sort(collect_list(struct($"pos", $"subpos", $"tid"))),
+              x => x.getField("tid").cast("string")), ",").as("ids_str"))
+      Tables.documents(s, d).select($"doc_id")
+        .join(ids, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"),
+          coalesce($"ids_str", lit("")).as("ids_str"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $subwordIdCtes,
       per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe_tokens,
         array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos, subpos), ',') AS ids_str
         FROM ids GROUP BY doc_id)

@@ -100,7 +100,7 @@ object DedupOps extends QueryPack {
   // count (oracle-recomputed), the no-false-negative invariant, and
   // a measured false-positive bound.
   private[graft] val BloomFpp = 0.01
-  private def normText: Column =
+  private[graft] def normText: Column =
     regexp_replace(lower(col("text")), "\\s+", " ")
 
   private val bloomMemo = new graft.Memo.Bounded[

@@ -245,6 +245,94 @@ object ProfileOps extends QueryPack {
       "shares + global concentration stats (max share, Herfindahl) — " +
       "one keyed count, a 1-row stat attach, a TakeOrdered head")
 
+  // ---------------------------------------------------- q_expectations
+  // The Deequ-class constraint gate (VERDICT r11 task 7): the declared
+  // per-column expectations a lake pipeline runs on every drop before
+  // admitting it — completeness (NOT NULL), key uniqueness, numeric
+  // range, categorical domain, and referential integrity against a
+  // dimension — evaluated in ONE fact scan. Output is one row per
+  // declared constraint (vocabulary-bounded), each with its violation
+  // count and pass flag, fully hash-oracle-able.
+  //
+  // Scale shape: the row-local checks are map-side conditional sums; the
+  // uniqueness check is the same Expand-planned exact distinct
+  // q_profile_table uses; referential integrity joins the fact to the
+  // DISTINCT dimension KEY set via broadcast (dimension keys are the
+  // small side by construction — at 100 TB the dim key set is still
+  // ~GBs; past broadcast size the same plan falls back to a
+  // shuffle-hash join on the key). No second fact scan, no row-grain
+  // output: violations leave as counts, a violation SAMPLE would be the
+  // q_profile_skew TakeOrdered pattern.
+  /** Declared expectation suite over `orders` (fact) vs `customer`
+    * (dimension). NULL handling: each violation counts rows where the
+    * constraint's own predicate fails on a NON-NULL value — nullness is
+    * its own constraint row, never double-counted. */
+  private val OrderStatusDomain = Seq("O", "F", "P")
+
+  private val expectations = QueryDef(
+    "q_expectations",
+    (s, d) => {
+      import s.implicits._
+      val custKeys = Tables.customer(s, d)
+        .select($"c_custkey".as("ck")).distinct()
+      val m = Tables.orders(s, d)
+        .join(broadcast(custKeys), $"o_custkey" === $"ck", "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when($"o_orderkey".isNull, 1)).as("v_key_null"),
+          (count($"o_orderkey") - countDistinct($"o_orderkey"))
+            .as("v_key_dup"),
+          count(when($"o_custkey".isNotNull && $"ck".isNull, 1))
+            .as("v_ref"),
+          count(when($"o_totalprice".isNotNull && $"o_totalprice" < 0, 1))
+            .as("v_price"),
+          count(when($"o_orderstatus".isNotNull &&
+            !$"o_orderstatus".isin(OrderStatusDomain: _*), 1))
+            .as("v_status"),
+          count(when($"o_orderdate".isNull, 1)).as("v_date"))
+      val rows = Seq(
+        ("o_custkey", "ref_customer", "v_ref"),
+        ("o_orderdate", "not_null", "v_date"),
+        ("o_orderkey", "not_null", "v_key_null"),
+        ("o_orderkey", "unique", "v_key_dup"),
+        ("o_orderstatus", s"domain_${OrderStatusDomain.mkString("").toLowerCase}", "v_status"),
+        ("o_totalprice", "range_nonneg", "v_price"))
+      m.select($"n_rows", explode(array(rows.map { case (c, k, v) =>
+          struct(lit(c).as("col_name"), lit(k).as("constraint_kind"),
+            col(v).cast("long").as("n_violations"))
+        }: _*)).as("e"))
+        .select($"e.col_name".as("col_name"),
+          $"e.constraint_kind".as("constraint_kind"),
+          $"n_rows", $"e.n_violations".as("n_violations"),
+          ($"e.n_violations" === 0L).cast("long").as("pass"))
+        .orderBy($"col_name", $"constraint_kind")
+    },
+    Some(s"""WITH j AS (
+        SELECT o.*, c.ck FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey AS ck FROM customer) c
+          ON o.o_custkey = c.ck),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS v_key_null,
+        CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v_key_dup,
+        CAST(count(CASE WHEN o_custkey IS NOT NULL AND ck IS NULL THEN 1 END) AS BIGINT) AS v_ref,
+        CAST(count(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0 THEN 1 END) AS BIGINT) AS v_price,
+        CAST(count(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN (${OrderStatusDomain.map("'" + _ + "'").mkString(",")}) THEN 1 END) AS BIGINT) AS v_status,
+        CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT) AS v_date
+        FROM j),
+      r AS (
+        SELECT 'o_custkey' AS col_name, 'ref_customer' AS constraint_kind, n_rows, v_ref AS n_violations FROM m
+        UNION ALL SELECT 'o_orderdate', 'not_null', n_rows, v_date FROM m
+        UNION ALL SELECT 'o_orderkey', 'not_null', n_rows, v_key_null FROM m
+        UNION ALL SELECT 'o_orderkey', 'unique', n_rows, v_key_dup FROM m
+        UNION ALL SELECT 'o_orderstatus', 'domain_${OrderStatusDomain.mkString("").toLowerCase}', n_rows, v_status FROM m
+        UNION ALL SELECT 'o_totalprice', 'range_nonneg', n_rows, v_price FROM m)
+      SELECT col_name, constraint_kind, n_rows, n_violations,
+        CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      FROM r ORDER BY col_name, constraint_kind"""),
+    "Expectations/constraint gate: declared per-column completeness, " +
+      "uniqueness, range, domain, and referential checks in one fact " +
+      "scan + a broadcast dim-key join; one row per constraint")
+
   override def defs: Seq[QueryDef] =
-    Seq(profileTable, profileDrift, profileSkew)
+    Seq(profileTable, profileDrift, profileSkew, expectations)
 }

@@ -661,9 +661,74 @@ object TextOps extends QueryPack {
     "Per-doc salient terms: rational tf/(df+1) weight, top 5, " +
       "deterministic (score, term) tie-break")
 
+  // ----------------------------- Gopher LINE-ratio rules (r11 task 5)
+  // The two Gopher rules q_text_gopher skips (Rae et al. 2021 Appendix
+  // A): fraction of lines starting with a bullet (≤ 0.9) and fraction
+  // of lines ending with an ellipsis (≤ 0.3). The fixture corpus is
+  // single-line and the generator is driver-owned, so the line view is
+  // DERIVED deterministically — sentence boundaries (". ") become
+  // newlines via a literal leftmost non-overlapping `replace`, which
+  // Spark (UTF8String.replace) and DuckDB (replace) execute
+  // identically — then split on newline, catching any REAL embedded
+  // newlines a future corpus carries through the same code path. Same
+  // per-row map shape as q_text_gopher: integer counts, exact decimal
+  // ratios, zero data shuffles. The HOF lambdas touch only their own
+  // element (the documented inlining-trap rule).
+  private val textGopherLines = QueryDef(
+    "q_text_gopher_lines",
+    (s, d) => {
+      import s.implicits._
+      val ls = split(replace($"text", lit(". "), lit(".\n")), "\n")
+      val nLines = size(ls).cast("long")
+      val nBullet = size(filter(ls, l =>
+        l.startsWith("- ") || l.startsWith("* ") ||
+          l.startsWith("•"))).cast("long")
+      val nEllipsis = size(filter(ls, l => l.endsWith("..."))).cast("long")
+      val bulletRatio = round(nBullet.cast("decimal(18,2)") / nLines, 6)
+        .cast("decimal(38,6)")
+      val ellipsisRatio = round(nEllipsis.cast("decimal(18,2)") / nLines, 6)
+        .cast("decimal(38,6)")
+      Tables.documents(s, d)
+        .select($"doc_id", nLines.as("n_lines"),
+          nBullet.as("n_bullet"), nEllipsis.as("n_ellipsis"),
+          bulletRatio.cast("double").as("bullet_ratio"),
+          ellipsisRatio.cast("double").as("ellipsis_ratio"),
+          (bulletRatio <= lit("0.9").cast("decimal(38,6)") &&
+            ellipsisRatio <= lit("0.3").cast("decimal(38,6)"))
+            .as("lines_ok"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH l AS (
+        SELECT doc_id,
+          string_split(replace(text, '. ', '.' || chr(10)), chr(10)) AS ls
+        FROM documents),
+      m AS (
+        SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+          CAST(len(list_filter(ls, x -> starts_with(x, '- ')
+            OR starts_with(x, '* ')
+            OR starts_with(x, '•'))) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(ls, x -> ends_with(x, '...'))) AS BIGINT)
+            AS n_ellipsis
+        FROM l),
+      r AS (
+        SELECT doc_id, n_lines, n_bullet, n_ellipsis,
+          CAST(round(CAST(n_bullet AS DECIMAL(18,2)) / n_lines, 6)
+            AS DECIMAL(38,6)) AS bullet_ratio,
+          CAST(round(CAST(n_ellipsis AS DECIMAL(18,2)) / n_lines, 6)
+            AS DECIMAL(38,6)) AS ellipsis_ratio
+        FROM m)
+      SELECT doc_id, n_lines, n_bullet, n_ellipsis,
+        CAST(bullet_ratio AS DOUBLE) AS bullet_ratio,
+        CAST(ellipsis_ratio AS DOUBLE) AS ellipsis_ratio,
+        (bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3) AS lines_ok
+      FROM r ORDER BY doc_id"""),
+    "Gopher line-ratio rules over the derived sentence-line view: " +
+      "bullet-start and ellipsis-end line fractions, exact-decimal " +
+      "per-row map")
+
   override def defs: Seq[QueryDef] =
     Seq(textAnalysis, textTokens, textQuality, textQualityModel,
       textLangId, textFingerprint, textWinnow, textTokenIds,
-      textRepetition, textGopher, textBoilerplate, textHeavyHitters,
-      textSalientTerms)
+      textRepetition, textGopher, textGopherLines, textBoilerplate,
+      textHeavyHitters, textSalientTerms)
 }

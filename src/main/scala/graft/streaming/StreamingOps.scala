@@ -1166,7 +1166,22 @@ object StreamingOps extends QueryPack {
         StructField("ts", TimestampType),
         StructField("event_type", StringType),
         StructField("value", DoubleType)))
-      val closed = withStreamPartitions(s, 8) { ss =>
+      // VERDICT r11 task 4: closed-window history lands in a parquet
+      // FILE sink, not driver memory — the unbounded-safe shape for a
+      // years-long monitoring stream (the memory-sink variant pinned
+      // every closed window on the driver AND needed a localCheckpoint
+      // to self-join, the documented MemorySink analyzer limit). Both
+      // dirs are wiped per run so re-invocations re-stream instead of
+      // serving the previous run's files through the same checkpoint.
+      val outPath = indexArtifactDir("stream_anomaly_out", d)
+      val ckPath = indexArtifactDir("stream_anomaly_ck", d)
+      Seq(outPath, ckPath).filter(java.nio.file.Files.exists(_)).foreach {
+        p =>
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      withStreamPartitions(s, 8) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
           .withWatermark("ts", "10 minutes")
@@ -1174,25 +1189,24 @@ object StreamingOps extends QueryPack {
           .agg(count(lit(1)).as("n_events"),
             sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
               .as("sum_cents"))
-          .writeStream.format("memory").queryName("graft_stream_anomaly")
+          .writeStream.format("parquet")
+          .option("path", outPath.toString)
+          .option("checkpointLocation", ckPath.toString)
           .outputMode("append")
           .start()
         q.processAllAvailable()
         q.stop()
-        ss.table("graft_stream_anomaly")
       }
+      // epilogue over the SINK FILES: parquet-backed relations re-alias
+      // cleanly across the flagWindows self-join — no lineage cut, no
+      // driver residency, no growth bound beyond the files themselves
+      val closed = s.read.parquet(outPath.toString)
         // the sentinel's own window never closes (nothing later advances
         // the watermark past it), so it cannot appear — the filter is a
         // defensive invariant, not a correction
         .filter($"event_type" =!= SentinelType)
         .select($"event_type", unix_timestamp($"win.start").as("win_start"),
           $"n_events", $"sum_cents".cast("long").as("sum_cents"))
-        // the epilogue self-joins this relation (windows ⋈ per-type
-        // moments); Spark cannot dedup conflicting attribute ids across
-        // two reads of the same MemorySink VIEW, so cut lineage here.
-        // Window-grain-bounded rows — and the memory sink already holds
-        // them on the driver.
-        .localCheckpoint()
       graft.operators.AnomalyOps.flagWindows(closed)
     },
     Some(s"""WITH w AS (
@@ -1221,10 +1235,134 @@ object StreamingOps extends QueryPack {
       "over the event landing zone + the batch z-flag epilogue — " +
       "hash-equal to q_anomaly_windows")
 
+  // ----------------------------- streaming bloom ingest gate (r11 task 3)
+  /** Delta-docs landing zone: the `doc_id % HoldoutMod == 0` batch split
+    * into two mtime-pinned files (= two micro-batches). Idempotent per
+    * sf (FixtureStamp). */
+  private def streamDeltaDocsDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = java.nio.file.Paths.get("target", "stream_delta_docs",
+      new java.io.File(d).getName).toAbsolutePath
+    val marker = dir.resolve("_complete")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "documents")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
+    val delta = graft.Tables.documents(s, d)
+      .where($"doc_id" % graft.operators.BpeOps.HoldoutMod === 0)
+      .select($"doc_id", $"text")
+    delta.filter(expr("(doc_id div 10) % 2 = 0"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    delta.filter(expr("(doc_id div 10) % 2 <> 0"))
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    graft.FixtureStamp.complete(marker, stamp)
+    dir.toString
+  }
+
+  /** The persisted base-corpus hash index (distinct md5 of normalized
+    * text) — the artifact a production ingest keeps BESIDE the Bloom
+    * filter: the filter sheds volume, the index settles candidates.
+    * Rebuilt per corpus version (FixtureStamp), read per micro-batch. */
+  private def baseHashDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val path = indexArtifactDir("base_hash_index", d)
+    val marker = path.resolve("_complete")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "documents")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return path.toString
+    graft.Tables.documents(s, d)
+      .where($"doc_id" % graft.operators.BpeOps.HoldoutMod =!= 0)
+      .select(md5(graft.operators.DedupOps.normText).as("h")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(path.toString)
+    graft.FixtureStamp.complete(marker, stamp)
+    path.toString
+  }
+
+  // The production shape the batch q_dedup_bloom implies (the
+  // reference's O2 throttle at corpus scale): each arriving micro-batch
+  // probes the BASE corpus's Bloom filter with a stateless codegen map —
+  // bloom-negative rows are admitted immediately, never touching the
+  // base — and only bloom-positive CANDIDATES reach the exact-verify
+  // join against the persisted base hash index inside foreachBatch.
+  // Zero streaming state (no aggregation, no watermark): the gate's
+  // memory is the broadcast-class filter bits, constant per executor.
+  // Output rows land in an append parquet log tagged with batch_id; the
+  // read-back collapses per doc_id with max() — the delta-log
+  // exactly-once rule (a replayed at-least-once batch writes identical
+  // rows and collapses away). The dup decision is SQL-replayable
+  // (normalized-text membership in the base slice), so unlike the batch
+  // variant this streams under a FULL hash oracle; bloom_hit stays in
+  // the log files for StreamDedupBloomSpec, not in the declared result.
+  private val streamDedupBloom = QueryDef(
+    "q_stream_dedup_bloom",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamDeltaDocsDir(s, d)
+      val bloom = graft.operators.DedupOps.baseBloom(s, d)
+      val baseIdx = baseHashDir(s, d)
+      val outPath = indexArtifactDir("stream_dedup_bloom_out", d)
+      if (java.nio.file.Files.exists(outPath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(outPath).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val out = outPath.toString
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      withStreamPartitions(s, 8) { ss =>
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .select($"doc_id",
+            md5(graft.operators.DedupOps.normText).as("h"),
+            graft.functions.BloomProbe
+              .bloom_probe(xxhash64(graft.operators.DedupOps.normText),
+                bloom)
+              .cast("long").as("bloom_hit"))
+          .writeStream
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val spark2 = batch.sparkSession
+            import spark2.implicits._
+            // one pass over the micro-batch for both branches
+            val b = batch.localCheckpoint()
+            val cand = b.filter($"bloom_hit" === 1L)
+              .join(spark2.read.parquet(baseIdx)
+                .select($"h", lit(1L).as("in_base")).hint("shuffle_hash"),
+                Seq("h"), "left")
+              .select($"doc_id", $"bloom_hit",
+                when($"in_base".isNotNull, 1L).otherwise(0L).as("is_dup"))
+            val clean = b.filter($"bloom_hit" === 0L)
+              .select($"doc_id", $"bloom_hit", lit(0L).as("is_dup"))
+            cand.unionByName(clean)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.read.parquet(out)
+        .groupBy($"doc_id") // exactly-once collapse (identical on replay)
+        .agg(max($"is_dup").cast("long").as("is_dup"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH n AS (SELECT doc_id,
+          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        FROM documents)
+      SELECT d.doc_id,
+        CAST(CASE WHEN EXISTS (SELECT 1 FROM n b
+            WHERE b.doc_id % ${graft.operators.BpeOps.HoldoutMod} <> 0
+              AND b.t = d.t)
+          THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+      FROM n d WHERE d.doc_id % ${graft.operators.BpeOps.HoldoutMod} = 0
+      ORDER BY d.doc_id"""),
+    "Streaming bloom ingest gate: stateless codegen probe of the base " +
+      "corpus's Bloom filter per micro-batch; only candidates reach the " +
+      "exact-verify join against the persisted base hash index in " +
+      "foreachBatch — full hash oracle on the dup decision")
+
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamChained,
       streamStateful, streamTransformWithState, streamTimerExpiry,
       sessionWindowBatch, streamDedup, streamJoin, streamStaticJoin,
       streamForeachBatch, streamSinkFiles, streamQualityGate,
-      streamIndexMaintain, streamIndexCompact, streamAnomaly)
+      streamIndexMaintain, streamIndexCompact, streamAnomaly,
+      streamDedupBloom)
 }

@@ -51,7 +51,8 @@ class AdversarialInputSpec extends SparkTestBase {
   private val tier = Seq(
     "q_text_analysis", "q_text_quality", "q_text_langid", "q_text_tokens",
     "q_text_token_ids", "q_text_fingerprint", "q_text_fingerprint_winnow",
-    "q_text_repetition", "q_text_gopher", "q_text_boilerplate",
+    "q_text_repetition", "q_text_gopher", "q_text_gopher_lines",
+    "q_text_boilerplate",
     "q_text_heavy_hitters",
     "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash",
     "q_dedup_simhash", "q_pipeline_clean", "q_sample_split",

@@ -110,4 +110,55 @@ class StreamQualitySpec extends SparkTestBase {
     assert(outliers > 0 && outliers < got.length,
       s"vacuous gate: $outliers outliers of ${got.length} windows")
   }
+
+  test("q_stream_dedup_bloom sheds volume at the bloom gate, verifies " +
+      "only candidates, and matches the batch gate (VERDICT r11 task 3)") {
+    val stream = q("q_stream_dedup_bloom").collect()
+    val batch = q("q_dedup_bloom").collect()
+    // dup decisions identical to the batch bloom gate
+    assert(stream.map(r => (r.getLong(0), r.getAs[Long]("is_dup")))
+      .sortBy(_._1).toSeq ===
+      batch.map(r => (r.getLong(0), r.getAs[Long]("is_dup")))
+        .sortBy(_._1).toSeq)
+    // the per-batch log carries bloom_hit: same filter state as batch,
+    // every batch probed, no false negative end-to-end, volume shed
+    val dir = graft.streaming.StreamingOps
+      .indexArtifactDir("stream_dedup_bloom_out", sf).toString
+    val log = spark.read.parquet(dir).collect()
+    val hitByDoc = log.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("bloom_hit")).toMap
+    batch.foreach(r => assert(
+      hitByDoc(r.getLong(0)) === r.getAs[Long]("bloom_hit"),
+      s"bloom_hit parity for doc ${r.getLong(0)}"))
+    assert(log.filter(_.getAs[Long]("is_dup") === 1L)
+      .forall(_.getAs[Long]("bloom_hit") === 1L), "no false negatives")
+    val nCand = log.count(_.getAs[Long]("bloom_hit") === 1L)
+    assert(nCand < log.length,
+      s"bloom must shed volume: $nCand candidates of ${log.length}")
+    assert(log.map(_.getAs[Long]("batch_id")).distinct.length >= 2,
+      "the gate must have processed multiple micro-batches")
+  }
+
+  test("q_stream_anomaly's epilogue reads from the parquet FILE sink, " +
+      "not driver memory (unbounded-safe, VERDICT r11 task 4)") {
+    val df = q("q_stream_anomaly")
+    // logical-plan introspection: the physical plan is an AQE root whose
+    // children only materialize at execution, so collect the scan
+    // relations from the analyzed plan instead
+    val scans = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    assert(scans.nonEmpty && scans.forall(_.contains("stream_anomaly_out")),
+      s"epilogue must scan the file-sink dir: $scans")
+    // closed-window history is ON DISK — a restart could rebuild the
+    // epilogue without the stream's driver state
+    val outDir = scans.head.stripPrefix("file:")
+    assert(new java.io.File(outDir).listFiles()
+      .exists(_.getName.endsWith(".parquet")), "sink files must persist")
+  }
 }
