@@ -44,6 +44,17 @@ object BenchStress {
     // candidate verify stays (dups + fpp)-sized; stressed to prove the
     // probe stage stays a pure map
     "q_dedup_bloom",
+    // round-12: banded-signature bloom near-dup — the band bloom build
+    // and band join grow xREP while bloom-negative delta docs skip the
+    // join; stressed to prove the shed fraction and verify stage hold
+    "q_dedup_bloom_bands",
+    // round-12: streaming bloom ingest gate — per-micro-batch verify
+    // joins against the persisted base hash index grow xREP
+    "q_stream_dedup_bloom",
+    // round-12: the packed-shard write — corpus-sized id stream through
+    // a per-shard sort into a hive-partitioned write; stressed to prove
+    // the pack stays one exchange while the token stream grows xREP
+    "q_shard_write",
     "q_dedup_ngram_jaccard",
     // round-11: the shard-manifest composition — the stressed clean
     // pipeline's survivor set chunked (bounded Generate) and packed
@@ -272,6 +283,7 @@ object BenchStress {
     "q_text_heavy_hitters_audit",
     "q_unigram_vocab_audit", "q_unigram_encode_audit",
     "q_cluster_pca_kmeans_audit", "q_dedup_bloom_audit",
+    "q_dedup_bloom_bands_audit",
     // watermarked single-window streams already covered by
     // q_stream_tumbling; combine is a 5-row formatting step
     "q_stream_combine",
@@ -280,6 +292,10 @@ object BenchStress {
     // Expand factor is the fixed column count; and the z-order bucket
     // aggregation (pure map + one bounded-output shuffle)
     "q_text_salient_terms", "q_profile_table", "q_layout_zorder",
+    // round-12: the constraint gate is the q_profile_table class — one
+    // fact scan, fixed constraint count, broadcast dim-key join; and
+    // the Gopher line rules are a pure per-row map (q_text_gopher class)
+    "q_expectations", "q_text_gopher_lines",
     // round-10 retrieval tier: term search prunes the token stream to
     // the fixed query's terms BEFORE any shuffle (matching postings
     // only); phrase search is a pure map + filter; hybrid fuses two

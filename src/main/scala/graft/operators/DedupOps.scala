@@ -286,11 +286,17 @@ object DedupOps extends QueryPack {
             jaccardOf($"inter", $"n1", $"n2").as("jaccard"))
       } else {
         val w = org.apache.spark.sql.expressions.Window
-        // document frequency WITHOUT a join: a count window over the
-        // shingle partition attaches df in the same shuffle that would
-        // have computed the df table — no broadcast of a vocabulary-sized
-        // relation (unbounded at web scale) and nothing misestimable for
-        // the planner to pick as a build side
+        // document frequency via groupBy-count + SHUFFLE_HASH back-join
+        // (r12): the previous count-window-over-shingle attached df in
+        // one shuffle but forced a FULL SORT of the posting stream by
+        // shingle, and a second full sort computed per-doc sizes — the
+        // two biggest spill surfaces behind this stage's documented
+        // 10×-stress GC lottery (BENCH_NOTES r10/r11: 26–91 s band).
+        // The df table is vocabulary-sized; the back-join is hash-only
+        // (no sort), and the SHUFFLE_HASH hint pins the df side as the
+        // build side so the misestimable posting stream never builds —
+        // the same discipline as the verify joins below. Per-doc size
+        // rides the explode for free (size(sh) before the Generate).
         // (n_sh, pos) BIT-PACKED into the kernel's single payload long
         // (n << PosBits | pos): the blocked pair kernel stays a fixed
         // struct<long,long> stream, and both the length filter AND the
@@ -298,14 +304,19 @@ object DedupOps extends QueryPack {
         // 21 bits each way bounds docs at 2^21 shingles (≈ a 16 MB text)
         // — far beyond any real document; shingled() would need chunking
         // before this does.
-        val prefix = posting
-          .withColumn("df", count("*").over(w.partitionBy($"shingle")))
+        val dfTab = posting.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        val prefix = docs
+          .select($"doc_id", size($"sh").cast("long").as("n"),
+            explode($"sh").as("shingle"))
+          .join(dfTab.hint("shuffle_hash"), "shingle")
+          // the one remaining sort is DOC-grain (rank the doc's own
+          // shingles by rarity) — partitions are document-sized, never
+          // corpus-sized
           .withColumn("pos", row_number().over(
             w.partitionBy($"doc_id").orderBy($"df", $"shingle")))
-          .withColumn("n", count("*").over(w.partitionBy($"doc_id")))
           .filter($"pos" <= floor($"n" / 2) + 1)
           .select($"doc_id",
-            (shiftleft($"n".cast("long"), PosBits) + $"pos").as("np"),
+            (shiftleft($"n", PosBits) + $"pos").as("np"),
             $"shingle")
           // eagerly materialized: the pair kernel evaluates its posting
           // input twice (per-key df counts + the probe side), and the
@@ -471,21 +482,34 @@ object DedupOps extends QueryPack {
   // (band, bandhash) → exact-Jaccard verification of candidates only.
   // Deterministic given the fixed hash family, so the spec cross-checks
   // it against q_dedup_ngram_jaccard's exact pairs.
+  /** LSH band keys of a shingled corpus: (doc_id, band, bhash) — 16
+    * MinHash permutations (one-pass custom expression
+    * [[graft.functions.MinHashSig]]) cut into 4 bands × 4 rows, each
+    * band hashed to one long. `sig` is materialized as an ATTRIBUTE by
+    * the first select, so the lambda's element_at hits a column ref,
+    * not a re-evaluated expression (the HOF-inlining rule). Shared by
+    * the minhash pair join and the banded-bloom delta gate. */
+  private[graft] def bandKeys(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sigs = docs.select(
+      $"doc_id",
+      graft.functions.MinHashSig.minhash_sig($"sh", 16).as("sig"))
+    sigs.select(
+      $"doc_id",
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => xxhash64(
+          element_at($"sig", b * 4 + 1), element_at($"sig", b * 4 + 2),
+          element_at($"sig", b * 4 + 3), element_at($"sig", b * 4 + 4)))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bhash"))
+  }
+
   /** The MinHash-LSH near-dup pair set (also the audit's subject). */
   private[graft] def minhashPairs(s: SparkSession, d: String,
       bound: Option[Int] = None): DataFrame = {
       import s.implicits._
       val docs = shingled(s, d, bound).cache()
-      val sigs = docs.select(
-        $"doc_id", $"sh",
-        graft.functions.MinHashSig.minhash_sig($"sh", 16).as("sig"))
-      val bands = sigs.select(
-        $"doc_id",
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => xxhash64(
-            element_at($"sig", b * 4 + 1), element_at($"sig", b * 4 + 2),
-            element_at($"sig", b * 4 + 3), element_at($"sig", b * 4 + 4)))))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bhash"))
+      val bands = bandKeys(docs)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
@@ -657,7 +681,165 @@ object DedupOps extends QueryPack {
     "Incremental near-dup: delta batch checked against the base index " +
       "via a single-sided prefix probe - no base-by-base pair work")
 
+  // ------------------- banded-signature bloom near-dup (r11 task 6)
+  // q_dedup_bloom gates EXACT content; q_dedup_incremental covers
+  // J >= 0.5 but probes the full base prefix index on every delta
+  // drop. This is the composition both point at: a Bloom filter over
+  // the BASE corpus's MinHash BAND KEYS. A delta doc whose 4 band keys
+  // are all bloom-negative provably shares no band with any base doc
+  // (Bloom no-false-negative), so it skips the band join entirely —
+  // the read-amplification win, now for NEAR-dups; only band-hit docs
+  // generate candidates, and the exact Jaccard verify settles those.
+  // Recall relative to the plain band join is 1.0 by construction
+  // (bloom adds no misses); recall relative to exact J >= 0.5 is the
+  // LSH banding guarantee (the q_dedup_minhash audit's subject, pinned
+  // again here against the incremental exact pass). Filter bits are
+  // not SQL-replayable → no_oracle; the audit below is hash-green.
+
+  private val bandBloomMemo = new graft.Memo.Bounded[
+    (String, String, String), org.apache.spark.util.sketch.BloomFilter](
+    cap = 4, onEvict = _ => ()) // driver-local bits: GC reclaims them
+  private[graft] def baseBandBloom(s: SparkSession, d: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    bandBloomMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+      graft.FixtureStamp.stamp("bloomband1", d, "documents"))) {
+      import s.implicits._
+      val keys = bandKeys(shingled(s, d).filter($"doc_id" % 10 =!= 0))
+        .select(xxhash64($"band", $"bhash").as("fp"))
+      // 4 keys per base doc; the count is one exact aggregate paid once
+      // per base version, like the filter build (treeAggregate) itself
+      val n = math.max(keys.count(), 1L)
+      keys.stat.bloomFilter("fp", n, BloomFpp)
+    }
+
+  /** The banded delta-vs-base near-dup pass; `useBloom = false` is the
+    * audit's no-bloom reference (identical semantics, no gate). */
+  private[graft] def bandedDeltaDups(s: SparkSession, d: String,
+      useBloom: Boolean): DataFrame = {
+    import s.implicits._
+    val docs = shingled(s, d).cache()
+    val isDelta = $"doc_id" % 10 === 0
+    val base = docs.filter(!isDelta)
+    val delta = docs.filter(isDelta)
+    val baseK = bandKeys(base)
+      .select($"doc_id".as("bid"), $"band", $"bhash")
+    val probed0 = bandKeys(delta)
+    val probed = (if (useBloom) {
+      val bloom = baseBandBloom(s, d)
+      probed0.withColumn("hit", graft.functions.BloomProbe
+        .bloom_probe(xxhash64($"band", $"bhash"), bloom).cast("long"))
+    } else probed0.withColumn("hit", lit(1L)))
+      // feeds both the doc-level flag and the candidate branch — one
+      // materialization, metadata-narrow rows (the q_dedup_bloom rule)
+      .localCheckpoint()
+    val docHits = probed.groupBy($"doc_id")
+      .agg(max($"hit").cast("long").as("bloom_hit"))
+    val cands = probed.filter($"hit" === 1L)
+      .select($"doc_id".as("did"), $"band", $"bhash")
+      // base index side shuffle-hash: corpus-scale, never broadcast,
+      // and the derived candidate stream can never become build side
+      .join(baseK.hint("shuffle_hash"), Seq("band", "bhash"))
+      .select($"did", $"bid").distinct()
+      .repartition(verifyParallelism(s), $"did")
+    val jaccardOf = (inter: Column, n1: Column, n2: Column) =>
+      round(inter.cast("decimal(18,2)") / (n1 + n2 - inter), 6)
+        .cast("decimal(38,6)")
+    val dups = cands
+      .join(delta.select($"doc_id".as("did"), $"sh".as("shd"))
+        .hint("shuffle_hash"), "did")
+      .join(base.select($"doc_id".as("bid"), $"sh".as("shb"))
+        .hint("shuffle_hash"), "bid")
+      .select($"did", jaccardOf(
+        graft.functions.SortedIntersectSize
+          .sorted_intersect_size($"shd", $"shb"),
+        size($"shd"), size($"shb")).as("j"))
+      .filter($"j" >= lit("0.5").cast("decimal(38,6)"))
+      .groupBy($"did")
+      .agg(count(lit(1)).as("n_dups"), max($"j").as("bj"))
+    delta.select($"doc_id")
+      .join(docHits, Seq("doc_id"), "left")
+      .join(dups.withColumnRenamed("did", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"bloom_hit", lit(0L)).as("bloom_hit"),
+        coalesce($"n_dups", lit(0L)).as("n_dups"),
+        coalesce($"bj".cast("double"), lit(0.0)).as("best_jaccard"),
+        ($"n_dups".isNotNull).cast("long").as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  private val dedupBloomBands = QueryDef(
+    "q_dedup_bloom_bands",
+    (s, d) => bandedDeltaDups(s, d, useBloom = true),
+    None,
+    "Banded-signature bloom near-dup: delta band keys probe a Bloom " +
+      "filter of the BASE corpus's MinHash band keys before any join; " +
+      "only band-hit docs generate candidates for the exact Jaccard " +
+      "verify — filter bits not SQL-replayable, audited")
+
+  private val dedupBloomBandsAudit = QueryDef(
+    "q_dedup_bloom_bands_audit",
+    (s, d) => {
+      import s.implicits._
+      val out = bandedDeltaDups(s, d, useBloom = true)
+        .select($"doc_id", $"n_dups", $"is_dup")
+        .withColumnsRenamed(Map("n_dups" -> "n_b", "is_dup" -> "d_b"))
+      val ref = bandedDeltaDups(s, d, useBloom = false)
+        .select($"doc_id", $"n_dups", $"is_dup")
+        .withColumnsRenamed(Map("n_dups" -> "n_r", "is_dup" -> "d_r"))
+      val exact = dedupIncremental.fn(s, d)
+        .select($"doc_id", $"is_dup".as("d_e"))
+      out.join(ref, "doc_id").join(exact, "doc_id")
+        .agg(
+          count(lit(1)).as("n_delta"),
+          sum($"d_b").cast("long").as("n_dup_docs"),
+          // the bloom gate loses NOTHING relative to the plain band
+          // join (Bloom no-false-negative, end-to-end)
+          (lit(1L) - coalesce(max(($"n_b" =!= $"n_r" || $"d_b" =!= $"d_r")
+            .cast("long")), lit(0L))).as("bloom_lossless_ok"),
+          // banding recall vs the exact J >= 0.5 incremental pass
+          // (planted corpus recall is pinned in BandedBloomSpec; the
+          // fixture's near-dups are J ~ 0.96-0.99, where a 4x4 banding
+          // miss is ~6e-4 per pair — the q_dedup_minhash audit accepts
+          // the same family risk)
+          (lit(1L) - coalesce(max(($"d_e" === 1L && $"d_b" === 0L)
+            .cast("long")), lit(0L))).as("recall_ok"),
+          // the verify stage admits only true J >= 0.5 pairs
+          (lit(1L) - coalesce(max(($"d_b" === 1L && $"d_e" === 0L)
+            .cast("long")), lit(0L))).as("precision_ok"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w FROM documents),
+      docs AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM w WHERE len(w) >= 3),
+      base AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
+               FROM docs WHERE doc_id % 10 <> 0),
+      delta AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
+                FROM docs WHERE doc_id % 10 = 0),
+      bp AS (SELECT doc_id AS bid, unnest(sh) AS shingle FROM base),
+      dp AS (SELECT doc_id AS did, unnest(sh) AS shingle FROM delta),
+      inter AS (
+        SELECT d.did, b.bid, count(*) AS i
+        FROM dp d JOIN bp b USING (shingle) GROUP BY 1, 2),
+      j AS (
+        SELECT did, CAST(round(CAST(i AS DECIMAL(18,2)) / (dn.n + bn.n - i), 6)
+          AS DECIMAL(38,6)) AS jj
+        FROM inter
+        JOIN delta dn ON did = dn.doc_id
+        JOIN base bn ON bid = bn.doc_id),
+      dups AS (SELECT DISTINCT did FROM j WHERE jj >= 0.5)
+      SELECT CAST((SELECT count(*) FROM delta) AS BIGINT) AS n_delta,
+        CAST((SELECT count(*) FROM dups) AS BIGINT) AS n_dup_docs,
+        CAST(1 AS BIGINT) AS bloom_lossless_ok,
+        CAST(1 AS BIGINT) AS recall_ok,
+        CAST(1 AS BIGINT) AS precision_ok"""),
+    "Banded-bloom audit: bloom-lossless (vs the no-bloom band join), " +
+      "recall vs the exact incremental J >= 0.5 pass, verify precision; " +
+      "delta/dup scalars oracle-recomputed")
+
   override def defs: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
-      dedupIncremental, dedupBloom, dedupBloomAudit)
+      dedupIncremental, dedupBloom, dedupBloomAudit,
+      dedupBloomBands, dedupBloomBandsAudit)
 }

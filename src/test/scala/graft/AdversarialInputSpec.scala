@@ -57,6 +57,7 @@ class AdversarialInputSpec extends SparkTestBase {
     "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash",
     "q_dedup_simhash", "q_pipeline_clean", "q_sample_split",
     "q_dedup_components", "q_text_span_dedup", "q_dedup_incremental",
+    "q_dedup_bloom_bands",
     "q_text_salient_terms", "q_text_bpe", "q_text_bpe_ids",
     "q_text_quality_model", "q_text_chunk", "q_mix_weights",
     "q_bpe_vocab", "q_pack_bpe", "q_bpe_encode", "q_dsir_weights",
