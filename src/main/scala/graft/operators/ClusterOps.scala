@@ -70,6 +70,12 @@ object ClusterOps extends QueryPack {
     // subsequently-rendered oracle targets (Verify's run-then-render
     // contract). The abort branch still guards the remaining window: a
     // CONCURRENT multi-corpus interleaving between recordK and render.
+    // A SEQUENTIAL contract violation (run A, run B, render A's oracle
+    // without rerunning A) is no longer aborted here — but it is not
+    // silently green either: the rendered SQL embeds B's K, which the
+    // driver's hash-compare against A's data then fails LOUDLY as a
+    // per-query mismatch. The abort was a nicer message for that case;
+    // the safety net (the hash gate) is unchanged.
     lastK.keys.filter(e => e._1 == query && e._2 != dir)
       .foreach(lastK.remove)
     lastK((query, dir)) = k

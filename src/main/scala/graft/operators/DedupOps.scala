@@ -319,13 +319,16 @@ object DedupOps extends QueryPack {
             (shiftleft($"n", PosBits) + $"pos").as("np"),
             $"shingle")
           // eagerly materialized: the pair kernel evaluates its posting
-          // input twice (per-key df counts + the probe side), and the
-          // prefix stream is the one kernel input that is expensive to
-          // recompute (three windows). Executor-local MEMORY_AND_DISK
+          // input TWICE (per-key df counts + the probe side) — that
+          // double evaluation is the reason the checkpoint exists, and
+          // it survives the r12 rewrite (df-join + one doc-grain window
+          // replaced the three full-stream windows this comment used to
+          // cite; the stage is cheaper now but still a shuffle + join +
+          // window per evaluation). Executor-local MEMORY_AND_DISK
           // blocks of the prefix posting — ~half the shingle stream,
           // spill-backed — the standard persist-the-hot-intermediate
-          // move; at 10× it cut the prefix strategy roughly in half
-          // (51.7 s median → 24.6 s cold).
+          // move; at 10× (r9 kernel) it cut the strategy roughly in
+          // half (51.7 s median → 24.6 s cold).
           .localCheckpoint()
         // candidate generation: group the (far smaller) prefix posting by
         // shingle and stream pairs out of the blocked generator kernel —
@@ -596,14 +599,17 @@ object DedupOps extends QueryPack {
   // pigeonhole, under ANY total shingle order) A's floor(|A|/2)+1
   // rarest-by-base-df shingles must hit the partner's FULL posting list
   // — 100% recall, with base-df order steering the prefix away from hot
-  // shingles. Fixture split: doc_id % 10 == 0 is the delta batch.
+  // shingles. Fixture split: doc_id % BpeOps.HoldoutMod == 0 is the
+  // delta batch - the SAME base/delta partition as q_dedup_bloom,
+  // q_stream_dedup_bloom, and q_dedup_bloom_bands (r12 review: one
+  // constant so the family's cross-comparisons cannot silently diverge).
   private val dedupIncremental = QueryDef(
     "q_dedup_incremental",
     (s, d) => {
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
       val docs = shingled(s, d).cache()
-      val isDelta = $"doc_id" % 10 === 0
+      val isDelta = $"doc_id" % BpeOps.HoldoutMod === 0
       val base = docs.filter(!isDelta)
       val delta = docs.filter(isDelta)
       val basePost = base.select($"doc_id".as("bid"),
@@ -649,16 +655,16 @@ object DedupOps extends QueryPack {
           ($"n_dups".isNotNull).cast("long").as("is_dup"))
         .orderBy($"doc_id")
     },
-    Some("""WITH w AS (
+    Some(s"""WITH w AS (
         SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w FROM documents),
       docs AS (
         SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
         FROM w WHERE len(w) >= 3),
       base AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
-               FROM docs WHERE doc_id % 10 <> 0),
+               FROM docs WHERE doc_id % ${BpeOps.HoldoutMod} <> 0),
       delta AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
-                FROM docs WHERE doc_id % 10 = 0),
+                FROM docs WHERE doc_id % ${BpeOps.HoldoutMod} = 0),
       bp AS (SELECT doc_id AS bid, unnest(sh) AS shingle FROM base),
       dp AS (SELECT doc_id AS did, unnest(sh) AS shingle FROM delta),
       inter AS (
@@ -704,7 +710,8 @@ object DedupOps extends QueryPack {
     bandBloomMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
       graft.FixtureStamp.stamp("bloomband1", d, "documents"))) {
       import s.implicits._
-      val keys = bandKeys(shingled(s, d).filter($"doc_id" % 10 =!= 0))
+      val keys = bandKeys(shingled(s, d)
+        .filter($"doc_id" % BpeOps.HoldoutMod =!= 0))
         .select(xxhash64($"band", $"bhash").as("fp"))
       // 4 keys per base doc; the count is one exact aggregate paid once
       // per base version, like the filter build (treeAggregate) itself
@@ -718,7 +725,7 @@ object DedupOps extends QueryPack {
       useBloom: Boolean): DataFrame = {
     import s.implicits._
     val docs = shingled(s, d).cache()
-    val isDelta = $"doc_id" % 10 === 0
+    val isDelta = $"doc_id" % BpeOps.HoldoutMod === 0
     val base = docs.filter(!isDelta)
     val delta = docs.filter(isDelta)
     val baseK = bandKeys(base)
@@ -807,16 +814,16 @@ object DedupOps extends QueryPack {
           (lit(1L) - coalesce(max(($"d_b" === 1L && $"d_e" === 0L)
             .cast("long")), lit(0L))).as("precision_ok"))
     },
-    Some("""WITH w AS (
+    Some(s"""WITH w AS (
         SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w FROM documents),
       docs AS (
         SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
         FROM w WHERE len(w) >= 3),
       base AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
-               FROM docs WHERE doc_id % 10 <> 0),
+               FROM docs WHERE doc_id % ${BpeOps.HoldoutMod} <> 0),
       delta AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
-                FROM docs WHERE doc_id % 10 = 0),
+                FROM docs WHERE doc_id % ${BpeOps.HoldoutMod} = 0),
       bp AS (SELECT doc_id AS bid, unnest(sh) AS shingle FROM base),
       dp AS (SELECT doc_id AS did, unnest(sh) AS shingle FROM delta),
       inter AS (

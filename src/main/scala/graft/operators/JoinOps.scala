@@ -199,11 +199,7 @@ object JoinOps extends QueryPack {
       val wh = java.nio.file.Paths.get(
         if (whUri.getScheme == null) whUri.getPath else new java.io.File(whUri).getPath)
       val dir = wh.resolve(name)
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      graft.Fs.deleteRecursively(dir)
       write.saveAsTable(name)
     }
     name

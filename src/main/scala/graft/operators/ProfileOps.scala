@@ -257,10 +257,12 @@ object ProfileOps extends QueryPack {
   // Scale shape: the row-local checks are map-side conditional sums; the
   // uniqueness check is the same Expand-planned exact distinct
   // q_profile_table uses; referential integrity joins the fact to the
-  // DISTINCT dimension KEY set via broadcast (dimension keys are the
-  // small side by construction — at 100 TB the dim key set is still
-  // ~GBs; past broadcast size the same plan falls back to a
-  // shuffle-hash join on the key). No second fact scan, no row-grain
+  // DISTINCT dimension KEY set — UNHINTED, so the stats/AQE-driven
+  // planner broadcasts a small dim key set (the fixture case, spec-
+  // asserted) and genuinely degrades to a shuffle join past the
+  // broadcast threshold (an explicit broadcast() hint would abort at
+  // the 8 GiB ceiling instead — the VERDICT r8 cliff). No second fact
+  // scan, no row-grain
   // output: violations leave as counts, a violation SAMPLE would be the
   // q_profile_skew TakeOrdered pattern.
   /** Declared expectation suite over `orders` (fact) vs `customer`
@@ -276,7 +278,7 @@ object ProfileOps extends QueryPack {
       val custKeys = Tables.customer(s, d)
         .select($"c_custkey".as("ck")).distinct()
       val m = Tables.orders(s, d)
-        .join(broadcast(custKeys), $"o_custkey" === $"ck", "left")
+        .join(custKeys, $"o_custkey" === $"ck", "left")
         .agg(
           count(lit(1)).as("n_rows"),
           count(when($"o_orderkey".isNull, 1)).as("v_key_null"),

@@ -35,14 +35,11 @@ object ShardOps extends QueryPack {
   /** Shard count — the parallelism/layout knob (thousands at 100 TB). */
   private[graft] val NShards = 8
 
-  /** Collision-proof per-corpus artifact dir (full-path hash suffix —
-    * the r11 basename-collision rule). */
-  private[graft] def shardDir(d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    java.nio.file.Paths.get("target", "shard_ids",
-      new java.io.File(d).getName + "-" + tag).toAbsolutePath.toString
-  }
+  /** Collision-proof per-corpus artifact dir — the shared
+    * full-path-hash scheme (r11 basename-collision rule), one
+    * implementation for every artifact family. */
+  private[graft] def shardDir(d: String): String =
+    graft.streaming.StreamingOps.indexArtifactDir("shard_ids", d).toString
 
   private val shardWrite = QueryDef(
     "q_shard_write",

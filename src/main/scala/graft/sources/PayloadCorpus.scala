@@ -24,11 +24,7 @@ object PayloadCorpus {
     val dir = Paths.get("target", dirName).toAbsolutePath
     val marker = dir.resolve(s"_complete_$n")
     if (Files.exists(marker)) return dir.toString
-    if (Files.exists(dir)) { // stale partial/other-size corpus: rebuild
-      import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-    }
+    graft.Fs.deleteRecursively(dir) // stale partial/other-size corpus: rebuild
     Files.createDirectories(dir)
     var i = 0
     while (i < n) {

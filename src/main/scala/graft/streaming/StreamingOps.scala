@@ -786,11 +786,7 @@ object StreamingOps extends QueryPack {
       val dir = streamInputDir(s, d)
       val outPath = java.nio.file.Paths.get("target", "sink_foreachbatch",
         new java.io.File(d).getName).toAbsolutePath
-      if (java.nio.file.Files.exists(outPath)) { // idempotent across reruns
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(outPath).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      graft.Fs.deleteRecursively(outPath) // idempotent across reruns
       val out = outPath.toString
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
@@ -840,11 +836,7 @@ object StreamingOps extends QueryPack {
       val dir = streamInputDir(s, d)
       val base = java.nio.file.Paths.get("target", "sink_stream_files",
         new java.io.File(d).getName).toAbsolutePath
-      if (java.nio.file.Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      graft.Fs.deleteRecursively(base)
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("value", DoubleType)))
@@ -1001,11 +993,7 @@ object StreamingOps extends QueryPack {
       graft.FixtureStamp.stamp("v1", d, "documents"))) {
       val dir = streamDocsDir(s, d)
       val outPath = indexArtifactDir("sink_index_deltas", d)
-      if (java.nio.file.Files.exists(outPath)) { // fresh delta log per run
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(outPath).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      graft.Fs.deleteRecursively(outPath) // fresh delta log per run
       val out = outPath.toString
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -1175,12 +1163,7 @@ object StreamingOps extends QueryPack {
       // serving the previous run's files through the same checkpoint.
       val outPath = indexArtifactDir("stream_anomaly_out", d)
       val ckPath = indexArtifactDir("stream_anomaly_ck", d)
-      Seq(outPath, ckPath).filter(java.nio.file.Files.exists(_)).foreach {
-        p =>
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      Seq(outPath, ckPath).foreach(graft.Fs.deleteRecursively)
       withStreamPartitions(s, 8) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -1237,8 +1220,11 @@ object StreamingOps extends QueryPack {
 
   // ----------------------------- streaming bloom ingest gate (r11 task 3)
   /** Delta-docs landing zone: the `doc_id % HoldoutMod == 0` batch split
-    * into two mtime-pinned files (= two micro-batches). Idempotent per
-    * sf (FixtureStamp). */
+    * into two files (= two micro-batches). No mtime pinning, unlike
+    * streamInputDir3: the bloom gate is stateless and per-doc, so batch
+    * admission ORDER cannot change any result — a stage that becomes
+    * order-sensitive (watermarks, windows) must add the pinning.
+    * Idempotent per sf (FixtureStamp). */
   private def streamDeltaDocsDir(s: SparkSession, d: String): String = {
     import s.implicits._
     val dir = java.nio.file.Paths.get("target", "stream_delta_docs",
@@ -1298,11 +1284,7 @@ object StreamingOps extends QueryPack {
       val bloom = graft.operators.DedupOps.baseBloom(s, d)
       val baseIdx = baseHashDir(s, d)
       val outPath = indexArtifactDir("stream_dedup_bloom_out", d)
-      if (java.nio.file.Files.exists(outPath)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(outPath).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      graft.Fs.deleteRecursively(outPath)
       val out = outPath.toString
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
