@@ -83,6 +83,10 @@ object BenchStress {
     // grow with (type x window) cardinality xREP; stressed with the
     // rest of the stateful streaming tier
     "q_stream_anomaly",
+    // round-12: the statestore reader — checkpoint state rows grow with
+    // (type x window) xREP; stressed to prove the offline read scales
+    // with the state, not the stream
+    "q_stream_state_inspect",
     // round-11: the LSM merge pass — folds a delta log that grows with
     // (terms x batches) xREP and rewrites the base index; stressed to
     // prove the fold stays term-sized while the corpus stream grows
@@ -222,6 +226,9 @@ object BenchStress {
     // subword-id sequences: word explode + broadcast dict/vocab joins +
     // one grouped shuffle — linear, same class as q_text_token_ids
     "q_text_bpe_ids", "q_text_unigram_ids",
+    // fertility stats: the same word-explode + broadcast-dict join with
+    // a lang-cardinality aggregate — strictly less work than bpe_ids
+    "q_tokenizer_fertility",
     // tokenizer artifact + coverage curve: vocab-sized plans over the
     // memoized learned dict — never touch the corpus beyond the learning
     // pass, which x_bpe_learn times at 10x

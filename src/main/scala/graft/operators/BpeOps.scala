@@ -705,6 +705,60 @@ object BpeOps extends QueryPack {
     "Context-window packing of BPE token counts (512-token bins over 32 " +
       "parallel shards) — the tokenize-then-pack composition")
 
+  // --------------------------------------------- q_tokenizer_fertility
+  // The published tokenizer-evaluation statistic pair (SentencePiece /
+  // multilingual-tokenizer papers): FERTILITY = subword tokens per
+  // whitespace word, and BYTES-PER-TOKEN = UTF-8 compression, per
+  // language — the numbers a pipeline owner reads before committing a
+  // tokenizer to a multilingual corpus (a high-fertility language pays
+  // proportionally more sequence length for the same text). Exact
+  // decimal ratios over integer sums; the corpus side is a word explode
+  // + ONE broadcast join against the learned dict (word → n_tok) + a
+  // language-cardinality aggregation. Nothing corpus-sized shuffles
+  // except the lang-keyed partial-aggregated word stream.
+  private val tokenizerFertility = QueryDef(
+    "q_tokenizer_fertility",
+    (s, d) => {
+      import s.implicits._
+      val (_, dictTok) = learnBpe(s, d)
+      val words = Tables.documents(s, d)
+        .select($"lang", explode(split(lower($"text"), " +")).as("w0"))
+        .select($"lang", replace($"w0", lit(D), lit("")).as("word"))
+        .filter(length($"word") > 0)
+      words
+        .join(broadcast(dictTok.select($"word", $"n_tok")), "word")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"n_tok").cast("long").as("n_tokens"),
+          sum(octet_length($"word").cast("long")).cast("long")
+            .as("n_bytes"))
+        .select($"lang", $"n_words", $"n_tokens", $"n_bytes",
+          round($"n_tokens".cast("decimal(18,2)") / $"n_words", 6)
+            .cast("decimal(38,6)").cast("double").as("fertility"),
+          round($"n_bytes".cast("decimal(18,2)") / $"n_tokens", 6)
+            .cast("decimal(38,6)").cast("double").as("bytes_per_token"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH $learnCtes,
+      dtoks AS MATERIALIZED (SELECT word, freq,
+        CAST(len(string_split(trim(t, chr(1)), chr(1)||chr(1))) AS BIGINT) AS n_tok
+        FROM d$Merges),
+      wl AS (SELECT lang, replace(w0, chr(1), '') AS word FROM (
+          SELECT lang, unnest(regexp_split_to_array(lower(text), ' +')) AS w0
+          FROM documents)
+        WHERE len(replace(w0, chr(1), '')) > 0),
+      a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+          CAST(sum(strlen(w.word)) AS BIGINT) AS n_bytes
+        FROM wl w JOIN dtoks t USING (word) GROUP BY lang)
+      SELECT lang, n_words, n_tokens, n_bytes,
+        CAST(CAST(round(CAST(n_tokens AS DECIMAL(18,2)) / n_words, 6) AS DECIMAL(38,6)) AS DOUBLE) AS fertility,
+        CAST(CAST(round(CAST(n_bytes AS DECIMAL(18,2)) / n_tokens, 6) AS DECIMAL(38,6)) AS DOUBLE) AS bytes_per_token
+      FROM a ORDER BY lang"""),
+    "Tokenizer fertility + bytes-per-token by language over the learned " +
+      "BPE dict — word explode, one broadcast dict join, lang-keyed agg")
+
   override def defs: Seq[QueryDef] =
-    Seq(textBpe, textBpeIds, bpeVocab, vocabCoverage, packBpe, bpeEncode)
+    Seq(textBpe, textBpeIds, bpeVocab, vocabCoverage, packBpe, bpeEncode,
+      tokenizerFertility)
 }

@@ -1340,11 +1340,94 @@ object StreamingOps extends QueryPack {
       "exact-verify join against the persisted base hash index in " +
       "foreachBatch — full hash oracle on the dup decision")
 
+  // ------------------------------ state-store inspection (r12)
+  /** Sentinel-free single-file event landing zone: ONE micro-batch, so
+    * the post-batch watermark never evicts anything and the checkpoint
+    * state holds EVERY (event_type, window) aggregate — a deterministic,
+    * batch-replayable state snapshot. Idempotent per sf. */
+  private def streamInputDirState(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = java.nio.file.Paths.get("target", "stream_in_state",
+      new java.io.File(d).getName).toAbsolutePath
+    val marker = dir.resolve("_complete")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "events")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
+    Tables.events(s, d).select($"ts", $"event_type", $"value")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    graft.FixtureStamp.complete(marker, stamp)
+    dir.toString
+  }
+
+  // The production state-debugging op Spark 4 ships as the built-in
+  // `statestore` data source: read a stateful query's CHECKPOINT —
+  // without replaying the stream — and return the live aggregation
+  // state. Here a watermarked tumbling-window count/sum runs over ONE
+  // micro-batch (watermark at batch time is still 0, so append mode
+  // emits nothing and evicts nothing: the state IS the full window
+  // aggregate set), then the checkpoint is read back as a DataFrame and
+  // unpacked to (event_type, win_start, n_events, sum_cents) — which a
+  // batch GROUP BY replays exactly, giving the state reader a FULL hash
+  // oracle. At scale this is how an operator answers "why is my state
+  // 2 TB" — per-key state rows, offline, partition-pruned by the state
+  // store layout, zero impact on the running query.
+  private val streamStateInspect = QueryDef(
+    "q_stream_state_inspect",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamInputDirState(s, d)
+      val ckPath = indexArtifactDir("stream_state_ck", d)
+      graft.Fs.deleteRecursively(ckPath)
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      // no-data micro-batches OFF: after the single data batch Spark
+      // would otherwise run an empty batch whose advanced watermark
+      // EVICTS every closed window from state — the snapshot we came to
+      // inspect. With them off, batch 0's state (watermark still 0,
+      // nothing evicted, nothing emitted) is the complete aggregate set.
+      withStreamPartitions(s, 8,
+          Seq("spark.sql.streaming.noDataMicroBatches.enabled" ->
+            "false")) { ss =>
+        val q = ss.readStream.schema(schema).parquet(dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy($"event_type", window($"ts", "5 minutes").as("win"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+              .as("sum_cents"))
+          .writeStream.format("memory")
+          .queryName("graft_state_inspect")
+          .option("checkpointLocation", ckPath.toString)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.read.format("statestore")
+        .option("path", ckPath.toString).load()
+        .select($"key.event_type".as("event_type"),
+          unix_timestamp($"key.window.start").as("win_start"),
+          // the state VALUE row carries the physical agg buffers under
+          // their function names (count, sum), not the query aliases
+          $"value.count".as("n_events"),
+          $"value.sum".cast("long").as("sum_cents"))
+        .orderBy($"event_type", $"win_start")
+    },
+    Some("""SELECT event_type,
+        CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS win_start,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+          AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1, 2 ORDER BY event_type, win_start"""),
+    "State-store inspection: the checkpoint of a watermarked windowed " +
+      "aggregation read back offline via the built-in statestore data " +
+      "source; the single-batch state equals the batch GROUP BY")
+
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamChained,
       streamStateful, streamTransformWithState, streamTimerExpiry,
       sessionWindowBatch, streamDedup, streamJoin, streamStaticJoin,
       streamForeachBatch, streamSinkFiles, streamQualityGate,
       streamIndexMaintain, streamIndexCompact, streamAnomaly,
-      streamDedupBloom)
+      streamDedupBloom, streamStateInspect)
 }

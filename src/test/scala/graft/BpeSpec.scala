@@ -434,4 +434,24 @@ class BpeSpec extends SparkTestBase {
       assert(nfb === ws.map(w => encMap(w)._2).sum)
     }
   }
+
+  test("q_tokenizer_fertility: fertility >= 1, word totals match the " +
+      "corpus word stream, and byte totals are consistent") {
+    val rows = q("q_tokenizer_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0,
+        s"every word is at least one token (${r.getString(0)})")
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Double]("bytes_per_token") > 0.0)
+    }
+    // the per-lang word totals must equal the shared corpus word stream
+    val expect = Tables.documents(spark, sf)
+      .select($"lang", explode(split(lower($"text"), " +")).as("w"))
+      .filter(length(regexp_replace($"w", "\u0001", "")) > 0)
+      .groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n_words") ===
+      expect(r.getString(0)), s"word total for ${r.getString(0)}"))
+  }
 }

@@ -139,6 +139,23 @@ class StreamQualitySpec extends SparkTestBase {
       "the gate must have processed multiple micro-batches")
   }
 
+  test("q_stream_state_inspect reads checkpoint state OFFLINE — a second " +
+      "read with no stream running returns the same rows") {
+    val first = q("q_stream_state_inspect").collect()
+    assert(first.length > 0)
+    // the checkpoint outlives the query; reading it again runs NO stream
+    // (this is the whole point of the statestore source: state debugging
+    // without replay). Same checkpoint -> same rows.
+    val ck = graft.streaming.StreamingOps
+      .indexArtifactDir("stream_state_ck", sf).toString
+    assert(spark.streams.active.isEmpty, "no stream may be running")
+    val again = spark.read.format("statestore").option("path", ck).load()
+    assert(again.count() === first.length.toLong)
+    // every (event_type, window) pair appears exactly once in state
+    assert(first.map(r => (r.getString(0), r.getLong(1))).distinct.length
+      === first.length)
+  }
+
   test("q_stream_anomaly's epilogue reads from the parquet FILE sink, " +
       "not driver memory (unbounded-safe, VERDICT r11 task 4)") {
     val df = q("q_stream_anomaly")
