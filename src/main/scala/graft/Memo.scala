@@ -58,6 +58,12 @@ object Memo {
     def get(k: K): Option[V] = synchronized(Option(m.get(k)))
     def size: Int = synchronized(m.size)
 
+    /** Snapshot of the live values (no recency refresh). */
+    def values: Seq[V] = synchronized {
+      import scala.jdk.CollectionConverters._
+      m.values.asScala.toSeq
+    }
+
     /** Drop (and clean up) every entry — test/shutdown hook. */
     def clear(): Unit = synchronized {
       m.values.forEach(v => try onEvict(v) catch {

@@ -95,14 +95,16 @@ object StreamingOps extends QueryPack {
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
     try body(scoped)
-    finally ckpt.foreach { p =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(p.toFile)
-    }
+    finally ckpt.foreach(graft.Fs.deleteRecursively)
   }
+
+  /** Streaming queries active on ANY pooled scoped session — the outer
+    * session's StreamingQueryManager cannot see them (each newSession()
+    * has its own), so "no stream is running" checks must go through
+    * this, not `spark.streams.active` (r12 review). */
+  private[graft] def activeScopedStreams: Seq[String] =
+    scopedPool.values.flatMap(_.streams.active.toSeq)
+      .map(q => s"${q.name}/${q.id}")
 
   // ------------------------------------------------ batch sessionization
   private val sessionize = QueryDef(

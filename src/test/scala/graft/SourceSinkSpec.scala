@@ -44,11 +44,7 @@ class SourceSinkSpec extends SparkTestBase {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(operators.SourceOps.materializePayloads(spark, sf))
     val base = Paths.get("target", "test-restart").toAbsolutePath
-    def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
-    rm(base)
+    graft.Fs.deleteRecursively(base)
     val landing = base.resolve("landing"); Files.createDirectories(landing)
     val ckpt = base.resolve("ckpt").toString
     val out = base.resolve("out").toString
@@ -83,11 +79,7 @@ class SourceSinkSpec extends SparkTestBase {
     import java.nio.file.{Files, Paths}
     import java.nio.charset.StandardCharsets
     val base = Paths.get("target", "test-ooo").toAbsolutePath
-    def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
-    rm(base)
+    graft.Fs.deleteRecursively(base)
     val landing = base.resolve("landing"); Files.createDirectories(landing)
     def put(name: String): Unit = Files.write(landing.resolve(name),
       s"""{"spider_ts": 1, "price_data": {"USD": 1, "time": 1}}"""

@@ -148,7 +148,11 @@ class StreamQualitySpec extends SparkTestBase {
     // without replay). Same checkpoint -> same rows.
     val ck = graft.streaming.StreamingOps
       .indexArtifactDir("stream_state_ck", sf).toString
-    assert(spark.streams.active.isEmpty, "no stream may be running")
+    // streams run on POOLED SCOPED sessions whose StreamingQueryManagers
+    // the outer session can't see — spark.streams.active here is always
+    // empty and proves nothing (r12 review); enumerate the pool instead
+    assert(graft.streaming.StreamingOps.activeScopedStreams.isEmpty,
+      "no stream may be running on any scoped session")
     val again = spark.read.format("statestore").option("path", ck).load()
     assert(again.count() === first.length.toLong)
     // every (event_type, window) pair appears exactly once in state
