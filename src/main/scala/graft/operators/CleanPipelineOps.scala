@@ -135,13 +135,19 @@ object CleanPipelineOps extends QueryPack {
   // pieces: keptDocs (the q_pipeline_clean survivor set) → ChunkText
   // (the q_text_chunk one-pass codegen kernel, 128-token windows,
   // 32-token overlap) → the q_pack_sequences running-sum bin rule
-  // (512-token budget, shard = doc_id % 32).
+  // ([[BinBudget]]-token budget, shard = doc_id % 32).
   //
   // Scale shape: chunking is a pure map + bounded Generate; packing is
   // ONE shuffle on shard with a per-shard ordered running sum (the
   // shard count is the parallelism knob — 32 here, thousands at
   // 100 TB); the bin grouping reuses the shard partitioning. Nothing
   // global, no corpus-grain window.
+  // One named budget interpolated into BOTH the Spark expr and the
+  // DuckDB oracle (ADVICE r12: twin magic 512s can silently desync);
+  // deliberately the same 512 as ShardOps.SeqLen — a bin holds exactly
+  // one packed training sequence.
+  private val BinBudget: Long = ShardOps.SeqLen.toLong
+
   private val pipelineShards = QueryDef(
     "q_pipeline_shards",
     (s, d) => {
@@ -160,7 +166,7 @@ object CleanPipelineOps extends QueryPack {
         // integer floor division (operands are non-negative longs): a
         // double divide loses integer exactness past 2^53 cumulative
         // tokens per shard, which a 100 TB corpus can reach (ADVICE r11)
-        .withColumn("bin", expr("(cum - n_tokens) div 512"))
+        .withColumn("bin", expr(s"(cum - n_tokens) div $BinBudget"))
         .groupBy($"shard", $"bin")
         .agg(count("*").as("n_chunks"),
           countDistinct($"doc_id").as("n_docs"),
@@ -187,7 +193,7 @@ object CleanPipelineOps extends QueryPack {
       cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
           ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) AS cum
         FROM cl)
-      SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+      SELECT shard, CAST((cum - n_tokens) // $BinBudget AS BIGINT) AS bin,
         count(*) AS n_chunks,
         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,

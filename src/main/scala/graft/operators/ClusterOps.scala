@@ -76,9 +76,15 @@ object ClusterOps extends QueryPack {
     // driver's hash-compare against A's data then fails LOUDLY as a
     // per-query mismatch. The abort was a nicer message for that case;
     // the safety net (the hash gate) is unchanged.
-    lastK.keys.filter(e => e._1 == query && e._2 != dir)
-      .foreach(lastK.remove)
-    lastK((query, dir)) = k
+    // Clear+put under one lock: two concurrent recordK calls for
+    // different corpora could otherwise interleave so both entries
+    // survive (re-creating the ambiguity) or the newest write is
+    // cleared (ADVICE r12). recordK is not hot-path; a monitor is fine.
+    lastK.synchronized {
+      lastK.keys.filter(e => e._1 == query && e._2 != dir)
+        .foreach(lastK.remove)
+      lastK((query, dir)) = k
+    }
   }
   private[graft] def recordedK(query: String): Int = {
     val ks = lastK.collect { case ((q, dir), k) if q == query => dir -> k }

@@ -1109,7 +1109,10 @@ object StreamingOps extends QueryPack {
     val dir = java.nio.file.Paths.get("target", "stream_in3",
       new java.io.File(d).getName).toAbsolutePath
     val marker = dir.resolve("_complete")
-    val stamp = graft.FixtureStamp.stamp("v1", d, "events")
+    // v2: the sentinel's event_type gained a U+0001 prefix in r12; the
+    // stamp must change with the content rules or a pre-existing fixture
+    // keeps the old sentinel that the defensive filter no longer matches
+    val stamp = graft.FixtureStamp.stamp("v2", d, "events")
     if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
     val ev = Tables.events(s, d).select($"ts", $"event_type", $"value")
     ev.coalesce(1).write.mode("overwrite").parquet(dir.toString)
