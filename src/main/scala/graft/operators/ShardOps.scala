@@ -41,32 +41,49 @@ object ShardOps extends QueryPack {
   private[graft] def shardDir(d: String): String =
     graft.streaming.StreamingOps.indexArtifactDir("shard_ids", d).toString
 
+  /** Shared pack step: per-shard (doc_id, pos, subpos) total order →
+    * running token index → [[SeqLen]]-sized rows, grouped to one packed
+    * row per (shard, seq_idx). A per-SHARD sort, not a global one: the
+    * window partitions on the layout key, so each sort is corpus/NShards
+    * and the whole pack is one exchange (the q_pipeline_shards window
+    * rule). Integer division — exact past 2^53 cumulative tokens (the
+    * q_pipeline_shards ADVICE r11 rule); operands non-negative.
+    * `startSeq` (shard → first free seq_idx) offsets a later ingest
+    * generation so its rows continue the shard's address space without
+    * touching earlier rows — None packs from 0. */
+  private def packRows(s: SparkSession, ids: DataFrame,
+      startSeq: Option[DataFrame]): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id", $"pos", $"subpos")
+    val toks = ids
+      .withColumn("tok_idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("seq_in_gen", expr(s"tok_idx div $SeqLen"))
+      .withColumn("pos_in_seq", pmod($"tok_idx", lit(SeqLen.toLong)))
+    val seqd = startSeq match {
+      case Some(off) => toks
+        .join(broadcast(off), Seq("shard"), "left")
+        .withColumn("seq_idx", $"seq_in_gen" + coalesce($"seq0", lit(0L)))
+      case None => toks.withColumn("seq_idx", $"seq_in_gen")
+    }
+    seqd
+      .groupBy($"shard", $"seq_idx")
+      .agg(count(lit(1)).cast("long").as("n_ids"),
+        array_join(
+          transform(array_sort(collect_list(struct($"pos_in_seq", $"tid"))),
+            x => x.getField("tid").cast("string")), ",").as("ids_str"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+  }
+
   private val shardWrite = QueryDef(
     "q_shard_write",
     (s, d) => {
       import s.implicits._
       val ids = BpeOps.subwordIdRows(s, d)
         .withColumn("shard", pmod($"doc_id", lit(NShards.toLong)))
-      // Per-shard total order (doc_id, pos, subpos) → running token
-      // index. A per-SHARD sort, not a global one: the window partitions
-      // on the layout key, so each sort is corpus/NShards and the whole
-      // pack is one exchange (the q_pipeline_shards window rule).
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"shard").orderBy($"doc_id", $"pos", $"subpos")
-      val packed = ids
-        .withColumn("tok_idx", row_number().over(w).cast("long") - 1L)
-        // integer division — exact past 2^53 cumulative tokens (the
-        // q_pipeline_shards ADVICE r11 rule); operands non-negative
-        .withColumn("seq_idx", expr(s"tok_idx div $SeqLen"))
-        .withColumn("pos_in_seq", pmod($"tok_idx", lit(SeqLen.toLong)))
-        .groupBy($"shard", $"seq_idx")
-        .agg(count(lit(1)).cast("long").as("n_ids"),
-          array_join(
-            transform(array_sort(collect_list(struct($"pos_in_seq", $"tid"))),
-              x => x.getField("tid").cast("string")), ",").as("ids_str"),
-          countDistinct($"doc_id").as("n_docs"),
-          min($"doc_id").as("first_doc"),
-          max($"doc_id").as("last_doc"))
+      val packed = packRows(s, ids, None)
       val dir = shardDir(d)
       packed.write.mode("overwrite").partitionBy("shard").parquet(dir)
       // Declared result = the READ-BACK, so the oracle hash proves the
@@ -96,5 +113,105 @@ object ShardOps extends QueryPack {
       s"fixed-$SeqLen-id rows per shard, written hive-partitioned and " +
       "read back — the tokenize->pack->write->read chain under one hash")
 
-  override def defs: Seq[QueryDef] = Seq(shardWrite)
+  // ---------------------------------------------------- q_shard_append
+  // VERDICT r12 task 3: the daily-pipeline shape — q_shard_write is
+  // overwrite-only; a production corpus APPENDS newly cleaned docs to an
+  // existing shard set without rewriting it. The pack contract that
+  // makes append a pure file add is GENERATION ALIGNMENT: sequences
+  // never span ingest generations — each generation packs its own token
+  // stream from a fresh [[SeqLen]] boundary (the shard's next free
+  // seq_idx), so the base generation's rows (and files) are final the
+  // moment they land. Layout is hive (shard, gen): an appended batch
+  // creates only new `gen=1` directories; ShardAppendSpec proves the
+  // base files are byte-untouched. The base/delta split is the family's
+  // shared [[BpeOps.HoldoutMod]] rule (same as q_dedup_incremental /
+  // q_dedup_bloom*). The oracle recomputes the ENTIRE two-generation
+  // layout in one pass — append path ≡ full rebuild under the declared
+  // pack rule, under one hash.
+  //
+  // Scale shape: the append touches |delta| tokens + an NShards-row
+  // partition-pruned manifest aggregate (the existing index is never
+  // re-tokenized or re-read at corpus grain) — exactly the
+  // q_stream_index_maintain LSM posture applied to training shards.
+
+  private[graft] def appendShardDir(d: String): String =
+    graft.streaming.StreamingOps.indexArtifactDir("shard_append", d).toString
+
+  /** One ingest generation's subword-id stream (the HoldoutMod split). */
+  private def genIds(s: SparkSession, d: String, delta: Boolean): DataFrame = {
+    import s.implicits._
+    val in = BpeOps.subwordIdRows(s, d)
+    val sel = if (delta) $"doc_id" % BpeOps.HoldoutMod === 0
+    else $"doc_id" % BpeOps.HoldoutMod =!= 0
+    in.filter(sel).withColumn("shard", pmod($"doc_id", lit(NShards.toLong)))
+  }
+
+  /** Base build: pack the base generation from seq 0, overwrite. */
+  private[graft] def writeShardBase(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = appendShardDir(d)
+    packRows(s, genIds(s, d, delta = false), None)
+      .withColumn("gen", lit(0))
+      .write.mode("overwrite").partitionBy("shard", "gen").parquet(dir)
+    dir
+  }
+
+  /** Incremental append: pack ONLY the delta stream, continuing each
+    * shard's seq address space from the existing index's next free row
+    * (a partition-pruned manifest aggregate — the base corpus is never
+    * re-tokenized), and land it as new gen=1 files. */
+  private[graft] def appendShardDelta(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    val dir = appendShardDir(d)
+    val offsets = s.read.parquet(dir).filter($"gen" === 0)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg((max($"seq_idx") + 1L).as("seq0"))
+    packRows(s, genIds(s, d, delta = true), Some(offsets))
+      .withColumn("gen", lit(1))
+      .write.mode("append").partitionBy("shard", "gen").parquet(dir)
+  }
+
+  private val shardAppend = QueryDef(
+    "q_shard_append",
+    (s, d) => {
+      import s.implicits._
+      writeShardBase(s, d)
+      appendShardDelta(s, d)
+      s.read.parquet(appendShardDir(d))
+        .select($"shard".cast("long").as("shard"),
+          $"gen".cast("long").as("gen"),
+          $"seq_idx", $"n_ids", $"n_docs", $"first_doc", $"last_doc",
+          $"ids_str")
+        .orderBy($"shard", $"gen", $"seq_idx")
+    },
+    Some(s"""WITH ${BpeOps.subwordIdCtes},
+      t AS (SELECT doc_id, pos, subpos, tid, doc_id % $NShards AS shard,
+          CASE WHEN doc_id % ${BpeOps.HoldoutMod} = 0 THEN 1 ELSE 0 END AS gen
+        FROM ids),
+      ord AS (SELECT shard, gen, doc_id, tid,
+          row_number() OVER (PARTITION BY shard, gen
+            ORDER BY doc_id, pos, subpos) - 1 AS tok
+        FROM t),
+      basecnt AS (SELECT shard, count(*) AS nb FROM ord WHERE gen = 0
+        GROUP BY 1),
+      sq AS (SELECT o.shard, o.gen, o.doc_id, o.tid, o.tok,
+          CASE WHEN o.gen = 0 THEN o.tok // $SeqLen
+               ELSE COALESCE(b.nbseq, 0) + o.tok // $SeqLen END AS seq_idx
+        FROM ord o LEFT JOIN (SELECT shard,
+            (nb + ${SeqLen - 1}) // $SeqLen AS nbseq FROM basecnt) b
+          ON o.gen = 1 AND o.shard = b.shard)
+      SELECT CAST(shard AS BIGINT) AS shard, CAST(gen AS BIGINT) AS gen,
+        CAST(seq_idx AS BIGINT) AS seq_idx,
+        CAST(count(*) AS BIGINT) AS n_ids,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        array_to_string(list(CAST(tid AS VARCHAR) ORDER BY tok), ',')
+          AS ids_str
+      FROM sq GROUP BY 1, 2, 3 ORDER BY shard, gen, seq_idx"""),
+    "Incremental shard append: base generation written once, delta " +
+      "generation packed from each shard's next free seq boundary and " +
+      "landed as NEW files only; read-back hash-equal to the oracle's " +
+      "one-pass rebuild of the generation-aligned layout")
+
+  override def defs: Seq[QueryDef] = Seq(shardWrite, shardAppend)
 }
