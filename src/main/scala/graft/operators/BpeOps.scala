@@ -558,6 +558,171 @@ object BpeOps extends QueryPack {
       "the 90% base slice applied to the 10% holdout, unseen words " +
       "subword-split, collect-free distributed application")
 
+  // ---------------------------------------------------- q_bpe_bytes
+  // VERDICT r12 task 4: GPT-2-class BYTE-LEVEL fallback. q_bpe_encode's
+  // n_unseen_words > 0 is the gap — a code-point tokenizer has no id for
+  // symbols the trainer never saw. Here the id space reserves 1..256 for
+  // the 256 single bytes; learned subwords rank from 257. Encoding is
+  // total BY CONSTRUCTION: a subword outside the frozen vocabulary
+  // decomposes into its UTF-8 bytes (functions/Utf8Bytes.scala — exact
+  // for any Unicode input, astral included), so n_unseen is computed —
+  // not pinned — and lands 0. The whole per-doc id sequence goes under
+  // the hash oracle (ids_str), and BpeBytesSpec proves the round trip:
+  // decode(encode(word)) == word for every held-out word, including
+  // planted non-ASCII words on a scratch corpus.
+  //
+  // Scale shape: identical to q_bpe_encode — distinct held words fold
+  // the Merges-deep codegen replace chain, vocab is a broadcast, per-doc
+  // assembly is one grouped shuffle; the fallback adds only a per-row
+  // byte decomposition (no join, no extra pass).
+
+  /** Frequency-ranked subword vocabulary of the BASE tokenizer with ids
+    * offset past the 256 reserved byte ids: (tok, vid), vid ≥ 257. */
+  private[graft] def byteVocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, baseDict) = learnBpeBase(s, d)
+    baseDict
+      .select(explode($"toks").as("tok"), $"freq")
+      .groupBy($"tok").agg(sum($"freq").as("cnt"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"cnt".desc, $"tok")))
+      .filter($"rank" <= VocabSize)
+      .select($"tok", ($"rank" + 256L).cast("long").as("vid"))
+  }
+
+  /** Held-out words with positions: (doc_id, pos, word). */
+  private def heldPosWords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .where($"doc_id" % HoldoutMod === 0)
+      .select($"doc_id", posexplode(split(lower($"text"), " +")))
+      .toDF("doc_id", "pos", "w0")
+      .select($"doc_id", $"pos", replace($"w0", lit(D), lit("")).as("word"))
+      .filter(length($"word") > 0)
+  }
+
+  /** Byte-fallback encode of every distinct held-out word:
+    * (word, idl array<long>, nfb, nun). Total by construction. */
+  private[graft] def byteWordIds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (merges, _) = learnBpeBase(s, d)
+    val t0: org.apache.spark.sql.Column = concat(lit(D),
+      array_join(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        DD),
+      lit(D))
+    val tN = merges.foldLeft(t0)((c, m) =>
+      replace(c, lit(D + m.a + DD + m.b + D), lit(D + m.a + m.b + D)))
+    val subs = heldPosWords(s, d).select($"word").distinct()
+      .withColumn("t", tN)
+      .select($"word", posexplode(split(expr("trim(BOTH char(1) FROM t)"), DD)))
+      .toDF("word", "subpos", "sub")
+    val mapped = subs
+      .join(broadcast(byteVocab(s, d)), $"sub" === $"tok", "left")
+      .select($"word", $"subpos",
+        when($"vid".isNotNull, array($"vid"))
+          .otherwise(transform(
+            graft.functions.Utf8Bytes.utf8_bytes($"sub"),
+            b => b.cast("long") + 1L)).as("ids"),
+        when($"vid".isNull, octet_length($"sub").cast("long"))
+          .otherwise(lit(0L)).as("nfb"))
+    mapped
+      .withColumn("nun", ($"ids".isNull).cast("long"))
+      .groupBy($"word")
+      .agg(
+        flatten(transform(array_sort(collect_list(struct($"subpos", $"ids"))),
+          x => x.getField("ids"))).as("idl"),
+        sum($"nfb").as("nfb"),
+        sum($"nun").as("nun"))
+  }
+
+  private val bpeBytes = QueryDef(
+    "q_bpe_bytes",
+    (s, d) => {
+      import s.implicits._
+      val perDoc = heldPosWords(s, d)
+        .join(broadcast(byteWordIds(s, d)), "word")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size($"idl")).cast("long").as("n_ids"),
+          sum($"nfb").as("n_fallback_ids"),
+          sum($"nun").as("n_unseen"),
+          array_join(flatten(transform(
+            array_sort(collect_list(struct($"pos", $"idl"))),
+            x => transform(x.getField("idl"), i => i.cast("string")))), ",")
+            .as("ids_str"))
+      Tables.documents(s, d).select($"doc_id")
+        .where($"doc_id" % HoldoutMod === 0)
+        .join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_words", lit(0L)).as("n_words"),
+          coalesce($"n_ids", lit(0L)).as("n_ids"),
+          coalesce($"n_fallback_ids", lit(0L)).as("n_fallback_ids"),
+          coalesce($"n_unseen", lit(0L)).as("n_unseen"),
+          coalesce($"ids_str", lit("")).as("ids_str"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH ${learnCtesFiltered(s"doc_id % $HoldoutMod <> 0")},
+      $dictToksCte,
+      vocab AS (SELECT tok, CAST(rank + 256 AS BIGINT) AS vid FROM (
+          SELECT tok,
+            CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank
+          FROM (SELECT tok, SUM(freq) AS cnt FROM (
+            SELECT freq, unnest(tk) AS tok FROM dtoks) GROUP BY 1))
+        WHERE rank <= $VocabSize),
+      hwp AS MATERIALIZED (SELECT doc_id, pos, replace(w0, chr(1), '') AS word
+        FROM (SELECT doc_id, unnest(tk) AS w0,
+            generate_subscripts(tk, 1) AS pos FROM (
+          SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS tk
+          FROM documents WHERE doc_id % $HoldoutMod = 0))
+        WHERE len(replace(w0, chr(1), '')) > 0),
+      e0 AS MATERIALIZED (SELECT DISTINCT word,
+          chr(1) || array_to_string(
+            list_transform(range(1, len(word) + 1), i -> word[i:i]),
+            chr(1)||chr(1)) || chr(1) AS t
+        FROM hwp),
+      ${(0 until Merges).map(k => s"""e${k + 1} AS MATERIALIZED (SELECT word,
+        coalesce(replace(t,
+          chr(1)||(SELECT a FROM b$k)||chr(1)||chr(1)||(SELECT b FROM b$k)||chr(1),
+          chr(1)||(SELECT a FROM b$k)||(SELECT b FROM b$k)||chr(1)), t) AS t
+        FROM e$k)""").mkString(",\n      ")},
+      subs AS (SELECT word, unnest(sy) AS sub,
+          generate_subscripts(sy, 1) AS subpos FROM (
+        SELECT word, string_split(trim(t, chr(1)), chr(1)||chr(1)) AS sy
+        FROM e$Merges)),
+      idsw AS (SELECT s.word, s.subpos,
+          CASE WHEN v.vid IS NOT NULL THEN [v.vid]
+               ELSE list_transform(range(1, len(s.sub) + 1),
+                 i -> CAST(ord(substring(s.sub, i, 1)) + 1 AS BIGINT)) END AS ids,
+          CAST(CASE WHEN v.vid IS NULL THEN len(s.sub) ELSE 0 END
+            AS BIGINT) AS nfb
+        FROM subs s LEFT JOIN vocab v ON s.sub = v.tok),
+      wid AS (SELECT word, flatten(list(ids ORDER BY subpos)) AS idl,
+          SUM(nfb) AS nfb,
+          SUM(CASE WHEN ids IS NULL THEN 1 ELSE 0 END) AS nun
+        FROM idsw GROUP BY 1),
+      per_doc AS (SELECT h.doc_id,
+          CAST(count(*) AS BIGINT) AS n_words,
+          CAST(SUM(len(w.idl)) AS BIGINT) AS n_ids,
+          CAST(SUM(w.nfb) AS BIGINT) AS n_fallback_ids,
+          CAST(SUM(w.nun) AS BIGINT) AS n_unseen,
+          array_to_string(flatten(list(
+            list_transform(w.idl, x -> CAST(x AS VARCHAR)) ORDER BY h.pos)),
+            ',') AS ids_str
+        FROM hwp h JOIN wid w USING (word) GROUP BY 1)
+      SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words,
+        COALESCE(p.n_ids, 0) AS n_ids,
+        COALESCE(p.n_fallback_ids, 0) AS n_fallback_ids,
+        COALESCE(p.n_unseen, 0) AS n_unseen,
+        COALESCE(p.ids_str, '') AS ids_str
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      WHERE d.doc_id % $HoldoutMod = 0
+      ORDER BY d.doc_id"""),
+    "Byte-fallback BPE encode of the holdout: 256 reserved byte ids + " +
+      "frequency-ranked subword ids; out-of-vocab subwords decompose to " +
+      "UTF-8 byte ids, so encoding is total (n_unseen computed, " +
+      "provably 0) and the full id sequence is hash-checked")
+
   // ---------------------------------------------------- q_bpe_vocab
   // The tokenizer ARTIFACT (VERDICT r9 task 3): the learned merge table
   // in learning order plus the frequency-ranked subword vocabulary — the
@@ -760,5 +925,5 @@ object BpeOps extends QueryPack {
 
   override def defs: Seq[QueryDef] =
     Seq(textBpe, textBpeIds, bpeVocab, vocabCoverage, packBpe, bpeEncode,
-      tokenizerFertility)
+      bpeBytes, tokenizerFertility)
 }
