@@ -401,7 +401,15 @@ object BpeOps extends QueryPack {
     * broadcasts; the corpus side is a pure map + posexplode — no
     * corpus-sized relation ever joins another. */
   private[graft] def subwordIdRows(s: SparkSession, d: String)
-      : DataFrame = {
+      : DataFrame = subwordIdsOf(s, d, Tables.documents(s, d))
+
+  /** As [[subwordIdRows]] but over an arbitrary (doc_id, text) relation
+    * — the corpus' frozen tokenizer applied to a slice of it (e.g. one
+    * streaming micro-batch of cleaned docs, StreamingOps
+    * q_stream_pipeline). Same plan shape: vocab-sized broadcasts, pure
+    * map + posexplode on the doc side. */
+  private[graft] def subwordIdsOf(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame = {
     import s.implicits._
     val (_, dictTok) = learnBpe(s, d)
     // subword vocab: corpus-weighted token frequency (Σ word-freq over
@@ -414,7 +422,7 @@ object BpeOps extends QueryPack {
         org.apache.spark.sql.expressions.Window
           .orderBy($"cnt".desc, $"tok")))
       .select($"tok", $"tid")
-    val posWords = Tables.documents(s, d)
+    val posWords = docs
       .select($"doc_id", posexplode(split(lower($"text"), " +")))
       .toDF("doc_id", "pos", "w0")
       .select($"doc_id", $"pos", replace($"w0", lit(D), lit("")).as("word"))
@@ -431,7 +439,7 @@ object BpeOps extends QueryPack {
   /** DuckDB CTE chain replaying [[subwordIdRows]] — ends at `ids`
     * (doc_id, pos, subpos, tid). Shared by the q_text_bpe_ids and
     * q_shard_write oracles. */
-  private[operators] def subwordIdCtes: String = s"""$learnCtes,
+  private[graft] def subwordIdCtes: String = s"""$learnCtes,
       dtoks AS MATERIALIZED (SELECT word, freq,
         string_split(trim(t, chr(1)), chr(1)||chr(1)) AS tk FROM d$Merges),
       vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS tid

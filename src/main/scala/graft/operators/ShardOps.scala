@@ -51,7 +51,7 @@ object ShardOps extends QueryPack {
     * `startSeq` (shard → first free seq_idx) offsets a later ingest
     * generation so its rows continue the shard's address space without
     * touching earlier rows — None packs from 0. */
-  private def packRows(s: SparkSession, ids: DataFrame,
+  private[graft] def packRows(s: SparkSession, ids: DataFrame,
       startSeq: Option[DataFrame]): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window

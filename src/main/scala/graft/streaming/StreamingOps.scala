@@ -1428,11 +1428,209 @@ object StreamingOps extends QueryPack {
       "aggregation read back offline via the built-in statestore data " +
       "source; the single-batch state equals the batch GROUP BY")
 
+  // ----------------- end-to-end streaming corpus pipeline (r13 task 5)
+  /** Pipeline landing zone: the full corpus in two doc_id-CONTIGUOUS
+    * files (low range first, mtimes pinned) so micro-batch admission
+    * order IS doc_id order. That single property is what makes the whole
+    * pipeline batch-replayable in SQL: the dedup gate's first-wins rule
+    * becomes "min doc_id per hash", and the shard log's generation
+    * layout becomes a doc_id range split. Idempotent per sf. */
+  private def streamPipeDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = java.nio.file.Paths.get("target", "stream_pipe",
+      new java.io.File(d).getName).toAbsolutePath
+    val marker = dir.resolve("_complete")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "documents")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
+    val docs = graft.Tables.documents(s, d).select($"doc_id", $"text")
+    val sp = docs.agg(((max($"doc_id") + 1L) / 2L).cast("long")).head().getLong(0)
+    docs.filter($"doc_id" < sp)
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    def parts: Set[java.io.File] = new java.io.File(dir.toString)
+      .listFiles().filter(_.getName.startsWith("part-")).toSet
+    val lowParts = parts
+    docs.filter($"doc_id" >= sp)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    // pin batch order: low doc_id range strictly first (the
+    // streamInputDir3 mtime rule)
+    val t = System.currentTimeMillis()
+    lowParts.foreach(_.setLastModified(t - 60000L))
+    (parts -- lowParts).foreach(_.setLastModified(t))
+    graft.FixtureStamp.complete(marker, stamp)
+    dir.toString
+  }
+
+  private val pipeShardSchema = StructType(Seq(
+    StructField("shard", LongType), StructField("seq_idx", LongType),
+    StructField("n_ids", LongType), StructField("ids_str", StringType),
+    StructField("n_docs", LongType), StructField("first_doc", LongType),
+    StructField("last_doc", LongType), StructField("gen", LongType)))
+  private val pipeAcceptSchema = StructType(Seq(
+    StructField("h", StringType), StructField("gen", LongType)))
+
+  /** Reset both pipeline logs to schema-bearing empty parquet dirs (so
+    * the first batch's reads plan against real schemas). */
+  private[graft] def resetPipeLogs(s: SparkSession, shardLog: String,
+      acceptLog: String): Unit = {
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(shardLog))
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(acceptLog))
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], pipeShardSchema)
+      .coalesce(1).write.mode("overwrite").parquet(shardLog)
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], pipeAcceptSchema)
+      .coalesce(1).write.mode("overwrite").parquet(acceptLog)
+  }
+
+  /** One pipeline micro-batch (quality gate already applied upstream,
+    * stateless): exact-dedup gate → frozen-tokenizer encode → shard
+    * pack → append as gen=batchId rows. ALL cross-batch state lives in
+    * the two file logs, and every prior-state read filters `gen <
+    * batchId`, so a replayed at-least-once batch recomputes from
+    * identical inputs and appends identical rows — the delta-log
+    * exactly-once rule (read-back collapses duplicates). */
+  private[graft] def pipelineBatch(batch: Dataset[Row], batchId: Long,
+      d: String, shardLog: String, acceptLog: String): Unit = {
+    val spark2 = batch.sparkSession
+    import spark2.implicits._
+    val b = batch.localCheckpoint()
+    // dedup gate: first occurrence wins — within the batch (min doc_id
+    // per normalized-text hash) and against hashes accepted by EARLIER
+    // generations (anti join on the accept log)
+    val withH = b.select($"doc_id", $"text",
+      md5(graft.operators.DedupOps.normText).as("h"))
+    val firstInBatch = withH
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"h").orderBy($"doc_id")))
+      .filter($"rn" === 1).drop("rn")
+    val prior = spark2.read.parquet(acceptLog)
+      .where($"gen" < batchId).select($"h").distinct()
+    val kept = firstInBatch.join(prior, Seq("h"), "left_anti")
+      .localCheckpoint() // reused: accept-log append + tokenize
+    kept.select($"h").distinct().withColumn("gen", lit(batchId))
+      .write.mode("append").parquet(acceptLog)
+    // tokenize the survivors with the corpus' frozen tokenizer and pack
+    // them from each shard's next free seq boundary (offsets from the
+    // existing log only — the base generations are never re-tokenized)
+    val ids = graft.operators.BpeOps
+      .subwordIdsOf(spark2, d, kept.select($"doc_id", $"text"))
+      .withColumn("shard",
+        pmod($"doc_id", lit(graft.operators.ShardOps.NShards.toLong)))
+    val offsets = spark2.read.parquet(shardLog)
+      .where($"gen" < batchId)
+      .groupBy($"shard")
+      .agg((max($"seq_idx") + 1L).as("seq0"))
+    graft.operators.ShardOps.packRows(spark2, ids, Some(offsets))
+      .withColumn("gen", lit(batchId))
+      .write.mode("append").parquet(shardLog)
+  }
+
+  // The grand composition the LLM-pipeline tiers exist for (VERDICT r12
+  // task 5), as ONE stream: landing zone → stateless model-quality gate
+  // (the q_stream_quality_gate predicate, shedding volume before any
+  // state) → exact-dedup ingest gate (the q_stream_dedup_bloom delta-log
+  // posture) → frozen-tokenizer encode (q_text_bpe_ids' plan per batch)
+  // → generation-aligned shard append (the q_shard_append pack rule,
+  // gen = micro-batch id). Zero streaming-engine state: every
+  // cross-batch fact is a file-log read filtered to earlier generations,
+  // which is what makes the pipeline exactly-once under replay
+  // (StreamPipelineSpec restarts it mid-corpus from the checkpoint) and
+  // the declared read-back FULLY SQL-replayable — quality filter, dedup
+  // rule, tokenizer, and pack layout all under one DuckDB hash.
+  //
+  // Scale posture: the gates are stateless per-row maps; dedup and
+  // offset lookups are log reads sized by accepted-hash count and shard
+  // count; tokenize is vocab-sized broadcasts; pack is one shuffle per
+  // batch partitioned by shard. Nothing global, nothing resident.
+  private val streamPipeline = QueryDef(
+    "q_stream_pipeline",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamPipeDir(s, d)
+      val shardLog = indexArtifactDir("stream_pipe_shards", d).toString
+      val acceptLog = indexArtifactDir("stream_pipe_accept", d).toString
+      resetPipeLogs(s, shardLog, acceptLog)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val (n, raw) = graft.operators.TextOps.modelRawScore($"text")
+      withStreamPartitions(s, 8) { ss =>
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .parquet(dir)
+          .select($"doc_id", $"text", n.as("n_grams"), raw.as("raw"))
+          .filter(graft.operators.TextOps.modelScore($"n_grams", $"raw") >=
+            lit(0).cast("decimal(38,6)"))
+          .select($"doc_id", $"text")
+          .writeStream
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            pipelineBatch(batch, batchId, d, shardLog, acceptLog)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.read.parquet(shardLog)
+        .groupBy($"shard", $"gen", $"seq_idx") // replay-duplicate collapse
+        .agg(max($"n_ids").as("n_ids"), max($"n_docs").as("n_docs"),
+          max($"first_doc").as("first_doc"), max($"last_doc").as("last_doc"),
+          max($"ids_str").as("ids_str"))
+        .select($"shard", $"gen", $"seq_idx", $"n_ids", $"n_docs",
+          $"first_doc", $"last_doc", $"ids_str")
+        .orderBy($"shard", $"gen", $"seq_idx")
+    },
+    Some(s"""WITH ${graft.operators.BpeOps.subwordIdCtes},
+      pnorm AS (SELECT doc_id, text,
+          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        FROM documents),
+      pg AS (SELECT doc_id, t,
+          ${graft.operators.TextOps.modelSqlGrams("text")} AS grams
+        FROM pnorm),
+      psc AS (SELECT doc_id, t, CAST(len(grams) AS BIGINT) AS n_grams,
+          ${graft.operators.TextOps.modelSqlRaw("grams")} AS raw
+        FROM pg),
+      pq AS (SELECT doc_id, t FROM psc
+        WHERE ${graft.operators.TextOps.modelSqlScore("n_grams", "raw")} >= 0),
+      pkept AS (SELECT doc_id FROM (
+          SELECT doc_id,
+            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+          FROM pq) WHERE rn = 1),
+      kids AS (SELECT i.doc_id, i.pos, i.subpos, i.tid,
+          i.doc_id % ${graft.operators.ShardOps.NShards} AS shard,
+          CASE WHEN i.doc_id <
+              (SELECT (max(doc_id) + 1) // 2 FROM documents)
+            THEN 0 ELSE 1 END AS gen
+        FROM ids i JOIN pkept k USING (doc_id)),
+      pord AS (SELECT shard, gen, doc_id, tid,
+          row_number() OVER (PARTITION BY shard, gen
+            ORDER BY doc_id, pos, subpos) - 1 AS tok
+        FROM kids),
+      pbase AS (SELECT shard, count(*) AS nb FROM pord WHERE gen = 0
+        GROUP BY 1),
+      psq AS (SELECT o.shard, o.gen, o.doc_id, o.tid, o.tok,
+          CASE WHEN o.gen = 0 THEN o.tok // ${graft.operators.ShardOps.SeqLen}
+               ELSE COALESCE(b.nbseq, 0) +
+                 o.tok // ${graft.operators.ShardOps.SeqLen} END AS seq_idx
+        FROM pord o LEFT JOIN (SELECT shard,
+            (nb + ${graft.operators.ShardOps.SeqLen - 1}) //
+              ${graft.operators.ShardOps.SeqLen} AS nbseq FROM pbase) b
+          ON o.gen = 1 AND o.shard = b.shard)
+      SELECT CAST(shard AS BIGINT) AS shard, CAST(gen AS BIGINT) AS gen,
+        CAST(seq_idx AS BIGINT) AS seq_idx,
+        CAST(count(*) AS BIGINT) AS n_ids,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        array_to_string(list(CAST(tid AS VARCHAR) ORDER BY tok), ',')
+          AS ids_str
+      FROM psq GROUP BY 1, 2, 3 ORDER BY shard, gen, seq_idx"""),
+    "End-to-end streaming corpus pipeline in ONE stream: quality gate -> " +
+      "exact-dedup ingest gate -> frozen-tokenizer encode -> " +
+      "generation-aligned shard append; all cross-batch state in file " +
+      "logs (exactly-once under replay), full DuckDB hash oracle")
+
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamChained,
       streamStateful, streamTransformWithState, streamTimerExpiry,
       sessionWindowBatch, streamDedup, streamJoin, streamStaticJoin,
       streamForeachBatch, streamSinkFiles, streamQualityGate,
       streamIndexMaintain, streamIndexCompact, streamAnomaly,
-      streamDedupBloom, streamStateInspect)
+      streamDedupBloom, streamStateInspect, streamPipeline)
 }

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import graft.operators.{BpeOps, DedupOps, ShardOps, TextOps}
+import graft.streaming.StreamingOps
+
+/** q_stream_pipeline contracts (VERDICT r12 task 5): exactly-once across
+  * a mid-corpus stop/restart (the SourceSinkSpec two-phase pattern),
+  * idempotent batch replay, and content equivalence with the batch
+  * tokenize→pack path. */
+class StreamPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val result = q("q_stream_pipeline").collect()
+
+  /** Batch reference: kept docs (quality pass + min-doc_id-per-hash
+    * dedup) tokenized and ordered — the pipeline's semantic ground
+    * truth, computed without any streaming machinery. */
+  private lazy val batchKept = {
+    val (n, raw) = TextOps.modelRawScore($"text")
+    val pass = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", n.as("n_grams"), raw.as("raw"))
+      .filter(TextOps.modelScore($"n_grams", $"raw") >=
+        lit(0).cast("decimal(38,6)"))
+      .select($"doc_id", $"text", md5(DedupOps.normText).as("h"))
+    pass.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"h").orderBy($"doc_id")))
+      .filter($"rn" === 1).select($"doc_id", $"text")
+  }
+
+  test("streamed shards carry exactly the batch tokenize+pack content " +
+      "per shard (row boundaries generation-aligned)") {
+    // streamed: per-shard id stream concatenated over (gen, seq_idx)
+    val streamed = result
+      .groupBy(_.getAs[Long]("shard"))
+      .map { case (shard, rs) =>
+        shard -> rs.sortBy(r => (r.getAs[Long]("gen"), r.getAs[Long]("seq_idx")))
+          .map(_.getAs[String]("ids_str")).mkString(",")
+      }
+    // batch: same kept docs, one pass, per-shard (doc_id, pos, subpos)
+    val batch = BpeOps.subwordIdsOf(spark, sf, batchKept)
+      .withColumn("shard", pmod($"doc_id", lit(ShardOps.NShards.toLong)))
+      .groupBy($"shard")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"doc_id", $"pos", $"subpos", $"tid"))),
+        x => x.getField("tid").cast("string")), ",").as("stream"))
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[String]("stream"))
+      .toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (shard, ids) =>
+      assert(ids === batch(shard), s"shard $shard id stream diverges")
+    }
+    // the gates actually gated: docs were dropped relative to the corpus
+    val total = Tables.documents(spark, sf).count()
+    assert(batchKept.count() < total, "quality/dedup gates dropped nothing")
+  }
+
+  test("a replayed micro-batch appends identical rows that collapse away") {
+    val base = Paths.get("target", "test-pipe-replay").toAbsolutePath
+    graft.Fs.deleteRecursively(base)
+    val shardLog = base.resolve("shards").toString
+    val acceptLog = base.resolve("accept").toString
+    StreamingOps.resetPipeLogs(spark, shardLog, acceptLog)
+    val batch0 = batchKept.filter($"doc_id" < 100)
+    def readBack() = spark.read.parquet(shardLog)
+      .groupBy($"shard", $"gen", $"seq_idx")
+      .agg(max($"n_ids").as("n_ids"), max($"ids_str").as("ids_str"))
+      .orderBy($"shard", $"gen", $"seq_idx").collect().toSeq
+    StreamingOps.pipelineBatch(batch0.toDF(), 0L, sf, shardLog, acceptLog)
+    val once = readBack()
+    StreamingOps.pipelineBatch(batch0.toDF(), 0L, sf, shardLog, acceptLog)
+    val twice = readBack()
+    assert(once.nonEmpty)
+    assert(twice === once, "replay must collapse to the same read-back")
+  }
+
+  test("the pipeline is exactly-once across a mid-corpus stop/restart") {
+    val base = Paths.get("target", "test-pipe-restart").toAbsolutePath
+    graft.Fs.deleteRecursively(base)
+    val landing = base.resolve("landing"); Files.createDirectories(landing)
+    val ckpt = base.resolve("ckpt").toString
+    val shardLog = base.resolve("shards").toString
+    val acceptLog = base.resolve("accept").toString
+    StreamingOps.resetPipeLogs(spark, shardLog, acceptLog)
+    // the fixture landing files, low doc_id range first (mtime order)
+    val srcDir = new java.io.File(s"target/stream_pipe/${new java.io.File(sf).getName}")
+    val srcFiles = srcDir.listFiles().filter(_.getName.startsWith("part-"))
+      .sortBy(_.lastModified).toSeq
+    assert(srcFiles.size === 2, "expected the two-file landing fixture")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val (n, raw) = TextOps.modelRawScore($"text")
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+        .select($"doc_id", $"text", n.as("n_grams"), raw.as("raw"))
+        .filter(TextOps.modelScore($"n_grams", $"raw") >=
+          lit(0).cast("decimal(38,6)"))
+        .select($"doc_id", $"text")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            StreamingOps.pipelineBatch(b, id, sf, shardLog, acceptLog)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def copy(f: java.io.File): Unit = Files.copy(f.toPath,
+      landing.resolve(f.getName), StandardCopyOption.REPLACE_EXISTING)
+    copy(srcFiles.head); drain() // phase 1: low range only
+    val phase1 = spark.read.parquet(shardLog)
+    assert(phase1.count() > 0)
+    assert(phase1.select(max($"gen")).head().getLong(0) === 0L,
+      "phase 1 must land only generation 0")
+    copy(srcFiles.last); drain() // RESTART: same checkpoint, new file
+    // the restarted run's collapsed read-back equals the single-run
+    // declared result — no dupes, no loss, same generations
+    val restarted = spark.read.parquet(shardLog)
+      .groupBy($"shard", $"gen", $"seq_idx")
+      .agg(max($"n_ids").as("n_ids"), max($"n_docs").as("n_docs"),
+        max($"first_doc").as("first_doc"), max($"last_doc").as("last_doc"),
+        max($"ids_str").as("ids_str"))
+      .select($"shard", $"gen", $"seq_idx", $"n_ids", $"n_docs",
+        $"first_doc", $"last_doc", $"ids_str")
+      .orderBy($"shard", $"gen", $"seq_idx")
+      .collect().toSeq
+    assert(restarted === result.toSeq,
+      "restart read-back must equal the single-run pipeline result")
+  }
+}
