@@ -1428,6 +1428,110 @@ object StreamingOps extends QueryPack {
       "aggregation read back offline via the built-in statestore data " +
       "source; the single-batch state equals the batch GROUP BY")
 
+  // ---------------------- post-eviction state inspection (r13 task 6)
+  /** Two-batch event landing zone split at the corpus' epoch midpoint
+    * (early half first, mtimes pinned): the second batch's arrival
+    * advances the watermark to max(batch-0 ts) − delay, which EVICTS
+    * every closed window — the production reality q_stream_state_inspect
+    * deliberately avoids. Idempotent per sf. */
+  private def streamInputDirState2(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = java.nio.file.Paths.get("target", "stream_in_state2",
+      new java.io.File(d).getName).toAbsolutePath
+    val marker = dir.resolve("_complete")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "events")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
+    val ev = Tables.events(s, d).select($"ts", $"event_type", $"value")
+    val sp = ev
+      .agg(unix_timestamp(min($"ts")).as("a"), unix_timestamp(max($"ts")).as("b"))
+      .select(expr("(a + b) div 2").as("sp")).head().getLong(0)
+    ev.filter($"ts" < timestamp_seconds(lit(sp)))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    def parts: Set[java.io.File] = new java.io.File(dir.toString)
+      .listFiles().filter(_.getName.startsWith("part-")).toSet
+    val earlyParts = parts
+    ev.filter($"ts" >= timestamp_seconds(lit(sp)))
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val t = System.currentTimeMillis()
+    earlyParts.foreach(_.setLastModified(t - 60000L))
+    (parts -- earlyParts).foreach(_.setLastModified(t))
+    graft.FixtureStamp.complete(marker, stamp)
+    dir.toString
+  }
+
+  // The scenario the r12 verdict asked for: q_stream_state_inspect's
+  // single-batch snapshot shows the FULL aggregate set because its
+  // watermark never moves; a production checkpoint of a long-running
+  // stream holds OPEN WINDOWS ONLY. Here batch 1's arrival sets the
+  // watermark to max(batch-0 event time, ms-floored) − 10 min, so during
+  // batch 1 the state store emits-and-EVICTS every window closed by it;
+  // the offline statestore read then returns exactly the survivors:
+  // windows whose end exceeds that watermark (batch-1 events all land in
+  // such windows, so no input row is late-dropped and survivor counts
+  // equal the full-corpus GROUP BY restricted to surviving windows —
+  // which is the oracle, replaying the split rule and the ms-floored
+  // watermark arithmetic exactly). noDataMicroBatches stays off so no
+  // THIRD (empty) batch advances the watermark again between
+  // processAllAvailable and the offline read.
+  private val streamStateEvict = QueryDef(
+    "q_stream_state_evict",
+    (s, d) => {
+      import s.implicits._
+      val dir = streamInputDirState2(s, d)
+      val ckPath = indexArtifactDir("stream_state_ck2", d)
+      graft.Fs.deleteRecursively(ckPath)
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      withStreamPartitions(s, 8,
+          Seq("spark.sql.streaming.noDataMicroBatches.enabled" ->
+            "false")) { ss =>
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .parquet(dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy($"event_type", window($"ts", "5 minutes").as("win"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+              .as("sum_cents"))
+          .writeStream.format("memory")
+          .queryName("graft_state_evict")
+          .option("checkpointLocation", ckPath.toString)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.read.format("statestore")
+        .option("path", ckPath.toString).load()
+        .select($"key.event_type".as("event_type"),
+          unix_timestamp($"key.window.start").as("win_start"),
+          $"value.count".as("n_events"),
+          $"value.sum".cast("long").as("sum_cents"))
+        .orderBy($"event_type", $"win_start")
+    },
+    Some("""WITH sp AS (SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS sp_s
+        FROM events),
+      wm AS (SELECT (epoch_ms(max(ts)) - 600000) // 1000 AS wm_s
+        FROM events
+        WHERE CAST(floor(epoch(ts)) AS BIGINT) < (SELECT sp_s FROM sp)),
+      w AS (SELECT event_type,
+          CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS win_start,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, win_start, n_events, sum_cents FROM w
+      WHERE win_start + 300 > (SELECT wm_s FROM wm)
+      ORDER BY event_type, win_start"""),
+    "Post-eviction state inspection: a second micro-batch advances the " +
+      "watermark, the store evicts every closed window, and the offline " +
+      "statestore read returns OPEN windows only — oracle replays the " +
+      "split rule and ms-floored watermark arithmetic")
+
   // ----------------- end-to-end streaming corpus pipeline (r13 task 5)
   /** Pipeline landing zone: the full corpus in two doc_id-CONTIGUOUS
     * files (low range first, mtimes pinned) so micro-batch admission
@@ -1632,5 +1736,6 @@ object StreamingOps extends QueryPack {
       sessionWindowBatch, streamDedup, streamJoin, streamStaticJoin,
       streamForeachBatch, streamSinkFiles, streamQualityGate,
       streamIndexMaintain, streamIndexCompact, streamAnomaly,
-      streamDedupBloom, streamStateInspect, streamPipeline)
+      streamDedupBloom, streamStateInspect, streamStateEvict,
+      streamPipeline)
 }

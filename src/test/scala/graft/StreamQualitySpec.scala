@@ -160,6 +160,33 @@ class StreamQualitySpec extends SparkTestBase {
       === first.length)
   }
 
+  test("q_stream_state_evict inspects OPEN windows only: eviction " +
+      "happened, survivors end past the batch-0 watermark") {
+    val open = q("q_stream_state_evict").collect()
+    val full = q("q_stream_state_inspect").collect()
+    assert(open.nonEmpty && open.length < full.length,
+      s"watermark must evict closed windows (${open.length} vs ${full.length})")
+    // every surviving window is open w.r.t. the batch-0 watermark:
+    // wm = ms-floored max(batch-0 ts) - 10 min
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Tables.events(spark, sf).select($"ts")
+    val sp = ev.agg(unix_timestamp(min($"ts")).as("a"),
+        unix_timestamp(max($"ts")).as("b"))
+      .select(expr("(a + b) div 2").as("sp")).head().getLong(0)
+    val wmS = ev.filter($"ts" < timestamp_seconds(lit(sp)))
+      .agg(((max($"ts").cast("double") * 1000).cast("long") - 600000L)
+        .as("ms"))
+      .select(expr("ms div 1000")).head().getLong(0)
+    open.foreach { r =>
+      assert(r.getAs[Long]("win_start") + 300L > wmS,
+        s"closed window survived: ${r.mkString(",")}")
+    }
+    // and no open window was lost: full set restricted to open == open
+    val expected = full.filter(_.getAs[Long]("win_start") + 300L > wmS)
+    assert(open.length === expected.length, "open-window set must be complete")
+  }
+
   test("q_stream_anomaly's epilogue reads from the parquet FILE sink, " +
       "not driver memory (unbounded-safe, VERDICT r11 task 4)") {
     val df = q("q_stream_anomaly")
