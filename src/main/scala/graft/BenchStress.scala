@@ -55,6 +55,17 @@ object BenchStress {
     // a per-shard sort into a hive-partitioned write; stressed to prove
     // the pack stays one exchange while the token stream grows xREP
     "q_shard_write",
+    // round-13: the incremental append — base build + delta continuation
+    // from a partition-pruned manifest aggregate; stressed to prove the
+    // delta pass scales with the delta, not the base
+    "q_shard_append",
+    // round-13: perceptual media near-dup — dHash map + band buckets
+    // grow xREP; stressed to prove candidates stay banded (no all-pairs)
+    "q_dedup_media",
+    // round-13: the end-to-end streaming corpus pipeline — gates,
+    // tokenize, pack per micro-batch; stressed to prove per-batch work
+    // scales with the batch and log reads with accepted-hash count
+    "q_stream_pipeline",
     "q_dedup_ngram_jaccard",
     // round-11: the shard-manifest composition — the stressed clean
     // pipeline's survivor set chunked (bounded Generate) and packed
@@ -388,6 +399,16 @@ object BenchStress {
     dir.toString
   }
 
+  /** Flush dirty pages before timing. A fresh stress-corpus materialize
+    * leaves GiBs of async writeback in flight, which lands squarely on
+    * the first WRITE-heavy timed query (q_shard_write drew 17.3 s on the
+    * fresh-corpus r12 draw vs 6.4–6.9 s on the stamped ones — the
+    * round's only >1.5× band). `sync` makes the flush synchronous and
+    * BEFORE the timed window instead of during it. */
+  private def syncFs(): Unit =
+    try new ProcessBuilder("sync").start().waitFor()
+    catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val rep = sys.env.getOrElse("SPARK_GRAFT_STRESS_REP", "10").toInt
@@ -409,6 +430,7 @@ object BenchStress {
     while (Bench.loadAvg().exists(_ > loadMax) && System.nanoTime() < deadline)
       Thread.sleep(5000)
     val dir = materialize(spark, base, rep)
+    syncFs() // fresh-materialize writeback must not bleed into timing
 
     // the two ngram-jaccard strategies head-to-head at stress scale: the
     // df-skew question decided the round-8 default flip TO prefix-filter
@@ -453,6 +475,7 @@ object BenchStress {
       try fn(spark, dir).count() catch { case _: Throwable => () }
       spark.sharedState.cacheManager.clearCache()
     }
+    syncFs() // warm-up wrote shard/sink artifacts; flush before timing
     // interleaved multi-pass + per-query median, same defence as Bench:
     // one 28 GiB JVM driving 47 10×-scale queries takes multi-second GC
     // pauses that land on RANDOM entries (a pure per-row map swung
