@@ -240,6 +240,16 @@ object BenchStress {
     // fertility stats: the same word-explode + broadcast-dict join with
     // a lang-cardinality aggregate — strictly less work than bpe_ids
     "q_tokenizer_fertility",
+    // byte-fallback encode: the stressed q_bpe_encode's fold/broadcast
+    // shape plus a per-row byte decomposition — same scaling class
+    "q_bpe_bytes",
+    // media-dedup audit: 2x the stressed q_dedup_media plus the pixel
+    // ground-truth pass (same banded class) and 1-row flag attaches
+    "q_dedup_media_audit",
+    // post-eviction statestore read: the stressed q_stream_state_inspect
+    // plan family with one more micro-batch and a SMALLER surviving
+    // state to read — strictly less offline-read work
+    "q_stream_state_evict",
     // tokenizer artifact + coverage curve: vocab-sized plans over the
     // memoized learned dict — never touch the corpus beyond the learning
     // pass, which x_bpe_learn times at 10x

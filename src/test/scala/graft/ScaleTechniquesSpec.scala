@@ -249,6 +249,7 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_unigram_vocab_audit", // 1-row artifact-flag attach crossJoin
       "q_text_heavy_hitters_audit", // 1-row stats/flag attachments
       "q_agg_sketch_rollup_audit", // 1-row exact-total attach
+      "q_dedup_media_audit", // 1-row count/flag attach crossJoins (×5)
       // K-row centroid broadcast against the corpus (the MLlib k-means
       // assignment shape — kilobytes at any corpus size); PQ's codebook
       // is M×K rows, same class
@@ -632,6 +633,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_mix_weights", "q_mix_sample", "q_mix_execute",
       // vocab-sized coverage curve (cumulative share over ranked vocab)
       "q_vocab_coverage",
+      // vocab-sized rank window (byteVocab: the q_bpe_vocab class —
+      // input is the tokenized dict's subword set, VocabSize-capped)
+      "q_bpe_bytes",
       // bucket-sized totals: both windows run over the <=DsirBuckets-row
       // ratio relation (the documented no-1-row-crossJoin alternative)
       "q_dsir_weights",
