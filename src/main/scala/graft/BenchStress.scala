@@ -59,9 +59,19 @@ object BenchStress {
     // from a partition-pruned manifest aggregate; stressed to prove the
     // delta pass scales with the delta, not the base
     "q_shard_append",
+    // round-13: LSM compaction — the re-pack must stay bounded by
+    // |tail + delta| while the base generation grows xREP untouched
+    "q_shard_compact",
+    // round-13: perceptual top-k search — probe-side shuffle-hash build
+    // against index band buckets growing xREP; stressed to prove the
+    // candidate stream stays band-bounded, never probe×index
+    "q_simsearch_media",
     // round-13: perceptual media near-dup — dHash map + band buckets
     // grow xREP; stressed to prove candidates stay banded (no all-pairs)
     "q_dedup_media",
+    // round-13: the WAV counterpart — temporal-fingerprint bands over
+    // the decoded sample streams, same banded-never-all-pairs claim
+    "q_dedup_audio",
     // round-13: the end-to-end streaming corpus pipeline — gates,
     // tokenize, pack per micro-batch; stressed to prove per-batch work
     // scales with the batch and log reads with accepted-hash count
@@ -246,6 +256,13 @@ object BenchStress {
     // media-dedup audit: 2x the stressed q_dedup_media plus the pixel
     // ground-truth pass (same banded class) and 1-row flag attaches
     "q_dedup_media_audit",
+    // media-search audit: the stressed q_simsearch_media plus the
+    // probe-broadcast brute-force truth — audit-only by design (the
+    // exact re-score is the thing the banded path exists to avoid)
+    "q_simsearch_media_audit",
+    // audio-dedup audit: 2x the stressed q_dedup_audio plus the sample
+    // ground-truth pass (same banded class) and 1-row flag attaches
+    "q_dedup_audio_audit",
     // post-eviction statestore read: the stressed q_stream_state_inspect
     // plan family with one more micro-batch and a SMALLER surviving
     // state to read — strictly less offline-read work

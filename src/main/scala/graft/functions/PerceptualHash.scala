@@ -95,8 +95,10 @@ object PerceptualHash {
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
 
   /** (width, height, dataOffset, rowSize) of a well-formed bottom-up
-    * 24bpp BMP whose full pixel region is in bounds, else null. */
-  private def bmpGeometry(b: Array[Byte]): Array[Int] = {
+    * 24bpp BMP whose full pixel region is in bounds, else null.
+    * `private[graft]`: the multimodal fixture builders use it to plant
+    * geometry-aware perturbations (MultimodalOps.halfBright). */
+  private[graft] def bmpGeometry(b: Array[Byte]): Array[Int] = {
     if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
     val dataOffset = le32(b, 10).toInt
     val dibSize = le32(b, 14)

@@ -147,9 +147,11 @@ object ShardOps extends QueryPack {
   }
 
   /** Base build: pack the base generation from seq 0, overwrite. */
-  private[graft] def writeShardBase(s: SparkSession, d: String): String = {
-    import s.implicits._
-    val dir = appendShardDir(d)
+  private[graft] def writeShardBase(s: SparkSession, d: String): String =
+    writeShardBaseTo(s, d, appendShardDir(d))
+
+  private[graft] def writeShardBaseTo(s: SparkSession, d: String,
+      dir: String): String = {
     packRows(s, genIds(s, d, delta = false), None)
       .withColumn("gen", lit(0))
       .write.mode("overwrite").partitionBy("shard", "gen").parquet(dir)
@@ -160,9 +162,12 @@ object ShardOps extends QueryPack {
     * shard's seq address space from the existing index's next free row
     * (a partition-pruned manifest aggregate — the base corpus is never
     * re-tokenized), and land it as new gen=1 files. */
-  private[graft] def appendShardDelta(s: SparkSession, d: String): Unit = {
+  private[graft] def appendShardDelta(s: SparkSession, d: String): Unit =
+    appendShardDeltaTo(s, d, appendShardDir(d))
+
+  private[graft] def appendShardDeltaTo(s: SparkSession, d: String,
+      dir: String): Unit = {
     import s.implicits._
-    val dir = appendShardDir(d)
     val offsets = s.read.parquet(dir).filter($"gen" === 0)
       .groupBy($"shard".cast("long").as("shard"))
       .agg((max($"seq_idx") + 1L).as("seq0"))
@@ -213,5 +218,133 @@ object ShardOps extends QueryPack {
       "landed as NEW files only; read-back hash-equal to the oracle's " +
       "one-pass rebuild of the generation-aligned layout")
 
-  override def defs: Seq[QueryDef] = Seq(shardWrite, shardAppend)
+  // --------------------------------------------------- q_shard_compact
+  // The LSM counterpart of q_shard_append: repeated appends leave one
+  // under-filled tail row per (shard, generation) — after G generations a
+  // shard's store is G files with up to G·(SeqLen−1) wasted ids and G×
+  // the file count a trainer must open. Compaction DEFRAGMENTS touching
+  // only O(tail + delta) tokens: every FULL base row is already at its
+  // final defragmented address (generation-0 packs from seq 0, so its
+  // full rows ARE the global pack's first rows — the invariant that makes
+  // this incremental), so only [base tail ∪ delta generation] is
+  // re-packed, continuing from the full-row count, and lands as a new
+  // generation; the superseded delta directories are then vacuumed
+  // (new data first, then remove old — the crash-safe LSM order;
+  // q_stream_index_compact's discipline applied to training shards).
+  // The stale base tail row stays physically in its untouched gen-0 file
+  // and is excluded by the read view's `n_ids = SeqLen` rule — a
+  // tombstone-free tombstone, possible because under-fill is visible in
+  // the row itself.
+  //
+  // Contract: compaction preserves the ID STREAM (the training
+  // deliverable), not pack-time doc-span stats — re-packed rows carry
+  // NULL n_docs/first_doc/last_doc (a packed row's ids carry no per-token
+  // doc boundaries, by design: fixed-width rows are the trainer's
+  // format). The oracle proves the defragmentation exactly: the read view
+  // must hash-equal a ONE-PASS global pack of the whole two-generation
+  // token stream — every row full except each shard's single final tail.
+  //
+  // Scale shape: one partition-pruned manifest aggregate (full-row count
+  // per shard), token-grain work bounded by |tail| + |delta| (never the
+  // base corpus), one exchange + per-shard window for the re-pack, and a
+  // directory-level vacuum. At 100 TB with thousands of shards, each
+  // shard compacts independently — the window partitions on shard.
+
+  private[graft] def compactShardDir(d: String): String =
+    graft.streaming.StreamingOps.indexArtifactDir("shard_compact", d).toString
+
+  /** Compact the two-generation store at `dir`: re-pack [base tail ∪
+    * gen-1] into gen=2 files, then vacuum the gen=1 directories. */
+  private[graft] def compactShards(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val all = s.read.parquet(dir)
+    // first free defragmented seq_idx per shard = its full-row count
+    // (gen-0 full rows are already at final addresses 0..n-1)
+    val off = all.filter($"gen" === 0 && $"n_ids" === SeqLen)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg(count(lit(1)).cast("long").as("seq0"))
+    // token stream to re-pack, in store order: base tail first (gen 0),
+    // then the delta generation; within a row, ids_str position order
+    val toks = all
+      .filter($"gen" === 1 || ($"gen" === 0 && $"n_ids" < SeqLen))
+      .select($"shard".cast("long").as("shard"), $"gen", $"seq_idx",
+        posexplode(split($"ids_str", ",")))
+      .toDF("shard", "gen", "seq_idx", "p", "tid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"gen", $"seq_idx", $"p")
+    toks
+      .withColumn("j", row_number().over(w).cast("long") - 1L)
+      .join(broadcast(off), Seq("shard"), "left")
+      .withColumn("seq_idx", coalesce($"seq0", lit(0L)) +
+        expr(s"j div $SeqLen"))
+      .withColumn("pp", pmod($"j", lit(SeqLen.toLong)))
+      .groupBy($"shard", $"seq_idx")
+      .agg(count(lit(1)).cast("long").as("n_ids"),
+        array_join(transform(
+          array_sort(collect_list(struct($"pp", $"tid"))),
+          x => x.getField("tid")), ",").as("ids_str"))
+      .withColumn("n_docs", lit(null).cast("long"))
+      .withColumn("first_doc", lit(null).cast("long"))
+      .withColumn("last_doc", lit(null).cast("long"))
+      .select($"shard", $"seq_idx", $"n_ids", $"ids_str",
+        $"n_docs", $"first_doc", $"last_doc")
+      .withColumn("gen", lit(2))
+      .write.mode("append").partitionBy("shard", "gen").parquet(dir)
+    // vacuum: the compacted rows are durable — drop the superseded delta
+    // directories (file-level delete; gen-0 files are never touched)
+    val root = java.nio.file.Paths.get(dir)
+    val shards = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      shards.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("shard="))
+        .foreach(p => graft.Fs.deleteRecursively(p.resolve("gen=1")))
+    } finally shards.close()
+  }
+
+  /** The compacted logical view: untouched full base rows ∪ the
+    * re-packed generation; the stale base tail is shadowed by the
+    * `n_ids = SeqLen` rule. Written as a UNION of two single-generation
+    * reads, not one OR filter — a (partition-col OR data-col) disjunction
+    * defeats both partition pruning and parquet pushdown; split, each
+    * branch prunes its generation AND pushes its row filter. */
+  private[graft] def compactedView(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = s.read.parquet(dir)
+    all.filter($"gen" === 0 && $"n_ids" === SeqLen)
+      .unionAll(all.filter($"gen" === 2))
+      .select($"shard".cast("long").as("shard"), $"seq_idx", $"n_ids",
+        $"ids_str")
+  }
+
+  private val shardCompact = QueryDef(
+    "q_shard_compact",
+    (s, d) => {
+      import s.implicits._
+      val dir = compactShardDir(d)
+      writeShardBaseTo(s, d, dir)
+      appendShardDeltaTo(s, d, dir)
+      compactShards(s, dir)
+      compactedView(s, dir).orderBy($"shard", $"seq_idx")
+    },
+    Some(s"""WITH ${BpeOps.subwordIdCtes},
+      t AS (SELECT doc_id, pos, subpos, tid, doc_id % $NShards AS shard,
+          CASE WHEN doc_id % ${BpeOps.HoldoutMod} = 0 THEN 1 ELSE 0 END AS gen
+        FROM ids),
+      ord AS (SELECT shard, tid,
+          row_number() OVER (PARTITION BY shard
+            ORDER BY gen, doc_id, pos, subpos) - 1 AS tok
+        FROM t)
+      SELECT CAST(shard AS BIGINT) AS shard,
+        CAST(tok // $SeqLen AS BIGINT) AS seq_idx,
+        CAST(count(*) AS BIGINT) AS n_ids,
+        array_to_string(list(CAST(tid AS VARCHAR) ORDER BY tok), ',')
+          AS ids_str
+      FROM ord GROUP BY 1, 2 ORDER BY shard, seq_idx"""),
+    "LSM shard compaction: full base rows retained file-untouched, only " +
+      "[base tail + delta generation] re-packed into a new generation, " +
+      "delta dirs vacuumed; read view hash-equal to a one-pass global " +
+      "defragmented pack of the whole two-generation token stream")
+
+  override def defs: Seq[QueryDef] = Seq(shardWrite, shardAppend, shardCompact)
 }

@@ -250,6 +250,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_text_heavy_hitters_audit", // 1-row stats/flag attachments
       "q_agg_sketch_rollup_audit", // 1-row exact-total attach
       "q_dedup_media_audit", // 1-row count/flag attach crossJoins (×5)
+      // probe hashes broadcast against the index (exact re-score ground
+      // truth) + 1-row count attaches — audit-only, probe-bounded
+      "q_simsearch_media_audit",
+      "q_dedup_audio_audit", // 1-row count/flag attach crossJoins (×5)
       // K-row centroid broadcast against the corpus (the MLlib k-means
       // assignment shape — kilobytes at any corpus size); PQ's codebook
       // is M×K rows, same class
