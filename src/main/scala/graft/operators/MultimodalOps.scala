@@ -416,13 +416,17 @@ object MultimodalOps extends QueryPack {
   // on the LEFT half of every pixel row changes exactly the grid
   // comparisons that straddle the half boundary (≤ 1 bit per hash row),
   // so probe→source distances spread over [0, 8] by content — a real
-  // graded ranking, not a 0/∞ split. Banding is COLUMN-major (band c =
-  // the 8 bits of grid column c, one per row) rather than q_dedup_media's
-  // contiguous 16-bit bands: a vertical-edge perturbation — the
+  // graded ranking, not a 0/∞ split. Banding is COLUMN-major (band i =
+  // the 16 bits of grid columns i and i+4) rather than q_dedup_media's
+  // contiguous row-wise bands: a vertical-edge perturbation — the
   // half-brightness class, and real-world crops/watermarks/letterboxing —
-  // confines its flips to the columns it touches, so the 7 untouched
-  // column bands still match and probe→source recall is STRUCTURAL
-  // (the audit pins it), not probabilistic. DuckDB replays pixels → grid
+  // confines its flips to the columns it touches, so flips in one column
+  // hit exactly ONE band (its column index mod 4), the other 3 bands
+  // still match, and probe→source recall is STRUCTURAL (the audit pins
+  // it), not probabilistic. Two columns per band keeps the key space at
+  // 2^16 — single-column 8-bit keys have only 256 values, so their
+  // bucket joins degenerate toward all-pairs as the corpus grows (the
+  // first cut measured superlinear at the 10× stress). DuckDB replays pixels → grid
   // → bits → band keys → band join → Hamming → row_number, so the BANDED
   // semantics (including any probe whose true neighbor shares no band —
   // the honest ANN trade) get a full hash oracle; the audit quantifies
@@ -474,16 +478,19 @@ object MultimodalOps extends QueryPack {
     (idx, probes)
   }
 
-  /** 8×8-bit COLUMN-major band explode of a (media_id, ph) signature
-    * relation: band c collects bit (gy*8 + c) of each hash row gy — the
-    * grid-column grouping the operator comment banks on. */
+  /** 4×16-bit COLUMN-major band explode of a (media_id, ph) signature
+    * relation: band i collects bit (gy*8 + c) of each hash row gy for
+    * its two columns c ∈ {i, i+4} — the grid-column grouping the
+    * operator comment banks on, at a 2^16 key space. */
   private def phBands(sigs: DataFrame): DataFrame = {
     import sigs.sparkSession.implicits._
-    def colKey(c: Int) = (0 to 7).map(gy =>
-      shiftleft(shiftrightunsigned($"ph", gy * 8 + c).bitwiseAND(lit(1L)), gy))
+    def colKey(c: Int, at: Int) = (0 to 7).map(gy =>
+      shiftleft(shiftrightunsigned($"ph", gy * 8 + c).bitwiseAND(lit(1L)),
+        gy + at))
       .reduce(_ + _)
+    def bandKey(i: Int) = colKey(i, 0) + colKey(i + 4, 8)
     sigs.select($"media_id", $"ph",
-      posexplode(array((0 to 7).map(colKey): _*)))
+      posexplode(array((0 to 3).map(bandKey): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
   }
 
@@ -568,18 +575,17 @@ object MultimodalOps extends QueryPack {
       SELECT mid, band,
         CAST(list_sum(list_transform(range(0, 8), gy ->
           bits[CAST(gy * 8 + band AS INT) + 1] * (1 << CAST(gy AS INT))))
+          + list_sum(list_transform(range(0, 8), gy ->
+          bits[CAST(gy * 8 + band + 4 AS INT) + 1]
+            * (1 << CAST(gy + 8 AS INT))))
           AS BIGINT) AS bkey
-      FROM (SELECT mid, bits, unnest(range(0, 8)) AS band FROM sbt)),
+      FROM (SELECT mid, bits, unnest(range(0, 4)) AS band FROM sbt)),
     sbp AS MATERIALIZED (
       SELECT mid,
         max(CASE WHEN band = 0 THEN bkey END) AS b0,
         max(CASE WHEN band = 1 THEN bkey END) AS b1,
         max(CASE WHEN band = 2 THEN bkey END) AS b2,
-        max(CASE WHEN band = 3 THEN bkey END) AS b3,
-        max(CASE WHEN band = 4 THEN bkey END) AS b4,
-        max(CASE WHEN band = 5 THEN bkey END) AS b5,
-        max(CASE WHEN band = 6 THEN bkey END) AS b6,
-        max(CASE WHEN band = 7 THEN bkey END) AS b7
+        max(CASE WHEN band = 3 THEN bkey END) AS b3
       FROM sbk GROUP BY mid),
     scand AS (
       SELECT DISTINCT p.mid AS probe_id, i.mid AS neighbor_id
@@ -589,8 +595,6 @@ object MultimodalOps extends QueryPack {
       SELECT c.probe_id, c.neighbor_id,
         CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
-           + bit_count(xor(x.b4, y.b4)) + bit_count(xor(x.b5, y.b5))
-           + bit_count(xor(x.b6, y.b6)) + bit_count(xor(x.b7, y.b7))
           AS BIGINT) AS hamming
       FROM scand c JOIN sbp x ON c.probe_id = x.mid
         JOIN sbp y ON c.neighbor_id = y.mid)"""
@@ -632,9 +636,10 @@ object MultimodalOps extends QueryPack {
         .select($"probe_id", $"neighbor_id")
       val overlap = banded.select($"probe_id", $"neighbor_id")
         .join(brute, Seq("probe_id", "neighbor_id"), "left_semi")
-      // structural recall: the half-bright flips live in ONE column band
-      // (the boundary column), so a probe's source shares ≥7 bands and
-      // MUST be a candidate — pinned, not probabilistic (see mediaCand)
+      // structural recall: the half-bright flips live in ONE column (the
+      // boundary column), hence in ONE band (column mod 4), so a probe's
+      // source shares the other 3 bands and MUST be a candidate —
+      // pinned, not probabilistic (see mediaCand)
       val selfCand = mediaCand(s, d)
         .filter($"neighbor_id" === $"probe_id" - ProbeOff)
       psig.agg(count(lit(1)).as("n_probes"))
@@ -656,9 +661,7 @@ object MultimodalOps extends QueryPack {
           SELECT x.mid AS probe_id, y.mid AS neighbor_id,
             row_number() OVER (PARTITION BY x.mid ORDER BY
               bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
-              + bit_count(xor(x.b4, y.b4)) + bit_count(xor(x.b5, y.b5))
-              + bit_count(xor(x.b6, y.b6)) + bit_count(xor(x.b7, y.b7)),
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)),
               y.mid) AS rnk
           FROM (SELECT * FROM sbp WHERE mid >= $ProbeOff) x
           CROSS JOIN (SELECT * FROM sbp WHERE mid < $ProbeOff) y)

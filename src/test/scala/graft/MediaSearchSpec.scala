@@ -11,8 +11,8 @@ class MediaSearchSpec extends SparkTestBase {
   import org.apache.spark.sql.functions._
   import spark.implicits._
 
-  test("half-bright flips live in exactly one column band (8x8 " +
-      "column-major banding => >=7 shared bands with the source)") {
+  test("half-bright flips live in exactly one grid column (column-" +
+      "major banding => >=3 shared bands with the source)") {
     val docs = Tables.documents(spark, sf).filter($"doc_id" % 2 === 0)
       .select($"doc_id", encode($"text", "UTF-8"))
       .as[(Long, Array[Byte])].filter(_._2.nonEmpty).take(40)
