@@ -233,6 +233,10 @@ object BenchStress {
     * already pins the trend — no super-linear or stateful risk at 10x.
     * The triage spec asserts StressQueries ++ NotStressed == declared. */
   private[graft] val NotStressed: Set[String] = Set(
+    // declared-schema scan over the two-vintage fixture + one grouped
+    // agg — linear, the q_agg_groupby class (the fixture itself is a
+    // one-time write, not the measured operator)
+    "q_schema_evolution",
     // linear scans / projections / filters / per-row scalar maps
     "q_scan_parquet", "q_project_cast", "q_filter_between", "q_filter_pred",
     "q_round_format", "q_scalar_string", "q_scalar_string2",

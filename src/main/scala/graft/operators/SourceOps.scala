@@ -376,7 +376,76 @@ object SourceOps extends QueryPack {
     "Small-file compaction: 64-file landing layout -> 4-file coalesce " +
       "rewrite (no shuffle); content provably unchanged")
 
+  // ------------------------------------------- schema evolution
+  // A landing zone written over months drifts: files created before a
+  // column existed sit next to files that carry it. The operator reads
+  // BOTH vintages in one scan with a DECLARED unified schema — the 100 TB
+  // path: `spark.read.schema(...)` plans from the declared schema alone,
+  // touching no footers at planning time, and parquet's by-name column
+  // resolution yields NULL for the column a vintage lacks. (The
+  // alternative `mergeSchema=true` discovery read sweeps every file
+  // footer at planning — fine for exploration, wrong as a production
+  // default; SchemaEvolutionSpec proves the two reads agree and that
+  // predicate pushdown reaches both vintages.) NULL-vs-absent is then a
+  // plan-level `coalesce` to the pre-column default.
+  //
+  // Fixture: the documents corpus split by doc_id%3 — vintage-1 files
+  // (doc_id%3=0) WITHOUT `lang`, vintage-2 files with it — landed as
+  // plain part files in ONE flat directory, the real landing-zone shape.
+
+  private[graft] def schemaEvoDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = graft.streaming.StreamingOps.indexArtifactDir("schema_evo", d)
+    val marker = dir.resolve("_complete")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "documents")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
+    graft.Fs.deleteRecursively(dir)
+    val docs = Tables.documents(s, d)
+    docs.filter($"doc_id" % 3 === 0)
+      .select($"doc_id", $"text") // the pre-lang vintage
+      .write.mode("overwrite").parquet(dir.toString)
+    docs.filter($"doc_id" % 3 =!= 0)
+      .select($"doc_id", $"text", $"lang")
+      .write.mode("append").parquet(dir.toString)
+    graft.FixtureStamp.complete(marker, stamp)
+    dir.toString
+  }
+
+  /** The unified schema a reader DECLARES over the drifted zone. */
+  private[graft] val evoSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType)))
+
+  private val schemaEvolution = QueryDef(
+    "q_schema_evolution",
+    (s, d) => {
+      import s.implicits._
+      val dir = schemaEvoDir(s, d)
+      s.read.schema(evoSchema).parquet(dir)
+        .select($"doc_id", $"text",
+          coalesce($"lang", lit("und")).as("lang_eff"))
+        .groupBy($"lang_eff")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).cast("long").as("n_chars"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"lang_eff")
+    },
+    Some("""SELECT
+      CASE WHEN doc_id % 3 = 0 THEN 'und' ELSE lang END AS lang_eff,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents GROUP BY 1 ORDER BY lang_eff"""),
+    "Schema evolution: one declared-schema scan over a landing zone " +
+      "whose older files lack the lang column (NULL by parquet name " +
+      "resolution -> coalesce default); oracle recomputes from the " +
+      "source corpus")
+
   override def defs: Seq[QueryDef] =
     Seq(sourcePayload, streamSourcePayload, sinkCsv, sinkOrc, sinkText,
-      sinkJson, sinkJdbc, sinkPartitioned, sinkCompaction)
+      sinkJson, sinkJdbc, sinkPartitioned, sinkCompaction, schemaEvolution)
 }
