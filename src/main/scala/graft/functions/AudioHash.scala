@@ -89,38 +89,31 @@ case class WavSamples(child: Expression) extends UnaryExpression {
 
 object AudioHash {
 
-  private def le16u(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], o: Int): Long =
-    ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
-      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-  private def hasTag(b: Array[Byte], o: Int, tag: String): Boolean = {
-    var i = 0
-    while (i < 4) { if (b(o + i) != tag.charAt(i).toByte) return false; i += 1 }
-    true
-  }
-
   /** (dataOffset, dataBytes) of a well-formed 16-bit PCM WAV whose data
-    * chunk is fully in bounds and holds ≥ 2 samples, else null. The same
-    * RIFF chunk walk as MediaCodec.decodeWav (MediaCodec.scala:112),
-    * additionally requiring bits == 16 so the sample reads are defined.
-    * `private[graft]`: the multimodal fixture builders use it to plant
-    * sample-level perturbations (MultimodalOps.dcShift). */
+    * chunk is fully in bounds and holds ≥ 2 samples, else null. Reuses
+    * MediaCodec's shared [[MediaCodec.riffWalk]] (one chunk walk for the
+    * header-decode and hash paths — bounds/termination hardening lives
+    * in exactly one place), additionally requiring bits == 16 so the
+    * sample reads are defined. `private[graft]`: the multimodal fixture
+    * builders use it to plant sample-level perturbations
+    * (MultimodalOps.dcShift). */
   private[graft] def wavData(b: Array[Byte]): Array[Int] = {
     if (b == null || b.length < 44 ||
-      !hasTag(b, 0, "RIFF") || !hasTag(b, 8, "WAVE")) return null
-    var off = 12
+      !MediaCodec.hasTag(b, 0, "RIFF") || !MediaCodec.hasTag(b, 8, "WAVE"))
+      return null
     var bits = -1L
     var dataOff = -1; var dataLen = -1L
-    while (off + 8 <= b.length) {
-      val size = le32(b, off + 4)
-      if (hasTag(b, off, "fmt ") && size >= 16 && off + 8 + 16 <= b.length)
-        bits = le16u(b, off + 22).toLong
-      else if (hasTag(b, off, "data")) { dataOff = off + 8; dataLen = size }
-      off += 8 + size.toInt + (size.toInt & 1)
+    MediaCodec.riffWalk(b) { off =>
+      val size = MediaCodec.le32(b, off + 4)
+      if (MediaCodec.hasTag(b, off, "fmt ") && size >= 16 &&
+          off + 8 + 16 <= b.length)
+        bits = MediaCodec.le16(b, off + 22).toLong
+      else if (MediaCodec.hasTag(b, off, "data")) {
+        dataOff = off + 8; dataLen = size
+      }
     }
     if (bits != 16 || dataOff < 0 || dataLen < 4 ||
-      dataOff + dataLen > b.length) return null
+      dataOff.toLong + dataLen > b.length) return null
     Array(dataOff, dataLen.toInt)
   }
 
@@ -136,7 +129,7 @@ object AudioHash {
     var k = 0
     while (k < 65) {
       val idx = (k.toLong * n / 65).toInt
-      probe(k) = le16u(b, off + idx * 2).toShort.toInt // signed 16-bit
+      probe(k) = MediaCodec.le16(b, off + idx * 2).toShort.toInt // signed LE16
       k += 1
     }
     var out = 0L

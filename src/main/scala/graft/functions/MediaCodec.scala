@@ -73,9 +73,9 @@ object MediaCodec {
 
   // ------------------------------------------------------------ decode
 
-  private def le16(b: Array[Byte], o: Int): Int =
+  private[graft] def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], o: Int): Long =
+  private[graft] def le32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
 
@@ -89,10 +89,27 @@ object MediaCodec {
     else null
   }
 
-  private def hasTag(b: Array[Byte], o: Int, tag: String): Boolean = {
+  private[graft] def hasTag(b: Array[Byte], o: Int, tag: String): Boolean = {
     var i = 0
     while (i < 4) { if (b(o + i) != tag.charAt(i).toByte) return false; i += 1 }
     true
+  }
+
+  /** RIFF chunk walk shared by [[decodeWav]] and AudioHash.wavData:
+    * invokes `f(chunkOffset)` for every chunk header fully in bounds.
+    * The cursor is a LONG and the le32 size is used unsigned — a
+    * corrupt size near 2^32 advances past the end (walk ends) instead
+    * of wrapping `size.toInt` negative, which made the old inline loops
+    * spin forever (off += 8 + (−8)) or index out of bounds. Corrupt
+    * payloads must END the walk, never hang or throw — the
+    * NULL-on-corrupt contract both kernels document. */
+  private[graft] def riffWalk(b: Array[Byte])(f: Int => Unit): Unit = {
+    var off = 12L
+    while (off + 8 <= b.length) {
+      f(off.toInt)
+      val size = le32(b, off.toInt + 4)
+      off += 8L + size + (size & 1L) // chunks pad to even length
+    }
   }
 
   private def decodeBmp(b: Array[Byte]): InternalRow = {
@@ -110,10 +127,8 @@ object MediaCodec {
   }
 
   private def decodeWav(b: Array[Byte]): InternalRow = {
-    // RIFF chunk walk: [id:4][size:4 LE][payload:size (+1 pad if odd)]*
-    var off = 12
     var channels = -1L; var rate = -1L; var bits = -1L; var dataBytes = -1L
-    while (off + 8 <= b.length) {
+    riffWalk(b) { off =>
       val size = le32(b, off + 4)
       if (hasTag(b, off, "fmt ") && size >= 16 && off + 8 + 16 <= b.length) {
         channels = le16(b, off + 10).toLong
@@ -122,7 +137,6 @@ object MediaCodec {
       } else if (hasTag(b, off, "data")) {
         dataBytes = size
       }
-      off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even length
     }
     if (channels < 0 || dataBytes < 0) null
     else row(kind = "wav", channels = channels, rate = rate, bits = bits,

@@ -501,30 +501,39 @@ object MultimodalOps extends QueryPack {
       .filter($"ph".isNotNull)
   }
 
-  /** Band-bucket candidate stream with exact Hamming — pre-rank (the
-    * audit checks self-candidacy here, before top-k can push a source
-    * past rank K). The probe side is the shuffle-hash build (bounded). */
-  private[graft] def mediaCand(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val (idx, probes) = searchCorpus(s, d)
-    phBands(phSig(probes)).toDF("probe_id", "php", "band", "bkey")
+  /** Band-bucket candidate stream with exact Hamming from prebuilt
+    * signatures — pre-rank (the audit checks self-candidacy here, before
+    * top-k can push a source past rank K). The probe side is the
+    * shuffle-hash build (bounded). */
+  private def candFrom(psig: DataFrame, isig: DataFrame): DataFrame = {
+    import psig.sparkSession.implicits._
+    phBands(psig).toDF("probe_id", "php", "band", "bkey")
       .hint("shuffle_hash")
-      .join(phBands(phSig(idx)).toDF("neighbor_id", "phi", "band", "bkey"),
+      .join(phBands(isig).toDF("neighbor_id", "phi", "band", "bkey"),
         Seq("band", "bkey"))
       .select($"probe_id", $"neighbor_id",
         bit_count($"php".bitwiseXOR($"phi")).cast("long").as("hamming"))
       .distinct()
   }
 
-  /** Banded top-k: candidates → per-probe rank. */
-  private[graft] def mediaTopK(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private[graft] def mediaCand(s: SparkSession, d: String): DataFrame = {
+    val (idx, probes) = searchCorpus(s, d)
+    candFrom(phSig(probes), phSig(idx))
+  }
+
+  /** Per-probe rank ≤ [[TopK]] over a candidate stream. */
+  private def topKFrom(cand: DataFrame): DataFrame = {
+    import cand.sparkSession.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"probe_id").orderBy($"hamming", $"neighbor_id")
-    mediaCand(s, d).withColumn("rnk", row_number().over(w).cast("long"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= TopK)
       .select($"probe_id", $"rnk", $"neighbor_id", $"hamming")
   }
+
+  /** Banded top-k: candidates → per-probe rank. */
+  private[graft] def mediaTopK(s: SparkSession, d: String): DataFrame =
+    topKFrom(mediaCand(s, d))
 
   /** Oracle CTE chain for the search corpus: generator pixels (+64 on
     * the left half for probes) → 9×8 grid → 64 bits → band keys, both
@@ -619,10 +628,15 @@ object MultimodalOps extends QueryPack {
     "q_simsearch_media_audit",
     (s, d) => {
       import s.implicits._
+      // signatures and the candidate stream are built ONCE and shared
+      // by the banded top-k, the self-recall pin, and the brute force —
+      // not recomputed per consumer (each rebuild re-encodes and
+      // re-hashes the whole corpus)
       val (idx, probes) = searchCorpus(s, d)
-      val isig = phSig(idx)
-      val psig = phSig(probes)
-      val banded = mediaTopK(s, d).cache()
+      val isig = phSig(idx).cache()
+      val psig = phSig(probes).cache()
+      val cand = candFrom(psig, isig).cache()
+      val banded = topKFrom(cand).cache()
       // brute-force ground truth: probe hashes broadcast against the
       // index (exact re-score shape — audit-only, probe-bounded)
       val w = org.apache.spark.sql.expressions.Window
@@ -639,8 +653,8 @@ object MultimodalOps extends QueryPack {
       // structural recall: the half-bright flips live in ONE column (the
       // boundary column), hence in ONE band (column mod 4), so a probe's
       // source shares the other 3 bands and MUST be a candidate —
-      // pinned, not probabilistic (see mediaCand)
-      val selfCand = mediaCand(s, d)
+      // pinned, not probabilistic (see candFrom)
+      val selfCand = cand
         .filter($"neighbor_id" === $"probe_id" - ProbeOff)
       psig.agg(count(lit(1)).as("n_probes"))
         .crossJoin(broadcast(isig.agg(count(lit(1)).as("n_index"))))

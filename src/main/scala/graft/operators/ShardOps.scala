@@ -52,29 +52,47 @@ object ShardOps extends QueryPack {
     * generation so its rows continue the shard's address space without
     * touching earlier rows — None packs from 0. */
   private[graft] def packRows(s: SparkSession, ids: DataFrame,
-      startSeq: Option[DataFrame]): DataFrame = {
+      startSeq: Option[DataFrame]): DataFrame =
+    packStream(s, ids, Seq("doc_id", "pos", "subpos"), startSeq,
+      docStats = true)
+
+  /** The ONE pack rule, shared by the from-tokenizer pack ([[packRows]])
+    * and the compaction re-pack: `order` is the per-shard total order of
+    * the incoming token stream; `docStats` is false when the stream has
+    * no per-token doc_id (re-packed rows — fixed-width rows carry no doc
+    * boundaries by design), in which case the stat columns are NULL so
+    * every generation writes the same parquet schema. */
+  private[graft] def packStream(s: SparkSession, toks: DataFrame,
+      order: Seq[String], startSeq: Option[DataFrame],
+      docStats: Boolean): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"shard").orderBy($"doc_id", $"pos", $"subpos")
-    val toks = ids
+      .partitionBy($"shard").orderBy(order.map(col): _*)
+    val idxd = toks
       .withColumn("tok_idx", row_number().over(w).cast("long") - 1L)
       .withColumn("seq_in_gen", expr(s"tok_idx div $SeqLen"))
       .withColumn("pos_in_seq", pmod($"tok_idx", lit(SeqLen.toLong)))
     val seqd = startSeq match {
-      case Some(off) => toks
+      case Some(off) => idxd
         .join(broadcast(off), Seq("shard"), "left")
         .withColumn("seq_idx", $"seq_in_gen" + coalesce($"seq0", lit(0L)))
-      case None => toks.withColumn("seq_idx", $"seq_in_gen")
+      case None => idxd.withColumn("seq_idx", $"seq_in_gen")
     }
-    seqd
-      .groupBy($"shard", $"seq_idx")
-      .agg(count(lit(1)).cast("long").as("n_ids"),
-        array_join(
-          transform(array_sort(collect_list(struct($"pos_in_seq", $"tid"))),
-            x => x.getField("tid").cast("string")), ",").as("ids_str"),
-        countDistinct($"doc_id").as("n_docs"),
-        min($"doc_id").as("first_doc"),
-        max($"doc_id").as("last_doc"))
+    val aggs = Seq(
+      count(lit(1)).cast("long").as("n_ids"),
+      array_join(
+        transform(array_sort(collect_list(struct($"pos_in_seq", $"tid"))),
+          x => x.getField("tid").cast("string")), ",").as("ids_str")) ++
+      (if (docStats) Seq(countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+       else Nil)
+    val packed = seqd.groupBy($"shard", $"seq_idx")
+      .agg(aggs.head, aggs.tail: _*)
+    if (docStats) packed
+    else packed
+      .withColumn("n_docs", lit(null).cast("long"))
+      .withColumn("first_doc", lit(null).cast("long"))
+      .withColumn("last_doc", lit(null).cast("long"))
   }
 
   private val shardWrite = QueryDef(
@@ -264,30 +282,17 @@ object ShardOps extends QueryPack {
       .groupBy($"shard".cast("long").as("shard"))
       .agg(count(lit(1)).cast("long").as("seq0"))
     // token stream to re-pack, in store order: base tail first (gen 0),
-    // then the delta generation; within a row, ids_str position order
+    // then the delta generation; within a row, ids_str position order.
+    // The re-pack is the SAME pack rule as the original write
+    // ([[packStream]]), just over a different per-shard total order and
+    // without per-token doc ids.
     val toks = all
       .filter($"gen" === 1 || ($"gen" === 0 && $"n_ids" < SeqLen))
       .select($"shard".cast("long").as("shard"), $"gen", $"seq_idx",
         posexplode(split($"ids_str", ",")))
       .toDF("shard", "gen", "seq_idx", "p", "tid")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"shard").orderBy($"gen", $"seq_idx", $"p")
-    toks
-      .withColumn("j", row_number().over(w).cast("long") - 1L)
-      .join(broadcast(off), Seq("shard"), "left")
-      .withColumn("seq_idx", coalesce($"seq0", lit(0L)) +
-        expr(s"j div $SeqLen"))
-      .withColumn("pp", pmod($"j", lit(SeqLen.toLong)))
-      .groupBy($"shard", $"seq_idx")
-      .agg(count(lit(1)).cast("long").as("n_ids"),
-        array_join(transform(
-          array_sort(collect_list(struct($"pp", $"tid"))),
-          x => x.getField("tid")), ",").as("ids_str"))
-      .withColumn("n_docs", lit(null).cast("long"))
-      .withColumn("first_doc", lit(null).cast("long"))
-      .withColumn("last_doc", lit(null).cast("long"))
-      .select($"shard", $"seq_idx", $"n_ids", $"ids_str",
-        $"n_docs", $"first_doc", $"last_doc")
+    packStream(s, toks, Seq("gen", "seq_idx", "p"), Some(off),
+      docStats = false)
       .withColumn("gen", lit(2))
       .write.mode("append").partitionBy("shard", "gen").parquet(dir)
     // vacuum: the compacted rows are durable — drop the superseded delta

@@ -52,6 +52,21 @@ class AudioDedupSpec extends SparkTestBase {
     // corrupt payloads are nulls, not failures
     assert(AudioHash.ahash("not a wav".getBytes) == null)
     assert(AudioHash.ahash(java.util.Arrays.copyOf(plain, 20)) == null)
+    // adversarial chunk sizes must END the walk, not hang or throw:
+    // 0xFFFFFFF8 as a signed Int is -8, which made the old inline walk
+    // advance by 8 + (-8) = 0 forever; near-2^31 sizes overflowed the
+    // Int cursor negative and indexed out of bounds
+    for (hostileSize <- Seq(0xFFFFFFF8, 0x7FFFFFF8)) {
+      val evil = java.util.Arrays.copyOf(plain, plain.length)
+      // first chunk starts at offset 12; poison its size field
+      evil(16) = (hostileSize & 0xff).toByte
+      evil(17) = ((hostileSize >> 8) & 0xff).toByte
+      evil(18) = ((hostileSize >> 16) & 0xff).toByte
+      evil(19) = ((hostileSize >> 24) & 0xff).toByte
+      assert(AudioHash.ahash(evil) == null)
+      assert(AudioHash.samples(evil) == null)
+      assert(MediaCodec.decode(evil) == null)
+    }
   }
 
   test("the banded pair plan is equi-join only, and every planted pair " +
