@@ -62,6 +62,9 @@ object BenchStress {
     // round-13: LSM compaction — the re-pack must stay bounded by
     // |tail + delta| while the base generation grows xREP untouched
     "q_shard_compact",
+    // round-13: right-to-be-forgotten delete — affected-generation
+    // re-pack + dynamic partition overwrite at 10x store size
+    "q_shard_forget",
     // round-13: perceptual top-k search — probe-side shuffle-hash build
     // against index band buckets growing xREP; stressed to prove the
     // candidate stream stays band-bounded, never probe×index

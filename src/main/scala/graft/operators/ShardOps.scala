@@ -351,5 +351,133 @@ object ShardOps extends QueryPack {
       "delta dirs vacuumed; read view hash-equal to a one-pass global " +
       "defragmented pack of the whole two-generation token stream")
 
-  override def defs: Seq[QueryDef] = Seq(shardWrite, shardAppend, shardCompact)
+  // ---------------------------------------------------- q_shard_forget
+  // Right-to-be-forgotten deletes from the packed store. A deletion
+  // request names doc_ids; their tokens sit inside fixed-width packed
+  // rows that carry no per-token provenance (by design — fixed-width is
+  // the trainer's format), so the deletion unit is the (shard,
+  // generation) PARTITION: generation alignment means a doc's tokens
+  // live in exactly ONE generation of ONE shard, both derivable from
+  // the id alone (layout rule — no store scan to find the blast
+  // radius). Each affected generation is re-packed from the surviving
+  // source slice and swapped in with DYNAMIC partition overwrite — only
+  // partitions present in the rewrite are replaced; every untouched
+  // (shard, gen) keeps its files byte-identical (ShardForgetSpec).
+  // Gen-1 keeps its ORIGINAL append-time seq offsets (read partition-
+  // pruned before gen 0 shrinks): re-addressing after a base delete
+  // would force rewriting every later generation of the shard, turning
+  // the bounded delete into a full-shard rebuild. Cross-generation seq
+  // gaps are legal; rows stay dense WITHIN a generation.
+  //
+  // Scale shape: blast radius = re-tokenize + re-pack the affected
+  // generations only (a daily delete batch touches the generations it
+  // names); the manifest offset read is partition-pruned; the affected-
+  // pair set is ≤ NShards × generations rows (driver-side by
+  // construction). The oracle rebuilds the post-delete layout in one
+  // pass: surviving streams packed per (shard, gen) with gen-1 offset
+  // from the FULL original base — delete path ≡ rebuild, one hash.
+
+  private[graft] val ForgetMod = 37L
+  private[graft] val ForgetRes = 5L
+
+  private[graft] def forgetShardDir(d: String): String =
+    graft.streaming.StreamingOps.indexArtifactDir("shard_forget", d).toString
+
+  /** Delete every doc with doc_id % [[ForgetMod]] == [[ForgetRes]] from
+    * the two-generation store at `dir`, rewriting only the affected
+    * (shard, gen) partitions. */
+  private[graft] def forgetDocs(s: SparkSession, d: String, dir: String): Unit = {
+    import s.implicits._
+    val del = graft.Tables.documents(s, d)
+      .filter($"doc_id" % ForgetMod === ForgetRes)
+      .select(pmod($"doc_id", lit(NShards.toLong)).as("shard"),
+        when($"doc_id" % BpeOps.HoldoutMod === 0, 1).otherwise(0).as("gen"))
+      .distinct()
+    // bounded collect: ≤ NShards × 2 rows regardless of corpus size
+    val affected = del.collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Int]("gen")))
+    val aff0 = affected.collect { case (sh, 0) => sh }.toSeq
+    val aff1 = affected.collect { case (sh, 1) => sh }.toSeq
+    // original append-time gen-1 offsets — read BEFORE gen 0 shrinks
+    val offsets = s.read.parquet(dir).filter($"gen" === 0)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg((max($"seq_idx") + 1L).as("seq0"))
+      .cache()
+    offsets.count() // pin the pre-delete snapshot before any rewrite
+    def surviving(delta: Boolean, shards: Seq[Long]): DataFrame =
+      genIds(s, d, delta)
+        .filter($"shard".isin(shards: _*))
+        .filter($"doc_id" % ForgetMod =!= ForgetRes)
+    def rewrite(gen: Int, shards: Seq[Long],
+        startSeq: Option[DataFrame]): Unit = {
+      if (shards.isEmpty) return
+      val packed = packRows(s, surviving(gen == 1, shards), startSeq)
+        .withColumn("gen", lit(gen))
+      packed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard", "gen").parquet(dir)
+      // a partition whose EVERY doc was deleted writes zero rows, so
+      // dynamic overwrite leaves its stale files — drop them explicitly
+      // (bounded collect: ≤ NShards distinct shard keys)
+      val survivors = packed.select($"shard").distinct()
+        .as[Long].collect().toSet
+      shards.filterNot(survivors).foreach { sh =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir)
+          .resolve(s"shard=$sh").resolve(s"gen=$gen"))
+      }
+    }
+    rewrite(0, aff0, None)
+    rewrite(1, aff1, Some(offsets))
+    offsets.unpersist()
+  }
+
+  private val shardForget = QueryDef(
+    "q_shard_forget",
+    (s, d) => {
+      import s.implicits._
+      val dir = forgetShardDir(d)
+      writeShardBaseTo(s, d, dir)
+      appendShardDeltaTo(s, d, dir)
+      forgetDocs(s, d, dir)
+      s.read.parquet(dir)
+        .select($"shard".cast("long").as("shard"),
+          $"gen".cast("long").as("gen"),
+          $"seq_idx", $"n_ids", $"n_docs", $"first_doc", $"last_doc",
+          $"ids_str")
+        .orderBy($"shard", $"gen", $"seq_idx")
+    },
+    Some(s"""WITH ${BpeOps.subwordIdCtes},
+      t AS (SELECT doc_id, pos, subpos, tid, doc_id % $NShards AS shard,
+          CASE WHEN doc_id % ${BpeOps.HoldoutMod} = 0 THEN 1 ELSE 0 END AS gen
+        FROM ids),
+      basecnt AS (SELECT shard, count(*) AS nb FROM t WHERE gen = 0
+        GROUP BY 1),
+      surv AS (SELECT * FROM t
+        WHERE NOT doc_id % $ForgetMod = $ForgetRes),
+      ord AS (SELECT shard, gen, doc_id, tid,
+          row_number() OVER (PARTITION BY shard, gen
+            ORDER BY doc_id, pos, subpos) - 1 AS tok
+        FROM surv),
+      sq AS (SELECT o.shard, o.gen, o.doc_id, o.tid, o.tok,
+          CASE WHEN o.gen = 0 THEN o.tok // $SeqLen
+               ELSE COALESCE(b.nbseq, 0) + o.tok // $SeqLen END AS seq_idx
+        FROM ord o LEFT JOIN (SELECT shard,
+            (nb + ${SeqLen - 1}) // $SeqLen AS nbseq FROM basecnt) b
+          ON o.gen = 1 AND o.shard = b.shard)
+      SELECT CAST(shard AS BIGINT) AS shard, CAST(gen AS BIGINT) AS gen,
+        CAST(seq_idx AS BIGINT) AS seq_idx,
+        CAST(count(*) AS BIGINT) AS n_ids,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        array_to_string(list(CAST(tid AS VARCHAR) ORDER BY tok), ',')
+          AS ids_str
+      FROM sq GROUP BY 1, 2, 3 ORDER BY shard, gen, seq_idx"""),
+    "Right-to-be-forgotten delete from the packed shard store: affected " +
+      "(shard, generation) partitions re-packed from the surviving " +
+      "source slice and swapped via dynamic partition overwrite, gen-1 " +
+      "seq offsets preserved; read-back hash-equal to the oracle's " +
+      "one-pass post-delete rebuild")
+
+  override def defs: Seq[QueryDef] =
+    Seq(shardWrite, shardAppend, shardCompact, shardForget)
 }

@@ -381,7 +381,11 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // collect guarded by the MaxDictWords require — the industrial
       // learner shape — plus the spec-only distributed reference's
       // .limit(1) argmax fetch (unreachable from declared queries)
-      "operators/BpeOps.scala" -> 2)
+      "operators/BpeOps.scala" -> 2,
+      // shard forget: the affected (shard, gen) pair set (≤ NShards×2
+      // rows by the layout rule) + the surviving-shard key set
+      // (≤ NShards rows) for empty-partition cleanup
+      "operators/ShardOps.scala" -> 2)
     val base = java.nio.file.Paths.get("src", "main", "scala", "graft")
     val offenders = java.nio.file.Files.walk(base).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
