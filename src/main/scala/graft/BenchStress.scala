@@ -75,6 +75,10 @@ object BenchStress {
     // round-13: the WAV counterpart — temporal-fingerprint bands over
     // the decoded sample streams, same banded-never-all-pairs claim
     "q_dedup_audio",
+    // round-13: audio top-k search — probe-side shuffle-hash build
+    // against fingerprint band buckets growing xREP (the
+    // q_simsearch_media claim on the audio kernels)
+    "q_simsearch_audio",
     // round-13: the end-to-end streaming corpus pipeline — gates,
     // tokenize, pack per micro-batch; stressed to prove per-batch work
     // scales with the batch and log reads with accepted-hash count
@@ -270,6 +274,9 @@ object BenchStress {
     // audio-dedup audit: 2x the stressed q_dedup_audio plus the sample
     // ground-truth pass (same banded class) and 1-row flag attaches
     "q_dedup_audio_audit",
+    // audio-search audit: the stressed q_simsearch_audio plus the
+    // probe-broadcast brute force — audit-only by design
+    "q_simsearch_audio_audit",
     // post-eviction statestore read: the stressed q_stream_state_inspect
     // plan family with one more micro-batch and a SMALLER surviving
     // state to read — strictly less offline-read work

@@ -938,8 +938,244 @@ object MultimodalOps extends QueryPack {
       "structural); planted DC variants must land at Hamming 0 — every " +
       "scalar oracle-recomputed by full replay")
 
+  // ------------------------------------------- audio similarity search
+  // Completes the modality matrix (image/audio × dedup/search): top-k
+  // nearest WAVs by fingerprint Hamming for a bounded probe set. Probes
+  // are VOLUME-HALVED variants (every sample s → s/2, floor): halving
+  // preserves s_a > s_b except where the halves collide (|s_a − s_b| = 1
+  // boundaries), so probe→source distances land small-but-nonzero and
+  // graded by content — the realistic "same recording, different gain"
+  // query. Bits only flip 1→0 under halving (a > b ⇒ a/2 ≥ b/2), so
+  // hamming ≤ popcount(source hash); with 4×16 contiguous bands a probe
+  // at hamming ≤ 3 finds its source by pigeonhole — the audit reports
+  // (not pins) how the fixture lands. Full DuckDB replay as everywhere
+  // in this family: the sample transform is integer floor-halving of
+  // the generator formula's nonneg samples.
+  //
+  // Scale posture: identical to q_simsearch_media — codegen hash,
+  // (band, bkey) equi-join with the bounded probe side as shuffle-hash
+  // build, per-probe ranking window; brute force only in the audit.
+
+  /** Volume halving: every 16-bit sample s → s/2 (floor; fixture
+    * samples are non-negative — ASCII high bytes ≤ 127). */
+  private[graft] def halfVolume(b: Array[Byte]): Array[Byte] = {
+    val g = graft.functions.AudioHash.wavData(b)
+    require(g != null, "volume-variant fixtures are well-formed WAVs")
+    val out = b.clone()
+    var i = g(0); val end = g(0) + g(1)
+    while (i + 1 < end) {
+      val s = ((out(i) & 0xff) | ((out(i + 1) & 0xff) << 8)).toShort / 2
+      out(i) = (s & 0xff).toByte
+      out(i + 1) = ((s >> 8) & 0xff).toByte
+      i += 2
+    }
+    out
+  }
+
+  /** (index, probes) for the audio search corpus: index = every base
+    * WAV; probes = volume-halved variants of doc_id % 6 == 3 (all odd →
+    * WAVs), empty-text docs excluded (their generator samples go
+    * negative, where floor-vs-truncate halving diverges). */
+  private[graft] def audioSearchCorpus(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).filter($"doc_id" % 2 === 1)
+      .select($"doc_id", encode($"text", "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+    val idx = docs.map { case (id, tb) => (id, MediaCodec.encodeWav(id, tb)) }
+      .toDF("media_id", "payload")
+    val probes = docs.filter(t => t._1 % 6 == 3 && t._2.nonEmpty)
+      .map { case (id, tb) =>
+        (id + ProbeOff, halfVolume(MediaCodec.encodeWav(id, tb))) }
+      .toDF("media_id", "payload")
+    (idx, probes)
+  }
+
+  private def ahSig(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select($"media_id",
+      graft.functions.AudioHash.audiohash64($"payload").as("ph"))
+      .filter($"ph".isNotNull)
+  }
+
+  /** 4×16-bit contiguous band explode (the audio-dedup banding). */
+  private def ahBands(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
+    sigs.select($"media_id", $"ph",
+      posexplode(array((0 to 3).map(b =>
+        shiftrightunsigned($"ph", b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+  }
+
+  private def audioCandFrom(psig: DataFrame, isig: DataFrame): DataFrame = {
+    import psig.sparkSession.implicits._
+    ahBands(psig).toDF("probe_id", "php", "band", "bkey")
+      .hint("shuffle_hash")
+      .join(ahBands(isig).toDF("neighbor_id", "phi", "band", "bkey"),
+        Seq("band", "bkey"))
+      .select($"probe_id", $"neighbor_id",
+        bit_count($"php".bitwiseXOR($"phi")).cast("long").as("hamming"))
+      .distinct()
+  }
+
+  private[graft] def audioCand(s: SparkSession, d: String): DataFrame = {
+    val (idx, probes) = audioSearchCorpus(s, d)
+    audioCandFrom(ahSig(probes), ahSig(idx))
+  }
+
+  private[graft] def audioTopK(s: SparkSession, d: String): DataFrame =
+    topKFrom(audioCand(s, d))
+
+  /** Oracle CTE chain: generator samples (floor-halved for probes) →
+    * 65 probes → bits → contiguous 16-bit bands (unpivoted + pivoted) →
+    * banded candidates + per-band XOR popcount Hamming. */
+  private def audioSearchCtes: String = s"""vm AS (
+      SELECT doc_id AS mid, doc_id AS gid, 0 AS halfvol, text
+      FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + $ProbeOff, doc_id, 1, text
+      FROM documents WHERE doc_id % 6 = 3 AND length(text) > 0),
+    vg AS (
+      SELECT mid, halfvol, text,
+        (length(text) % 256 + 16)
+          * (CASE WHEN gid % 4 = 1 THEN 1 ELSE 2 END) AS n,
+        CAST(length(text) AS BIGINT) AS len
+      FROM vm),
+    vlh AS MATERIALIZED (
+      SELECT mid, halfvol,
+        list_transform(range(0, 65), k ->
+          CASE WHEN len = 0
+            THEN CAST((2 * ((k * n) // 65)) % 256 AS BIGINT)
+            ELSE CAST(ord(substring(text,
+              CAST((2 * ((k * n) // 65)) % len AS INT) + 1, 1)) AS BIGINT)
+          END) AS lo,
+        list_transform(range(0, 65), k ->
+          CASE WHEN len = 0
+            THEN CAST((2 * ((k * n) // 65) + 1) % 256 AS BIGINT)
+            ELSE CAST(ord(substring(text,
+              CAST((2 * ((k * n) // 65) + 1) % len AS INT) + 1, 1)) AS BIGINT)
+          END) AS hi
+      FROM vg),
+    vpr AS MATERIALIZED (
+      SELECT mid,
+        list_transform(range(1, 66), j ->
+          (lo[CAST(j AS INT)] + 256 * hi[CAST(j AS INT)]
+            - CASE WHEN hi[CAST(j AS INT)] >= 128 THEN 65536 ELSE 0 END)
+          // (1 + halfvol)) AS probe
+      FROM vlh),
+    vbt AS MATERIALIZED (
+      SELECT mid,
+        list_transform(range(0, 64), k ->
+          CASE WHEN probe[CAST(k AS INT) + 2] > probe[CAST(k AS INT) + 1]
+            THEN 1 ELSE 0 END) AS bits
+      FROM vpr),
+    vbk AS (
+      SELECT mid, band,
+        CAST(list_sum(list_transform(range(0, 16), i ->
+          bits[CAST(band * 16 + i AS INT) + 1] * (1 << CAST(i AS INT))))
+          AS BIGINT) AS bkey
+      FROM (SELECT mid, bits, unnest(range(0, 4)) AS band FROM vbt)),
+    vbp AS MATERIALIZED (
+      SELECT mid,
+        max(CASE WHEN band = 0 THEN bkey END) AS b0,
+        max(CASE WHEN band = 1 THEN bkey END) AS b1,
+        max(CASE WHEN band = 2 THEN bkey END) AS b2,
+        max(CASE WHEN band = 3 THEN bkey END) AS b3
+      FROM vbk GROUP BY mid),
+    vcand AS (
+      SELECT DISTINCT p.mid AS probe_id, i.mid AS neighbor_id
+      FROM vbk p JOIN vbk i ON p.band = i.band AND p.bkey = i.bkey
+      WHERE p.mid >= $ProbeOff AND i.mid < $ProbeOff),
+    vhm AS (
+      SELECT c.probe_id, c.neighbor_id,
+        CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+           + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          AS BIGINT) AS hamming
+      FROM vcand c JOIN vbp x ON c.probe_id = x.mid
+        JOIN vbp y ON c.neighbor_id = y.mid)"""
+
+  private val audioSearch = QueryDef(
+    "q_simsearch_audio",
+    (s, d) => {
+      import s.implicits._
+      audioTopK(s, d).orderBy($"probe_id", $"rnk")
+    },
+    Some(s"""WITH $audioSearchCtes
+      SELECT CAST(probe_id AS BIGINT) AS probe_id,
+        CAST(row_number() OVER (PARTITION BY probe_id
+          ORDER BY hamming, neighbor_id) AS BIGINT) AS rnk,
+        CAST(neighbor_id AS BIGINT) AS neighbor_id, hamming
+      FROM vhm QUALIFY rnk <= $TopK ORDER BY probe_id, rnk"""),
+    "Audio top-k search: banded fingerprint candidates, exact Hamming " +
+      "re-rank per probe; probes are volume-halved variants; DuckDB " +
+      "replays samples->bits->bands->rank — full hash oracle")
+
+  private val audioSearchAudit = QueryDef(
+    "q_simsearch_audio_audit",
+    (s, d) => {
+      import s.implicits._
+      val (idx, probes) = audioSearchCorpus(s, d)
+      val isig = ahSig(idx).cache()
+      val psig = ahSig(probes).cache()
+      val cand = audioCandFrom(psig, isig).cache()
+      val banded = topKFrom(cand).cache()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"probe_id").orderBy($"hamming", $"neighbor_id")
+      val brute = isig.toDF("neighbor_id", "phi")
+        .crossJoin(broadcast(psig.toDF("probe_id", "php")))
+        .select($"probe_id", $"neighbor_id",
+          bit_count($"php".bitwiseXOR($"phi")).cast("long").as("hamming"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= TopK)
+        .select($"probe_id", $"neighbor_id")
+      val overlap = banded.select($"probe_id", $"neighbor_id")
+        .join(brute, Seq("probe_id", "neighbor_id"), "left_semi")
+      // how the pigeonhole landed on THIS corpus (reported, not pinned:
+      // halving's flip count is content-dependent)
+      val selfCand = cand
+        .filter($"neighbor_id" === $"probe_id" - ProbeOff)
+      psig.agg(count(lit(1)).as("n_probes"))
+        .crossJoin(broadcast(isig.agg(count(lit(1)).as("n_index"))))
+        .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_truth"))))
+        .crossJoin(broadcast(banded.agg(count(lit(1)).as("n_found"))))
+        .crossJoin(broadcast(overlap.agg(count(lit(1)).as("n_overlap"))))
+        .crossJoin(broadcast(selfCand.agg(count(lit(1)).as("n_self_cand"))))
+        .select($"n_probes", $"n_index", $"n_truth", $"n_found",
+          $"n_overlap", $"n_self_cand")
+    },
+    Some(s"""WITH $audioSearchCtes,
+      vtk AS (SELECT probe_id, neighbor_id FROM (
+          SELECT probe_id, neighbor_id, row_number() OVER (
+            PARTITION BY probe_id ORDER BY hamming, neighbor_id) AS rnk
+          FROM vhm) WHERE rnk <= $TopK),
+      vbf AS (SELECT probe_id, neighbor_id FROM (
+          SELECT x.mid AS probe_id, y.mid AS neighbor_id,
+            row_number() OVER (PARTITION BY x.mid ORDER BY
+              bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)),
+              y.mid) AS rnk
+          FROM (SELECT * FROM vbp WHERE mid >= $ProbeOff) x
+          CROSS JOIN (SELECT * FROM vbp WHERE mid < $ProbeOff) y)
+        WHERE rnk <= $TopK),
+      vov AS (SELECT s.probe_id FROM vtk s JOIN vbf b
+        ON s.probe_id = b.probe_id AND s.neighbor_id = b.neighbor_id),
+      vsl AS (SELECT probe_id FROM vhm
+        WHERE neighbor_id = probe_id - $ProbeOff)
+      SELECT
+        CAST((SELECT count(*) FROM vbp WHERE mid >= $ProbeOff) AS BIGINT)
+          AS n_probes,
+        CAST((SELECT count(*) FROM vbp WHERE mid < $ProbeOff) AS BIGINT)
+          AS n_index,
+        CAST((SELECT count(*) FROM vbf) AS BIGINT) AS n_truth,
+        CAST((SELECT count(*) FROM vtk) AS BIGINT) AS n_found,
+        CAST((SELECT count(*) FROM vov) AS BIGINT) AS n_overlap,
+        CAST((SELECT count(*) FROM vsl) AS BIGINT) AS n_self_cand"""),
+    "Audio search audit: banded top-k vs brute-force ground truth " +
+      "(probe hashes broadcast against the index), self-candidacy " +
+      "reported — every scalar oracle-recomputed by full replay")
+
   override def defs: Seq[QueryDef] =
     Seq(multimodalMeta, multimodalFeatures, multimodalDecode,
       mediaDedup, mediaDedupAudit, mediaSearch, mediaSearchAudit,
-      audioDedup, audioDedupAudit)
+      audioDedup, audioDedupAudit, audioSearch, audioSearchAudit)
 }

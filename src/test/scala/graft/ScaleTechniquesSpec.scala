@@ -254,6 +254,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // truth) + 1-row count attaches — audit-only, probe-bounded
       "q_simsearch_media_audit",
       "q_dedup_audio_audit", // 1-row count/flag attach crossJoins (×5)
+      // probe fingerprints broadcast against the index (exact re-score
+      // ground truth) + 1-row count attaches — audit-only, probe-bounded
+      "q_simsearch_audio_audit",
       // K-row centroid broadcast against the corpus (the MLlib k-means
       // assignment shape — kilobytes at any corpus size); PQ's codebook
       // is M×K rows, same class
