@@ -71,6 +71,10 @@ class AudioDedupSpec extends SparkTestBase {
 
   test("the banded pair plan is equi-join only, and every planted pair " +
       "lands as specified") {
+    // assert on the UNCACHED plan — the audit's .cache() registration
+    // on this exact pair subtree otherwise collapses it into an
+    // InMemoryTableScan (see MediaSearchSpec)
+    spark.sharedState.cacheManager.clearCache()
     val df = q("q_dedup_audio")
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))

@@ -30,6 +30,10 @@ class AudioSearchSpec extends SparkTestBase {
 
   test("the banded audio-search plan is equi-join only, with a " +
       "partitioned ranking window") {
+    // assert on the UNCACHED plan — the audit's .cache() registration
+    // on this exact top-k subtree otherwise collapses it into an
+    // InMemoryTableScan (see MediaSearchSpec)
+    spark.sharedState.cacheManager.clearCache()
     val df = q("q_simsearch_audio")
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))

@@ -37,6 +37,12 @@ class MediaSearchSpec extends SparkTestBase {
 
   test("the banded search plan is equi-join only (no BNLJ/cartesian), " +
       "with a partitioned ranking window") {
+    // the audit registers .cache() on exactly this top-k subtree; if it
+    // ran earlier in this JVM (e.g. the ScaleTechniquesSpec plan sweep
+    // builds every declared query), the plan collapses into an
+    // InMemoryTableScan and the shape assertions below see nothing —
+    // assert on the UNCACHED plan
+    spark.sharedState.cacheManager.clearCache()
     val df = q("q_simsearch_media")
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
