@@ -244,6 +244,10 @@ object BenchStress {
     // agg — linear, the q_agg_groupby class (the fixture itself is a
     // one-time write, not the measured operator)
     "q_schema_evolution",
+    // doc-grain grouped count + one partitioned prefix-sum window —
+    // the q_winfunc class; its heavy producer (the tokenize stream) is
+    // what the stressed shard queries already pay
+    "q_shard_lineage",
     // linear scans / projections / filters / per-row scalar maps
     "q_scan_parquet", "q_project_cast", "q_filter_between", "q_filter_pred",
     "q_round_format", "q_scalar_string", "q_scalar_string2",

@@ -478,6 +478,75 @@ object ShardOps extends QueryPack {
       "seq offsets preserved; read-back hash-equal to the oracle's " +
       "one-pass post-delete rebuild")
 
+  // --------------------------------------------------- q_shard_lineage
+  // The inverse index of the packed store — q_shard_forget's "find"
+  // companion: for every doc, the (shard, gen, seq) row range holding
+  // its tokens. Packed rows carry no per-token provenance, but the
+  // layout is a pure function of the layout rule, so lineage needs NO
+  // store scan: doc → (shard, gen) by the id rule; the doc's token
+  // start address = its generation's per-shard prefix sum of doc token
+  // counts (one partitioned window over doc-grain rows, corpus/NShards
+  // each), gen-1 offset by the base row boundary; row range = integer
+  // division of [start, start + n_tok). A compliance audit ("which
+  // training rows did doc X land in") runs this against the manifest
+  // without touching shard bytes; ShardLineageSpec cross-checks the
+  // ranges against the ACTUAL q_shard_append store.
+  private val shardLineage = QueryDef(
+    "q_shard_lineage",
+    (s, d) => {
+      import s.implicits._
+      val t = BpeOps.subwordIdRows(s, d)
+        .withColumn("shard", pmod($"doc_id", lit(NShards.toLong)))
+        .withColumn("gen",
+          when($"doc_id" % BpeOps.HoldoutMod === 0, 1L).otherwise(0L))
+      val perDoc = t.groupBy($"shard", $"gen", $"doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard", $"gen").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val nbRows = t.filter($"gen" === 0L)
+        .groupBy($"shard").agg(count(lit(1)).as("nb"))
+        .select($"shard", expr(s"(nb + ${SeqLen - 1}) div $SeqLen").as("nbseq"))
+      perDoc
+        .withColumn("start_in_gen",
+          coalesce(sum($"n_tok").over(w), lit(0L)))
+        .join(broadcast(nbRows), Seq("shard"), "left")
+        .withColumn("gstart", when($"gen" === 1L,
+          coalesce($"nbseq", lit(0L)) * SeqLen).otherwise(0L)
+          + $"start_in_gen")
+        .select($"doc_id", $"shard", $"gen", $"n_tok",
+          expr(s"gstart div $SeqLen").as("first_row"),
+          expr(s"(gstart + n_tok - 1) div $SeqLen").as("last_row"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH ${BpeOps.subwordIdCtes},
+      t AS (SELECT doc_id, tid, doc_id % $NShards AS shard,
+          CASE WHEN doc_id % ${BpeOps.HoldoutMod} = 0 THEN 1 ELSE 0 END AS gen
+        FROM ids),
+      dc AS (SELECT shard, gen, doc_id, CAST(count(*) AS BIGINT) AS n_tok
+        FROM t GROUP BY 1, 2, 3),
+      pre AS (SELECT shard, gen, doc_id, n_tok,
+          COALESCE(SUM(n_tok) OVER (PARTITION BY shard, gen ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sg
+        FROM dc),
+      basecnt AS (SELECT shard, count(*) AS nb FROM t WHERE gen = 0
+        GROUP BY 1),
+      fin AS (SELECT p.doc_id, p.shard, p.gen, p.n_tok,
+          CASE WHEN p.gen = 1
+            THEN ((b.nb + ${SeqLen - 1}) // $SeqLen) * $SeqLen
+            ELSE 0 END + p.sg AS gstart
+        FROM pre p LEFT JOIN basecnt b
+          ON p.gen = 1 AND p.shard = b.shard)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        CAST(gen AS BIGINT) AS gen, n_tok,
+        CAST(gstart // $SeqLen AS BIGINT) AS first_row,
+        CAST((gstart + n_tok - 1) // $SeqLen AS BIGINT) AS last_row
+      FROM fin ORDER BY doc_id"""),
+    "Doc -> packed-row lineage: each doc's (shard, gen, seq) row range " +
+      "derived from the layout rule alone (prefix-sum window per " +
+      "generation, no store scan); spec cross-checks the ranges against " +
+      "the real store")
+
   override def defs: Seq[QueryDef] =
-    Seq(shardWrite, shardAppend, shardCompact, shardForget)
+    Seq(shardWrite, shardAppend, shardCompact, shardForget, shardLineage)
 }
