@@ -272,8 +272,33 @@ object ShardOps extends QueryPack {
     graft.streaming.StreamingOps.indexArtifactDir("shard_compact", d).toString
 
   /** Compact the two-generation store at `dir`: re-pack [base tail ∪
-    * gen-1] into gen=2 files, then vacuum the gen=1 directories. */
+    * gen-1] into gen=2 files, then vacuum the gen=1 directories.
+    * RE-ENTRANT: a retry after a crash between the two steps re-packs
+    * from the still-present gen-1 and dynamically OVERWRITES the earlier
+    * gen=2 partitions (identical content, no duplicates); once the
+    * vacuum has run, a further call is a no-op — without the guard a
+    * re-run would re-pack the stale shadowed base tail ALONE and replace
+    * the good gen=2 rows with it (ShardCompactSpec pins both paths). */
   private[graft] def compactShards(s: SparkSession, dir: String): Unit = {
+    if (!hasGen1(dir)) return // already compacted — nothing to merge
+    repackDelta(s, dir)
+    vacuumDelta(dir)
+  }
+
+  private def hasGen1(dir: String): Boolean = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return false
+    val shards = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      shards.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("shard="))
+        .exists(p => java.nio.file.Files.isDirectory(p.resolve("gen=1")))
+    } finally shards.close()
+  }
+
+  /** Step 1 of [[compactShards]]: land the merged generation. */
+  private[graft] def repackDelta(s: SparkSession, dir: String): Unit = {
     import s.implicits._
     val all = s.read.parquet(dir)
     // first free defragmented seq_idx per shard = its full-row count
@@ -291,12 +316,26 @@ object ShardOps extends QueryPack {
       .select($"shard".cast("long").as("shard"), $"gen", $"seq_idx",
         posexplode(split($"ids_str", ",")))
       .toDF("shard", "gen", "seq_idx", "p", "tid")
+    // Re-entrant landing: gen=2 goes in with DYNAMIC partition overwrite,
+    // so a retry after a crash between this write and the vacuum below
+    // REPLACES the earlier gen=2 partitions instead of appending duplicate
+    // rows (mode(append) was not idempotent). The localCheckpoint breaks
+    // the read lineage on `dir` first — an overwrite whose plan still
+    // scans the same path is rejected by the analyzer; the checkpointed
+    // relation is bounded by |tail + delta| rows.
     packStream(s, toks, Seq("gen", "seq_idx", "p"), Some(off),
       docStats = false)
       .withColumn("gen", lit(2))
-      .write.mode("append").partitionBy("shard", "gen").parquet(dir)
-    // vacuum: the compacted rows are durable — drop the superseded delta
-    // directories (file-level delete; gen-0 files are never touched)
+      .localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "gen").parquet(dir)
+  }
+
+  /** Step 2 of [[compactShards]]: the compacted rows are durable — drop
+    * the superseded delta directories (file-level delete; gen-0 files
+    * are never touched). */
+  private[graft] def vacuumDelta(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     val shards = java.nio.file.Files.list(root)
     try {
@@ -383,13 +422,17 @@ object ShardOps extends QueryPack {
   private[graft] def forgetShardDir(d: String): String =
     graft.streaming.StreamingOps.indexArtifactDir("shard_forget", d).toString
 
-  /** Delete every doc with doc_id % [[ForgetMod]] == [[ForgetRes]] from
-    * the two-generation store at `dir`, rewriting only the affected
-    * (shard, gen) partitions. */
-  private[graft] def forgetDocs(s: SparkSession, d: String, dir: String): Unit = {
+  /** Delete every doc matching `deletePred` (default: the declared
+    * fixture rule doc_id % [[ForgetMod]] == [[ForgetRes]]) from the
+    * two-generation store at `dir`, rewriting only the affected
+    * (shard, gen) partitions — the blast radius is exactly the partition
+    * set the delete set touches. */
+  private[graft] def forgetDocs(s: SparkSession, d: String, dir: String,
+      deletePred: org.apache.spark.sql.Column =
+        col("doc_id") % ForgetMod === ForgetRes): Unit = {
     import s.implicits._
     val del = graft.Tables.documents(s, d)
-      .filter($"doc_id" % ForgetMod === ForgetRes)
+      .filter(deletePred)
       .select(pmod($"doc_id", lit(NShards.toLong)).as("shard"),
         when($"doc_id" % BpeOps.HoldoutMod === 0, 1).otherwise(0).as("gen"))
       .distinct()
@@ -398,16 +441,20 @@ object ShardOps extends QueryPack {
       .map(r => (r.getAs[Long]("shard"), r.getAs[Int]("gen")))
     val aff0 = affected.collect { case (sh, 0) => sh }.toSeq
     val aff1 = affected.collect { case (sh, 1) => sh }.toSeq
-    // original append-time gen-1 offsets — read BEFORE gen 0 shrinks
-    val offsets = s.read.parquet(dir).filter($"gen" === 0)
+    // original append-time gen-1 offsets — snapshotted to the DRIVER
+    // before any rewrite (bounded: ≤ NShards rows). cache() is NOT a
+    // snapshot: block eviction would recompute the plan from the parquet
+    // dir AFTER the gen-0 dynamic overwrite shrank it, silently
+    // mis-addressing the rewritten gen-1 rows (overlapping seq_idx).
+    val offsetRows = s.read.parquet(dir).filter($"gen" === 0)
       .groupBy($"shard".cast("long").as("shard"))
       .agg((max($"seq_idx") + 1L).as("seq0"))
-      .cache()
-    offsets.count() // pin the pre-delete snapshot before any rewrite
+      .as[(Long, Long)].collect().toSeq
+    val offsets = s.createDataset(offsetRows).toDF("shard", "seq0")
     def surviving(delta: Boolean, shards: Seq[Long]): DataFrame =
       genIds(s, d, delta)
         .filter($"shard".isin(shards: _*))
-        .filter($"doc_id" % ForgetMod =!= ForgetRes)
+        .filter(!deletePred)
     def rewrite(gen: Int, shards: Seq[Long],
         startSeq: Option[DataFrame]): Unit = {
       if (shards.isEmpty) return
@@ -428,7 +475,6 @@ object ShardOps extends QueryPack {
     }
     rewrite(0, aff0, None)
     rewrite(1, aff1, Some(offsets))
-    offsets.unpersist()
   }
 
   private val shardForget = QueryDef(

@@ -435,7 +435,8 @@ object SourceOps extends QueryPack {
         .orderBy($"lang_eff")
     },
     Some("""SELECT
-      CASE WHEN doc_id % 3 = 0 THEN 'und' ELSE lang END AS lang_eff,
+      CASE WHEN doc_id % 3 = 0 THEN 'und'
+           ELSE COALESCE(lang, 'und') END AS lang_eff,
       CAST(count(*) AS BIGINT) AS n_docs,
       CAST(sum(length(text)) AS BIGINT) AS n_chars,
       min(doc_id) AS min_doc, max(doc_id) AS max_doc

@@ -54,6 +54,28 @@ class FixtureVintageSpec extends SparkTestBase {
     assert(mx - mn > 86400L * 1000000L, s"events span ${mx - mn} µs — misread vintage?")
   }
 
+  test("documents.text is pure ASCII — the byte-length/char-length equivalence pin") {
+    // The audio fixture arithmetic (dcShift no-carry, halfVolume floor
+    // equivalence) and several oracle CTEs equate DuckDB length(text)
+    // (chars) with the UTF-8 BYTE length — sound only while the corpus
+    // is pure ASCII. The driver regenerates /root/testdata between
+    // rounds; if a regeneration introduces any multi-byte character this
+    // must fail HERE, loudly, instead of surfacing as a pile of opaque
+    // oracle hash mismatches (ADVICE r13).
+    import spark.implicits._
+    Seq(sf, "/root/testdata/sf0.01").distinct
+      .filter(d => new java.io.File(d, "documents.parquet").exists())
+      .foreach { d =>
+        // pure ASCII ⟺ char length == UTF-8 byte length, per row
+        val nonAscii = Tables.documents(spark, d)
+          .filter(length($"text") =!= octet_length($"text"))
+          .count()
+        assert(nonAscii == 0L,
+          s"$d/documents has $nonAscii non-ASCII rows — the ASCII corpus " +
+            "assumption broke; re-derive the byte-length oracles")
+      }
+  }
+
   test("FixtureStamp invalidates on source change and layout version bump") {
     val dir = java.nio.file.Files.createTempDirectory("stampspec")
     val src = dir.resolve("t.parquet")

@@ -77,6 +77,32 @@ class ShardCompactSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_ids")).sum === total)
   }
 
+  test("compaction is re-entrant: a crash-before-vacuum retry overwrites " +
+      "gen-2 without duplicates, and a post-success call is a no-op") {
+    val dir = ShardOps.compactShardDir(sf)
+    ShardOps.writeShardBaseTo(spark, sf, dir)
+    ShardOps.appendShardDeltaTo(spark, sf, dir)
+    // crash point: gen=2 landed, gen=1 NOT yet vacuumed (ADVICE r13 —
+    // mode(append) here used to double the gen-2 rows on retry)
+    ShardOps.repackDelta(spark, dir)
+    assert(spark.read.parquet(dir).filter($"gen" === 2).count() > 0)
+    ShardOps.compactShards(spark, dir) // the retry
+    val view = ShardOps.compactedView(spark, dir)
+      .orderBy($"shard", $"seq_idx").collect()
+    val dupes = view.groupBy(r =>
+      (r.getAs[Long]("shard"), r.getAs[Long]("seq_idx")))
+      .filter(_._2.length > 1)
+    assert(dupes.isEmpty, s"retry duplicated packed rows: ${dupes.keys.take(3)}")
+    // id-stream conservation against the source tokenizer
+    assert(view.map(_.getAs[Long]("n_ids")).sum ===
+      BpeOps.subwordIdRows(spark, sf).count())
+    // post-success re-run: gen-1 is gone — must be a no-op, NOT a
+    // re-pack of the stale shadowed base tail over the good gen-2 rows
+    val before = dataFiles(dir)
+    ShardOps.compactShards(spark, dir)
+    assert(dataFiles(dir) === before, "post-success compact touched files")
+  }
+
   test("the declared read view plans partition pruning + a pushed n_ids " +
       "filter (stale tails skipped at the reader)") {
     val df = q("q_shard_compact")
