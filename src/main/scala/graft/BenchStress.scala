@@ -248,6 +248,9 @@ object BenchStress {
     // the q_winfunc class; its heavy producer (the tokenize stream) is
     // what the stressed shard queries already pay
     "q_shard_lineage",
+    // same plan class as q_shard_lineage (one prefix-sum window / a
+    // survivor-filtered variant of it) over the same tokenize stream
+    "q_shard_lineage_compact", "q_shard_lineage_forget",
     // linear scans / projections / filters / per-row scalar maps
     "q_scan_parquet", "q_project_cast", "q_filter_between", "q_filter_pred",
     "q_round_format", "q_scalar_string", "q_scalar_string2",

@@ -537,32 +537,50 @@ object ShardOps extends QueryPack {
   // training rows did doc X land in") runs this against the manifest
   // without touching shard bytes; ShardLineageSpec cross-checks the
   // ranges against the ACTUAL q_shard_append store.
+  /** Shared lineage frame over the APPEND-store layout rule: per-doc
+    * (shard, gen, n_tok, gstart, first_row, last_row), gstart = the
+    * per-(shard, gen) prefix sum of doc token counts, gen-1 offset by
+    * the ORIGINAL base row boundary. `survPred` restricts the prefix sum
+    * to the docs that remain after a delete (the post-forget layout:
+    * affected partitions re-packed over survivors, gen-1 offsets frozen
+    * at their append-time values) — None is the pristine store. */
+  private[graft] def lineageFrame(s: SparkSession, d: String,
+      survPred: Option[org.apache.spark.sql.Column]): DataFrame = {
+    import s.implicits._
+    val t = BpeOps.subwordIdRows(s, d)
+      .withColumn("shard", pmod($"doc_id", lit(NShards.toLong)))
+      .withColumn("gen",
+        when($"doc_id" % BpeOps.HoldoutMod === 0, 1L).otherwise(0L))
+    // gen-1 offsets come from the FULL original base — q_shard_forget
+    // deliberately never re-addresses later generations
+    val nbRows = t.filter($"gen" === 0L)
+      .groupBy($"shard").agg(count(lit(1)).as("nb"))
+      .select($"shard", expr(s"(nb + ${SeqLen - 1}) div $SeqLen").as("nbseq"))
+    val perDoc = survPred.fold(t)(t.filter)
+      .groupBy($"shard", $"gen", $"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard", $"gen").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("start_in_gen",
+        coalesce(sum($"n_tok").over(w), lit(0L)))
+      .join(broadcast(nbRows), Seq("shard"), "left")
+      .withColumn("gstart", when($"gen" === 1L,
+        coalesce($"nbseq", lit(0L)) * SeqLen).otherwise(0L)
+        + $"start_in_gen")
+      .select($"doc_id", $"shard", $"gen", $"n_tok", $"gstart",
+        expr(s"gstart div $SeqLen").as("first_row"),
+        expr(s"(gstart + n_tok - 1) div $SeqLen").as("last_row"))
+  }
+
   private val shardLineage = QueryDef(
     "q_shard_lineage",
     (s, d) => {
       import s.implicits._
-      val t = BpeOps.subwordIdRows(s, d)
-        .withColumn("shard", pmod($"doc_id", lit(NShards.toLong)))
-        .withColumn("gen",
-          when($"doc_id" % BpeOps.HoldoutMod === 0, 1L).otherwise(0L))
-      val perDoc = t.groupBy($"shard", $"gen", $"doc_id")
-        .agg(count(lit(1)).cast("long").as("n_tok"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"shard", $"gen").orderBy($"doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val nbRows = t.filter($"gen" === 0L)
-        .groupBy($"shard").agg(count(lit(1)).as("nb"))
-        .select($"shard", expr(s"(nb + ${SeqLen - 1}) div $SeqLen").as("nbseq"))
-      perDoc
-        .withColumn("start_in_gen",
-          coalesce(sum($"n_tok").over(w), lit(0L)))
-        .join(broadcast(nbRows), Seq("shard"), "left")
-        .withColumn("gstart", when($"gen" === 1L,
-          coalesce($"nbseq", lit(0L)) * SeqLen).otherwise(0L)
-          + $"start_in_gen")
+      lineageFrame(s, d, None)
         .select($"doc_id", $"shard", $"gen", $"n_tok",
-          expr(s"gstart div $SeqLen").as("first_row"),
-          expr(s"(gstart + n_tok - 1) div $SeqLen").as("last_row"))
+          $"first_row", $"last_row")
         .orderBy($"doc_id")
     },
     Some(s"""WITH ${BpeOps.subwordIdCtes},
@@ -593,6 +611,133 @@ object ShardOps extends QueryPack {
       "generation, no store scan); spec cross-checks the ranges against " +
       "the real store")
 
+  // ------------------------- q_shard_lineage_compact (r14, VERDICT r13
+  // task 2). Lineage must survive the store lifecycle: the compliance
+  // question ("which training rows hold doc X") arrives precisely AFTER
+  // a compact re-addressed the tail. Post-compact the shard's address
+  // space is UNIFIED (full gen-0 rows keep addresses 0..nbfull−1; the
+  // re-pack continues from nbfull over [base tail ∪ delta] in store
+  // order), so a doc's global token start = the per-shard prefix sum
+  // over (gen, doc_id) order — base docs keep their original positions,
+  // delta docs continue after the whole base stream. first/last_gen
+  // name the PHYSICAL generation holding the row (a base doc whose span
+  // crosses the full-row boundary straddles gen 0 and gen 2 — the case
+  // naive per-generation lineage gets wrong). Still zero store scans;
+  // ShardLineageSpec cross-checks token-by-token against the actual
+  // post-compact store.
+  private[graft] def compactLineage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = BpeOps.subwordIdRows(s, d)
+      .withColumn("shard", pmod($"doc_id", lit(NShards.toLong)))
+      .withColumn("gen",
+        when($"doc_id" % BpeOps.HoldoutMod === 0, 1L).otherwise(0L))
+    val perDoc = t.groupBy($"shard", $"gen", $"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tok"))
+    // ONE prefix sum across the unified (gen, doc_id) order per shard
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"gen", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val nbFull = t.filter($"gen" === 0L)
+      .groupBy($"shard").agg(count(lit(1)).as("nb"))
+      .select($"shard", expr(s"nb div $SeqLen").as("nbfull"))
+    perDoc
+      .withColumn("gstart", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .join(broadcast(nbFull), Seq("shard"), "left")
+      .withColumn("first_row", expr(s"gstart div $SeqLen"))
+      .withColumn("last_row", expr(s"(gstart + n_tok - 1) div $SeqLen"))
+      .select($"doc_id", $"shard", $"n_tok", $"gstart",
+        $"first_row", $"last_row",
+        when($"first_row" < coalesce($"nbfull", lit(0L)), 0L).otherwise(2L)
+          .as("first_gen"),
+        when($"last_row" < coalesce($"nbfull", lit(0L)), 0L).otherwise(2L)
+          .as("last_gen"))
+  }
+
+  private val shardLineageCompact = QueryDef(
+    "q_shard_lineage_compact",
+    (s, d) => {
+      import s.implicits._
+      compactLineage(s, d).orderBy($"doc_id")
+    },
+    Some(s"""WITH ${BpeOps.subwordIdCtes},
+      t AS (SELECT doc_id, tid, doc_id % $NShards AS shard,
+          CASE WHEN doc_id % ${BpeOps.HoldoutMod} = 0 THEN 1 ELSE 0 END AS gen
+        FROM ids),
+      dc AS (SELECT shard, gen, doc_id, CAST(count(*) AS BIGINT) AS n_tok
+        FROM t GROUP BY 1, 2, 3),
+      pre AS (SELECT shard, gen, doc_id, n_tok,
+          COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY gen, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gstart
+        FROM dc),
+      basecnt AS (SELECT shard, count(*) AS nb FROM t WHERE gen = 0
+        GROUP BY 1),
+      fin AS (SELECT p.doc_id, p.shard, p.n_tok, p.gstart,
+          p.gstart // $SeqLen AS first_row,
+          (p.gstart + p.n_tok - 1) // $SeqLen AS last_row,
+          COALESCE(b.nb // $SeqLen, 0) AS nbfull
+        FROM pre p LEFT JOIN basecnt b ON p.shard = b.shard)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tok,
+        CAST(gstart AS BIGINT) AS gstart,
+        CAST(first_row AS BIGINT) AS first_row,
+        CAST(last_row AS BIGINT) AS last_row,
+        CAST(CASE WHEN first_row < nbfull THEN 0 ELSE 2 END AS BIGINT)
+          AS first_gen,
+        CAST(CASE WHEN last_row < nbfull THEN 0 ELSE 2 END AS BIGINT)
+          AS last_gen
+      FROM fin ORDER BY doc_id"""),
+    "Doc -> packed-row lineage over the POST-COMPACT unified address " +
+      "space: one prefix sum per shard across (gen, doc_id) order, " +
+      "physical generation of each end derived from the full-row " +
+      "boundary (straddles included); spec cross-checks token-by-token " +
+      "against the real compacted store")
+
+  // -------------------------- q_shard_lineage_forget (r14, same task).
+  // Lineage AFTER a right-to-be-forgotten pass — the audit that runs
+  // exactly then ("prove doc X is gone; where do the survivors live
+  // now"). The post-forget layout rule: survivors re-packed densely per
+  // (shard, gen) in doc order, gen-1 offsets FROZEN at append-time
+  // values (derived from the full pre-delete base — re-addressing would
+  // rewrite every later generation). Unaffected partitions obey the same
+  // rule trivially (their survivor stream IS their original stream), so
+  // one rule covers the whole store. Survivor set is the declared
+  // ForgetMod fixture rule; zero store scans.
+  private val shardLineageForget = QueryDef(
+    "q_shard_lineage_forget",
+    (s, d) => {
+      import s.implicits._
+      lineageFrame(s, d, Some(col("doc_id") % ForgetMod =!= ForgetRes))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH ${BpeOps.subwordIdCtes},
+      t AS (SELECT doc_id, tid, doc_id % $NShards AS shard,
+          CASE WHEN doc_id % ${BpeOps.HoldoutMod} = 0 THEN 1 ELSE 0 END AS gen
+        FROM ids),
+      basecnt AS (SELECT shard, count(*) AS nb FROM t WHERE gen = 0
+        GROUP BY 1),
+      dc AS (SELECT shard, gen, doc_id, CAST(count(*) AS BIGINT) AS n_tok
+        FROM t WHERE NOT doc_id % $ForgetMod = $ForgetRes GROUP BY 1, 2, 3),
+      pre AS (SELECT shard, gen, doc_id, n_tok,
+          COALESCE(SUM(n_tok) OVER (PARTITION BY shard, gen ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sg
+        FROM dc),
+      fin AS (SELECT p.doc_id, p.shard, p.gen, p.n_tok,
+          CASE WHEN p.gen = 1
+            THEN ((b.nb + ${SeqLen - 1}) // $SeqLen) * $SeqLen
+            ELSE 0 END + p.sg AS gstart
+        FROM pre p LEFT JOIN basecnt b
+          ON p.gen = 1 AND p.shard = b.shard)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        CAST(gen AS BIGINT) AS gen, n_tok,
+        CAST(gstart AS BIGINT) AS gstart,
+        CAST(gstart // $SeqLen AS BIGINT) AS first_row,
+        CAST((gstart + n_tok - 1) // $SeqLen AS BIGINT) AS last_row
+      FROM fin ORDER BY doc_id"""),
+    "Doc -> packed-row lineage over the POST-FORGET layout: survivor " +
+      "prefix sums per (shard, gen) with gen-1 offsets frozen at " +
+      "append-time values; spec cross-checks token-by-token against the " +
+      "real post-delete store")
+
   override def defs: Seq[QueryDef] =
-    Seq(shardWrite, shardAppend, shardCompact, shardForget, shardLineage)
+    Seq(shardWrite, shardAppend, shardCompact, shardForget, shardLineage,
+      shardLineageCompact, shardLineageForget)
 }
