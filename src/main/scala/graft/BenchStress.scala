@@ -83,6 +83,11 @@ object BenchStress {
     // tokenize, pack per micro-batch; stressed to prove per-batch work
     // scales with the batch and log reads with accepted-hash count
     "q_stream_pipeline",
+    // round-14: the near-dup-gated pipeline — adds per-batch band-key
+    // generation, a band-bucket join against the metadata-narrow band
+    // log, and a candidate-bounded exact verify; stressed to prove the
+    // candidate stream stays band-bucket-bounded at 10x
+    "q_stream_pipeline_neardup",
     "q_dedup_ngram_jaccard",
     // round-11: the shard-manifest composition — the stressed clean
     // pipeline's survivor set chunked (bounded Generate) and packed
@@ -284,6 +289,11 @@ object BenchStress {
     // audio-search audit: the stressed q_simsearch_audio plus the
     // probe-broadcast brute force — audit-only by design
     "q_simsearch_audio_audit",
+    // near-dup pipeline audit: re-runs the stressed
+    // q_stream_pipeline_neardup plus the brute-force all-pairs exact
+    // Jaccard truth — audit-only by design (the banded gate exists to
+    // avoid exactly that pass)
+    "q_stream_pipeline_neardup_audit",
     // post-eviction statestore read: the stressed q_stream_state_inspect
     // plan family with one more micro-batch and a SMALLER surviving
     // state to read — strictly less offline-read work

@@ -36,18 +36,24 @@ object DedupOps extends QueryPack {
   private def bounded(df: DataFrame, bound: Option[Int]): DataFrame =
     bound.fold(df)(b => df.filter(col("doc_id") < b))
 
-  private def shingled(s: SparkSession, d: String,
-      bound: Option[Int] = None): DataFrame = {
+  /** Shingle an arbitrary (doc_id, text) relation — the corpus-table
+    * form below and the streaming near-dup ingest gate share this ONE
+    * rule (the family's single-band-scheme discipline, r12 review).
+    * Sorted ascending ONCE per document: every consumer is
+    * order-insensitive (posting explode, MinHash min, size), and the
+    * exact-verify stages can then count intersections with the
+    * codegen'd sorted-merge kernel (functions/IntersectSize.scala)
+    * instead of building a hash set per candidate pair. */
+  private[graft] def shingleOf(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
-    bounded(Tables.documents(s, d), bound)
-      // sorted ascending ONCE per document: every consumer is
-      // order-insensitive (posting explode, MinHash min, size), and the
-      // exact-verify stages can then count intersections with the
-      // codegen'd sorted-merge kernel (functions/IntersectSize.scala)
-      // instead of building a hash set per candidate pair
-      .select($"doc_id", array_sort(shingles3(toks($"text"))).as("sh"))
+    df.select($"doc_id", array_sort(shingles3(toks($"text"))).as("sh"))
       .filter(size($"sh") > 0)
   }
+
+  private def shingled(s: SparkSession, d: String,
+      bound: Option[Int] = None): DataFrame =
+    shingleOf(bounded(Tables.documents(s, d), bound))
 
   /** Shuffle width for the exact-verify stages. Candidate-pair rows are
     * two longs — they compress to almost nothing, so AQE's size-based

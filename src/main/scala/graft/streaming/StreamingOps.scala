@@ -1730,6 +1730,330 @@ object StreamingOps extends QueryPack {
       "generation-aligned shard append; all cross-batch state in file " +
       "logs (exactly-once under replay), full DuckDB hash oracle")
 
+  // ------- near-dup-gated streaming pipeline (r14, VERDICT r13 task 3)
+  // q_stream_pipeline sheds EXACT duplicates only; a production ingest
+  // stream also sheds NEAR-duplicates, or every lightly-edited repost
+  // lands in the training shards. Same composition with one more gate:
+  // quality → exact-dedup → BANDED NEAR-DUP gate → tokenize → pack.
+  // The gate is the q_dedup_bloom_bands posture made streaming: each
+  // batch's accepted docs append their MinHash BAND KEYS (4 rows/doc,
+  // metadata-narrow) to a band file log; an arriving doc whose bands
+  // hit an earlier generation's keys becomes a candidate, and only
+  // candidates pay the exact-Jaccard verify against their (id-fetched)
+  // partners — shed iff a true J >= 0.5 partner exists. Cross-batch
+  // decisions are delta-vs-earlier-generations (the family's
+  // incremental rule); within a batch docs are not paired (batch
+  // atomicity, same as the exact gate's first-wins scope). ZERO
+  // streaming-engine state, same exactly-once-by-file-log discipline as
+  // q_stream_pipeline (every prior read filters gen < batchId).
+  //
+  // Scale posture: band log rows are (doc_id, band, bhash, gen) — 4 per
+  // accepted doc; candidates are band-bucket-bounded, never delta×base;
+  // partner payloads are an id-semi-join fetch from the immutable
+  // source (at 100 TB an id-keyed pruned read), so the log never
+  // carries document payloads. MinHash bands are not SQL-replayable →
+  // no_oracle (SURVEY §2.5 class); the audit below is hash-green and
+  // the spec proves stream ≡ batch and restart exactly-once.
+
+  private[graft] val pipeNdAcceptSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("h", StringType),
+    StructField("gen", LongType)))
+  private[graft] val pipeNdBandSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("bhash", LongType), StructField("gen", LongType)))
+
+  /** Reset the three near-dup pipeline logs to schema-bearing empties. */
+  private[graft] def resetNdLogs(s: SparkSession, shardLog: String,
+      acceptLog: String, bandLog: String): Unit =
+    Seq(shardLog -> pipeShardSchema, acceptLog -> pipeNdAcceptSchema,
+      bandLog -> pipeNdBandSchema).foreach { case (p, sch) =>
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(p))
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], sch)
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+
+  /** One near-dup-gated micro-batch. Identical replay contract to
+    * [[pipelineBatch]]: all cross-batch facts are gen<batchId file-log
+    * reads, appends are keyed by gen, read-back collapses duplicates. */
+  private[graft] def pipelineBatchNearDup(batch: Dataset[Row], batchId: Long,
+      d: String, shardLog: String, acceptLog: String,
+      bandLog: String): Unit = {
+    val spark2 = batch.sparkSession
+    import spark2.implicits._
+    val b = batch.localCheckpoint()
+    // exact gate (the q_stream_pipeline rule): first occurrence wins —
+    // within the batch, then against earlier-accepted hashes
+    val withH = b.select($"doc_id", $"text",
+      md5(graft.operators.DedupOps.normText).as("h"))
+    val firstInBatch = withH
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"h").orderBy($"doc_id")))
+      .filter($"rn" === 1).drop("rn")
+    val priorH = spark2.read.parquet(acceptLog)
+      .where($"gen" < batchId).select($"h").distinct()
+    val kept1 = firstInBatch.join(priorH, Seq("h"), "left_anti")
+      .localCheckpoint()
+    // near-dup gate: band candidacy vs earlier generations, then the
+    // exact verify — only candidates pay it
+    val bsh = graft.operators.DedupOps
+      .shingleOf(kept1.select($"doc_id", $"text")).localCheckpoint()
+    val bands = graft.operators.DedupOps.bandKeys(bsh).localCheckpoint()
+    val priorBands = spark2.read.parquet(bandLog)
+      .where($"gen" < batchId)
+      .select($"doc_id".as("bid"), $"band", $"bhash")
+    val cand = bands.join(priorBands, Seq("band", "bhash"))
+      .select($"doc_id", $"bid").distinct()
+    // partner payloads: id-fetch from the immutable source corpus — the
+    // band log itself stays metadata-narrow
+    val partnerSh = graft.operators.DedupOps.shingleOf(
+      graft.Tables.documents(spark2, d).select($"doc_id", $"text")
+        .join(cand.select($"bid".as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi"))
+      .select($"doc_id".as("bid"), $"sh".as("shb"))
+    val inter = graft.functions.SortedIntersectSize
+      .sorted_intersect_size($"shd", $"shb")
+    val shed = cand
+      .join(bsh.select($"doc_id", $"sh".as("shd")), Seq("doc_id"))
+      .join(partnerSh.hint("shuffle_hash"), Seq("bid"))
+      .select($"doc_id",
+        round(inter.cast("decimal(18,2)") /
+          (size($"shd") + size($"shb") - inter), 6)
+          .cast("decimal(38,6)").as("j"))
+      .filter($"j" >= lit("0.5").cast("decimal(38,6)"))
+      .select($"doc_id").distinct()
+    val kept = kept1.join(shed, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // logs for later generations: accepted hashes + accepted band keys
+    kept.select($"doc_id", $"h").withColumn("gen", lit(batchId))
+      .write.mode("append").parquet(acceptLog)
+    bands.join(kept.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("gen", lit(batchId))
+      .write.mode("append").parquet(bandLog)
+    // tokenize survivors with the frozen tokenizer, pack from each
+    // shard's next free boundary (offsets from earlier generations only)
+    val ids = graft.operators.BpeOps
+      .subwordIdsOf(spark2, d, kept.select($"doc_id", $"text"))
+      .withColumn("shard",
+        pmod($"doc_id", lit(graft.operators.ShardOps.NShards.toLong)))
+    val offsets = spark2.read.parquet(shardLog)
+      .where($"gen" < batchId)
+      .groupBy($"shard")
+      .agg((max($"seq_idx") + 1L).as("seq0"))
+    graft.operators.ShardOps.packRows(spark2, ids, Some(offsets))
+      .withColumn("gen", lit(batchId))
+      .write.mode("append").parquet(shardLog)
+  }
+
+  private[graft] def runNearDupPipeline(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val dir = streamPipeDir(s, d)
+    val shardLog = indexArtifactDir("stream_pipe_nd_shards", d).toString
+    val acceptLog = indexArtifactDir("stream_pipe_nd_accept", d).toString
+    val bandLog = indexArtifactDir("stream_pipe_nd_bands", d).toString
+    resetNdLogs(s, shardLog, acceptLog, bandLog)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (n, raw) = graft.operators.TextOps.modelRawScore($"text")
+    withStreamPartitions(s, 8) { ss =>
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(dir)
+        .select($"doc_id", $"text", n.as("n_grams"), raw.as("raw"))
+        .filter(graft.operators.TextOps.modelScore($"n_grams", $"raw") >=
+          lit(0).cast("decimal(38,6)"))
+        .select($"doc_id", $"text")
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          pipelineBatchNearDup(batch, batchId, d, shardLog, acceptLog,
+            bandLog)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.read.parquet(shardLog)
+      .groupBy($"shard", $"gen", $"seq_idx") // replay-duplicate collapse
+      .agg(max($"n_ids").as("n_ids"), max($"n_docs").as("n_docs"),
+        max($"first_doc").as("first_doc"), max($"last_doc").as("last_doc"),
+        max($"ids_str").as("ids_str"))
+      .select($"shard", $"gen", $"seq_idx", $"n_ids", $"n_docs",
+        $"first_doc", $"last_doc", $"ids_str")
+      .orderBy($"shard", $"gen", $"seq_idx")
+  }
+
+  private val streamPipelineNearDup = QueryDef(
+    "q_stream_pipeline_neardup",
+    (s, d) => runNearDupPipeline(s, d),
+    None,
+    "Near-dup-gated streaming corpus pipeline: quality gate -> exact " +
+      "dedup -> banded MinHash near-dup gate (band-key file log, " +
+      "candidates exact-Jaccard-verified against id-fetched partners) " +
+      "-> tokenize -> generation-aligned shard append; MinHash bands " +
+      "not SQL-replayable, audited + spec'd (stream == batch, restart " +
+      "exactly-once)")
+
+  /** Batch reference for the near-dup pipeline — the same decisions
+    * with no streaming machinery, against the same midpoint split the
+    * landing zone pins. Returns (accepted docs, gen-0 accepted,
+    * batch-1 survivors before the near-dup gate, batch-1 shed set). */
+  private[graft] def nearDupBatchReference(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, d).select($"doc_id", $"text")
+    val sp = docs.agg(((max($"doc_id") + 1L) / 2L).cast("long"))
+      .head().getLong(0)
+    val (n, raw) = graft.operators.TextOps.modelRawScore($"text")
+    val qp = docs
+      .select($"doc_id", $"text", n.as("n_grams"), raw.as("raw"))
+      .filter(graft.operators.TextOps.modelScore($"n_grams", $"raw") >=
+        lit(0).cast("decimal(38,6)"))
+      .select($"doc_id", $"text",
+        md5(graft.operators.DedupOps.normText).as("h"))
+    def firstWins(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"h").orderBy($"doc_id")))
+      .filter($"rn" === 1).drop("rn")
+    val a0 = firstWins(qp.filter($"doc_id" < sp)).localCheckpoint()
+    val kept1 = firstWins(qp.filter($"doc_id" >= sp))
+      .join(a0.select($"h"), Seq("h"), "left_anti").localCheckpoint()
+    val bands0 = graft.operators.DedupOps
+      .shingleOf(a0.select($"doc_id", $"text"))
+    val bsh1 = graft.operators.DedupOps
+      .shingleOf(kept1.select($"doc_id", $"text")).localCheckpoint()
+    val cand = graft.operators.DedupOps.bandKeys(bsh1)
+      .join(graft.operators.DedupOps.bandKeys(bands0)
+        .select($"doc_id".as("bid"), $"band", $"bhash"),
+        Seq("band", "bhash"))
+      .select($"doc_id", $"bid").distinct()
+    val inter = graft.functions.SortedIntersectSize
+      .sorted_intersect_size($"shd", $"shb")
+    val shed = cand
+      .join(bsh1.select($"doc_id", $"sh".as("shd")), Seq("doc_id"))
+      .join(bands0.select($"doc_id".as("bid"), $"sh".as("shb")), Seq("bid"))
+      .select($"doc_id",
+        round(inter.cast("decimal(18,2)") /
+          (size($"shd") + size($"shb") - inter), 6)
+          .cast("decimal(38,6)").as("j"))
+      .filter($"j" >= lit("0.5").cast("decimal(38,6)"))
+      .select($"doc_id").distinct().localCheckpoint()
+    val accepted = a0.select($"doc_id")
+      .unionAll(kept1.join(shed, Seq("doc_id"), "left_anti")
+        .select($"doc_id"))
+    (accepted, a0, kept1, shed)
+  }
+
+  // Audit: the streamed near-dup decisions against (a) the batch
+  // reference with no streaming machinery — set equality of the whole
+  // accepted corpus — and (b) the BRUTE-FORCE exact truth (every
+  // kept1×accepted0 pair's true Jaccard, no banding): shed ⊆ true
+  // J>=0.5 (verify precision) and no true J>=0.9 pair survives the
+  // gate (the 4×4 banding guarantee at the J the scheme promises).
+  // n_accept0/n_delta/n_true_nd are exact-replayable in DuckDB (quality
+  // gate + first-wins dedup + shingle Jaccard are all deterministic
+  // SQL); the flags pin to constant 1.
+  private val streamPipelineNearDupAudit = QueryDef(
+    "q_stream_pipeline_neardup_audit",
+    (s, d) => {
+      import s.implicits._
+      runNearDupPipeline(s, d).count() // materialize fresh logs
+      val acceptLog = indexArtifactDir("stream_pipe_nd_accept", d).toString
+      val streamed = s.read.parquet(acceptLog)
+        .select($"doc_id").distinct().localCheckpoint()
+      val (accepted, a0, kept1, shed) = nearDupBatchReference(s, d)
+      // brute-force truth: posting join over all (kept1, accepted-0)
+      // shingle pairs — audit-only cost, not the declared plan
+      val a0sh = graft.operators.DedupOps.shingleOf(
+        a0.select($"doc_id", $"text"))
+      val k1sh = graft.operators.DedupOps.shingleOf(
+        graft.Tables.documents(s, d).join(kept1.select($"doc_id"),
+          Seq("doc_id"), "left_semi"))
+      val ap = a0sh.select($"doc_id".as("bid"), explode($"sh").as("g"),
+        size($"sh").as("an"))
+      val kp = k1sh.select($"doc_id".as("did"), explode($"sh").as("g"),
+        size($"sh").as("kn"))
+      val trueJ = kp.join(ap, Seq("g"))
+        .groupBy($"did", $"bid", $"kn", $"an")
+        .agg(count(lit(1)).as("i"))
+        .select($"did",
+          round($"i".cast("decimal(18,2)") / ($"kn" + $"an" - $"i"), 6)
+            .cast("decimal(38,6)").as("j"))
+        .groupBy($"did").agg(max($"j").as("bj"))
+        .localCheckpoint()
+      val trueNd = trueJ.filter($"bj" >= lit("0.5").cast("decimal(38,6)"))
+      val trueHi = trueJ.filter($"bj" >= lit("0.9").cast("decimal(38,6)"))
+      def emptyFlag(df: DataFrame): org.apache.spark.sql.Column =
+        lit(1L) - least(lit(df.count()), lit(1L))
+      val equalsOk = emptyFlag(streamed.unionAll(accepted)
+        .groupBy($"doc_id").agg(count(lit(1)).as("c")).filter($"c" =!= 2))
+      val precisionOk = emptyFlag(
+        shed.join(trueNd.withColumnRenamed("did", "doc_id"),
+          Seq("doc_id"), "left_anti"))
+      val recallHiOk = emptyFlag(
+        trueHi.withColumnRenamed("did", "doc_id")
+          .join(shed, Seq("doc_id"), "left_anti"))
+      kept1.agg(
+        lit(a0.count()).as("n_accept0"),
+        count(lit(1)).cast("long").as("n_delta"))
+        .select($"n_accept0", $"n_delta",
+          lit(trueNd.count()).as("n_true_nd"),
+          equalsOk.as("stream_equals_batch_ok"),
+          precisionOk.as("precision_ok"),
+          recallHiOk.as("recall_hi_ok"))
+    },
+    Some({
+      val grams = graft.operators.TextOps.modelSqlGrams("text")
+      val raw = graft.operators.TextOps.modelSqlRaw("grams")
+      val score = graft.operators.TextOps.modelSqlScore("n_grams", "raw")
+      s"""WITH pnorm AS (SELECT doc_id, text,
+          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        FROM documents),
+      pg AS (SELECT doc_id, text, t, $grams AS grams FROM pnorm),
+      psc AS (SELECT doc_id, text, t, CAST(len(grams) AS BIGINT) AS n_grams,
+          $raw AS raw FROM pg),
+      pq AS (SELECT doc_id, text, t FROM psc WHERE $score >= 0),
+      sp AS (SELECT (max(doc_id) + 1) // 2 AS m FROM documents),
+      a0 AS (SELECT doc_id, text FROM (
+          SELECT doc_id, text, t,
+            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+          FROM pq WHERE doc_id < (SELECT m FROM sp)) WHERE rn = 1),
+      k1 AS (SELECT doc_id, text FROM (
+          SELECT doc_id, text, t,
+            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+          FROM pq WHERE doc_id >= (SELECT m FROM sp)) WHERE rn = 1
+        AND t NOT IN (SELECT t FROM pq WHERE doc_id < (SELECT m FROM sp))),
+      wa AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w
+        FROM a0),
+      sa AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM wa WHERE len(w) >= 3),
+      wk AS (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS w
+        FROM k1),
+      sk AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM wk WHERE len(w) >= 3),
+      ap AS (SELECT doc_id AS bid, CAST(len(sh) AS BIGINT) AS an,
+          unnest(sh) AS g FROM sa),
+      kp AS (SELECT doc_id AS did, CAST(len(sh) AS BIGINT) AS kn,
+          unnest(sh) AS g FROM sk),
+      inter AS (SELECT did, bid, kn, an, count(*) AS i
+        FROM kp JOIN ap USING (g) GROUP BY 1, 2, 3, 4),
+      jj AS (SELECT did, CAST(round(CAST(i AS DECIMAL(18,2)) / (kn + an - i),
+          6) AS DECIMAL(38,6)) AS j FROM inter)
+      SELECT CAST((SELECT count(*) FROM a0) AS BIGINT) AS n_accept0,
+        CAST((SELECT count(*) FROM k1) AS BIGINT) AS n_delta,
+        CAST((SELECT count(DISTINCT did) FROM jj WHERE j >= 0.5) AS BIGINT)
+          AS n_true_nd,
+        CAST(1 AS BIGINT) AS stream_equals_batch_ok,
+        CAST(1 AS BIGINT) AS precision_ok,
+        CAST(1 AS BIGINT) AS recall_hi_ok"""
+    }),
+    "Near-dup pipeline audit: streamed accepted corpus set-equal to the " +
+      "no-streaming batch reference; shed set verified against the " +
+      "brute-force exact Jaccard truth (precision, J>=0.9 banding " +
+      "recall); gate-input scalars oracle-recomputed")
+
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamChained,
       streamStateful, streamTransformWithState, streamTimerExpiry,
@@ -1737,5 +2061,5 @@ object StreamingOps extends QueryPack {
       streamForeachBatch, streamSinkFiles, streamQualityGate,
       streamIndexMaintain, streamIndexCompact, streamAnomaly,
       streamDedupBloom, streamStateInspect, streamStateEvict,
-      streamPipeline)
+      streamPipeline, streamPipelineNearDup, streamPipelineNearDupAudit)
 }

@@ -387,8 +387,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "operators/BpeOps.scala" -> 2,
       // shard forget: the affected (shard, gen) pair set (≤ NShards×2
       // rows by the layout rule) + the surviving-shard key set
-      // (≤ NShards rows) for empty-partition cleanup
-      "operators/ShardOps.scala" -> 2)
+      // (≤ NShards rows) for empty-partition cleanup + the pre-rewrite
+      // gen-1 offset snapshot (≤ NShards rows; a DELIBERATE driver
+      // snapshot — cache() was not one, ADVICE r13)
+      "operators/ShardOps.scala" -> 3)
     val base = java.nio.file.Paths.get("src", "main", "scala", "graft")
     val offenders = java.nio.file.Files.walk(base).iterator().asScala
       .filter(_.toString.endsWith(".scala"))

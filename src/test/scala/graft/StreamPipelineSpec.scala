@@ -135,4 +135,76 @@ class StreamPipelineSpec extends SparkTestBase {
     assert(restarted === result.toSeq,
       "restart read-back must equal the single-run pipeline result")
   }
+
+  test("the near-dup pipeline sheds real cross-batch near-dups and is " +
+      "exactly-once across a mid-corpus stop/restart") {
+    val base = Paths.get("target", "test-pipe-nd-restart").toAbsolutePath
+    graft.Fs.deleteRecursively(base)
+    val landing = base.resolve("landing"); Files.createDirectories(landing)
+    val ckpt = base.resolve("ckpt").toString
+    val shardLog = base.resolve("shards").toString
+    val acceptLog = base.resolve("accept").toString
+    val bandLog = base.resolve("bands").toString
+    StreamingOps.resetNdLogs(spark, shardLog, acceptLog, bandLog)
+    val srcDir = new java.io.File(s"target/stream_pipe/${new java.io.File(sf).getName}")
+    val srcFiles = srcDir.listFiles().filter(_.getName.startsWith("part-"))
+      .sortBy(_.lastModified).toSeq
+    assert(srcFiles.size === 2, "expected the two-file landing fixture")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val (n, raw) = TextOps.modelRawScore($"text")
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+        .select($"doc_id", $"text", n.as("n_grams"), raw.as("raw"))
+        .filter(TextOps.modelScore($"n_grams", $"raw") >=
+          lit(0).cast("decimal(38,6)"))
+        .select($"doc_id", $"text")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            StreamingOps.pipelineBatchNearDup(b, id, sf, shardLog,
+              acceptLog, bandLog)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def copy(f: java.io.File): Unit = Files.copy(f.toPath,
+      landing.resolve(f.getName), StandardCopyOption.REPLACE_EXISTING)
+    copy(srcFiles.head); drain() // phase 1: low range only
+    copy(srcFiles.last); drain() // RESTART: same checkpoint, new file
+    val restarted = spark.read.parquet(shardLog)
+      .groupBy($"shard", $"gen", $"seq_idx")
+      .agg(max($"n_ids").as("n_ids"), max($"n_docs").as("n_docs"),
+        max($"first_doc").as("first_doc"), max($"last_doc").as("last_doc"),
+        max($"ids_str").as("ids_str"))
+      .select($"shard", $"gen", $"seq_idx", $"n_ids", $"n_docs",
+        $"first_doc", $"last_doc", $"ids_str")
+      .orderBy($"shard", $"gen", $"seq_idx")
+      .collect().toSeq
+    // exactly-once: restart read-back equals the single-run declared
+    // result (which re-runs the whole stream into its own logs)
+    assert(restarted === q("q_stream_pipeline_neardup").collect().toSeq,
+      "restart read-back must equal the single-run near-dup pipeline")
+    // the near-dup gate actually gated, and shed docs never reached the
+    // accept log or the packed shards
+    val (_, _, _, shed) = StreamingOps.nearDupBatchReference(spark, sf)
+    val shedIds = shed.collect().map(_.getLong(0)).toSet
+    assert(shedIds.nonEmpty, "fixture has no cross-batch near-dups")
+    val acc = spark.read.parquet(acceptLog)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(shedIds.intersect(acc).isEmpty,
+      "near-dup-shed docs leaked into the accept log")
+    // exact-gate parity: relative to the exact-only pipeline, precisely
+    // the shed docs are missing
+    val exactAccepted = batchKept.collect().map(_.getLong(0)).toSet
+    assert(acc === exactAccepted -- shedIds,
+      "accepted set must be the exact-pipeline set minus the shed docs")
+  }
 }
