@@ -69,6 +69,11 @@ object BenchStress {
     // against index band buckets growing xREP; stressed to prove the
     // candidate stream stays band-bounded, never probe×index
     "q_simsearch_media",
+    // round-14: the same search over the PERSISTED band index — stressed
+    // to demonstrate the serving-path win: timed passes read the index
+    // artifact (built once at warm-up via the corpus stamp) + hash only
+    // the probe set, so it should sit well under q_simsearch_media
+    "q_simsearch_media_index",
     // round-13: perceptual media near-dup — dHash map + band buckets
     // grow xREP; stressed to prove candidates stay banded (no all-pairs)
     "q_dedup_media",

@@ -608,21 +608,129 @@ object MultimodalOps extends QueryPack {
       FROM scand c JOIN sbp x ON c.probe_id = x.mid
         JOIN sbp y ON c.neighbor_id = y.mid)"""
 
+  /** The banded-top-k oracle — shared verbatim by the per-run search
+    * and the persisted-index search (same declared result: the index
+    * changes WHERE signatures come from, never what they are). */
+  private def searchOracleSql: String = s"""WITH $searchCtes
+      SELECT CAST(probe_id AS BIGINT) AS probe_id,
+        CAST(row_number() OVER (PARTITION BY probe_id
+          ORDER BY hamming, neighbor_id) AS BIGINT) AS rnk,
+        CAST(neighbor_id AS BIGINT) AS neighbor_id, hamming
+      FROM shm QUALIFY rnk <= $TopK ORDER BY probe_id, rnk"""
+
   private val mediaSearch = QueryDef(
     "q_simsearch_media",
     (s, d) => {
       import s.implicits._
       mediaTopK(s, d).orderBy($"probe_id", $"rnk")
     },
-    Some(s"""WITH $searchCtes
-      SELECT CAST(probe_id AS BIGINT) AS probe_id,
-        CAST(row_number() OVER (PARTITION BY probe_id
-          ORDER BY hamming, neighbor_id) AS BIGINT) AS rnk,
-        CAST(neighbor_id AS BIGINT) AS neighbor_id, hamming
-      FROM shm QUALIFY rnk <= $TopK ORDER BY probe_id, rnk"""),
+    Some(searchOracleSql),
     "Perceptual top-k image search: banded dHash candidates, exact " +
       "Hamming re-rank per probe; DuckDB replays pixels->bits->bands->" +
       "rank from the generator formulas — full hash oracle")
+
+  // ------------- persisted band-signature index (r14, VERDICT r13 task 4)
+  // q_simsearch_media re-encodes and re-hashes the whole corpus on every
+  // search — right for a one-off, wrong for a serving path. The search
+  // family's LSM pattern (q_stream_index_maintain/_compact) applied to
+  // the signature index: a PERSISTED (media_id, ph, band, bkey) relation,
+  // hive-partitioned by generation — the base build hashes only the base
+  // slice, an incremental maintain pass hashes ONLY the delta slice
+  // (the family's HoldoutMod split) and lands it as new gen=1 files with
+  // the base files byte-untouched (MediaSearchSpec). Rows carry the full
+  // signature alongside each band key, so the probe join needs no
+  // second lookup to re-rank (the simhash pair-carry trick). Search is
+  // then: hash the BOUNDED probe set, one shuffle-hash equi-join on
+  // (band, bkey) against the index read (union of generations), exact
+  // Hamming, per-probe rank — the corpus is never re-read, never
+  // re-hashed. Same declared output as q_simsearch_media, so the SAME
+  // full pixel-replay hash oracle checks it; the spec additionally pins
+  // indexed == per-run-rebuilt row-for-row and that the search plan
+  // scans the index artifact, not the media corpus.
+  //
+  // Scale posture: index rows are 4 longs + an id (metadata-narrow,
+  // ~40 B/row × 4/image); the maintain pass is delta-sized; at 100 TB
+  // the search reads an index many orders smaller than the corpus and
+  // the (band, bkey) layout can bucket-partition for probe-side pruning.
+
+  /** One generation's media slice, ENCODED ONLY FOR THAT SLICE — the
+    * incremental-maintain contract (filter before the encode map). */
+  private def indexSlice(s: SparkSession, d: String, delta: Boolean)
+      : DataFrame = {
+    import s.implicits._
+    val sel = if (delta) col("doc_id") % BpeOps.HoldoutMod === 0
+      else col("doc_id") % BpeOps.HoldoutMod =!= 0
+    Tables.documents(s, d).filter($"doc_id" % 2 === 0).filter(sel)
+      .select($"doc_id", encode($"text", "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, tb) => (id, MediaCodec.encodeBmp(id, tb)) }
+      .toDF("media_id", "payload")
+  }
+
+  private def bandRows(slice: DataFrame): DataFrame =
+    phBands(phSig(slice)).toDF("media_id", "ph", "band", "bkey")
+
+  /** Base build: signature+band rows of the base slice, gen=0. */
+  private[graft] def writeMediaIndexBase(s: SparkSession, d: String,
+      dir: String): Unit =
+    bandRows(indexSlice(s, d, delta = false))
+      .withColumn("gen", lit(0))
+      .write.mode("overwrite").partitionBy("gen").parquet(dir)
+
+  /** Incremental maintain: ONLY the delta slice is hashed; lands as new
+    * gen=1 files, base generation byte-untouched. */
+  private[graft] def appendMediaIndexDelta(s: SparkSession, d: String,
+      dir: String): Unit =
+    bandRows(indexSlice(s, d, delta = true))
+      .withColumn("gen", lit(1))
+      .write.mode("append").partitionBy("gen").parquet(dir)
+
+  /** The persisted index artifact, stamped per corpus version. */
+  private[graft] def mediaIndexDir(s: SparkSession, d: String): String = {
+    val dir = graft.streaming.StreamingOps
+      .indexArtifactDir("media_band_index", d)
+    val marker = dir.resolve("_complete")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "documents")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
+    graft.Fs.deleteRecursively(dir)
+    writeMediaIndexBase(s, d, dir.toString)
+    appendMediaIndexDelta(s, d, dir.toString)
+    graft.FixtureStamp.complete(marker, stamp)
+    dir.toString
+  }
+
+  /** Search over the persisted index: probe hashes (bounded) against
+    * the index read — no corpus re-hash anywhere in the plan. */
+  private[graft] def mediaTopKIndexed(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val dir = mediaIndexDir(s, d)
+    val (_, probes) = searchCorpus(s, d)
+    val ibands = s.read.parquet(dir)
+      .select($"media_id".as("neighbor_id"), $"ph".as("phi"),
+        $"band", $"bkey")
+    val cand = phBands(phSig(probes))
+      .toDF("probe_id", "php", "band", "bkey")
+      .hint("shuffle_hash")
+      .join(ibands, Seq("band", "bkey"))
+      .select($"probe_id", $"neighbor_id",
+        bit_count($"php".bitwiseXOR($"phi")).cast("long").as("hamming"))
+      .distinct()
+    topKFrom(cand)
+  }
+
+  private val mediaSearchIndexed = QueryDef(
+    "q_simsearch_media_index",
+    (s, d) => {
+      import s.implicits._
+      mediaTopKIndexed(s, d).orderBy($"probe_id", $"rnk")
+    },
+    Some(searchOracleSql),
+    "Perceptual top-k search over the PERSISTED band-signature index " +
+      "(LSM base + incremental delta generation, maintain pass hashes " +
+      "only the delta): probe hashes join the index read — the corpus " +
+      "is never re-hashed; same full pixel-replay hash oracle as " +
+      "q_simsearch_media")
 
   private val mediaSearchAudit = QueryDef(
     "q_simsearch_media_audit",
@@ -1177,5 +1285,6 @@ object MultimodalOps extends QueryPack {
   override def defs: Seq[QueryDef] =
     Seq(multimodalMeta, multimodalFeatures, multimodalDecode,
       mediaDedup, mediaDedupAudit, mediaSearch, mediaSearchAudit,
+      mediaSearchIndexed,
       audioDedup, audioDedupAudit, audioSearch, audioSearchAudit)
 }

@@ -75,4 +75,52 @@ class MediaSearchSpec extends SparkTestBase {
       .filter($"doc_id" % 6 === 0 && length($"text") > 0).count()
     assert(cand === nProbes, "a probe lost its source from the candidates")
   }
+
+  test("persisted-index search == per-run rebuild, the maintain pass is " +
+      "file-incremental, and the search plan reads the index artifact") {
+    spark.sharedState.cacheManager.clearCache()
+    // file-level incrementality on a scratch store: base files must be
+    // byte-untouched by the delta maintain pass
+    val base = java.nio.file.Paths.get("target", "test-media-index")
+      .toAbsolutePath
+    graft.Fs.deleteRecursively(base)
+    def md5s(): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq(f) else Seq.empty
+      walk(base.toFile).map { f =>
+        f.getAbsolutePath -> java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+    MultimodalOps.writeMediaIndexBase(spark, sf, base.toString)
+    val gen0 = md5s()
+    assert(gen0.nonEmpty && gen0.keySet.forall(_.contains("gen=0")))
+    MultimodalOps.appendMediaIndexDelta(spark, sf, base.toString)
+    val after = md5s()
+    gen0.foreach { case (p, sig) =>
+      assert(after.get(p) === Some(sig), s"base index file rewritten: $p")
+    }
+    assert((after.keySet -- gen0.keySet).forall(_.contains("gen=1")))
+    // the union of generations covers the whole index exactly once
+    val nIdx = Tables.documents(spark, sf).filter($"doc_id" % 2 === 0)
+      .count()
+    assert(spark.read.parquet(base.toString)
+      .select($"media_id").distinct().count() === nIdx)
+    // search-over-index is row-for-row the per-run rebuild
+    val indexed = q("q_simsearch_media_index").collect().toSeq
+    val rebuilt = q("q_simsearch_media").collect().toSeq
+    assert(indexed.nonEmpty && indexed === rebuilt)
+    // and the plan proves the index is what is read: a parquet scan on
+    // the index artifact, no scan of the documents corpus on the
+    // neighbor side (probes still read the corpus — they ARE the query)
+    val scans = q("q_simsearch_media_index").queryExecution.sparkPlan
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("Location", "")
+      }
+    assert(scans.exists(_.contains("media_band_index")),
+      "indexed search does not scan the persisted index")
+  }
 }
