@@ -254,6 +254,9 @@ object BenchStress {
     // agg — linear, the q_agg_groupby class (the fixture itself is a
     // one-time write, not the measured operator)
     "q_schema_evolution",
+    // same class over the three-vintage zone: widening happens inside
+    // the vectorized reader (no extra pass), rename is one coalesce
+    "q_schema_evolution_v2",
     // doc-grain grouped count + one partitioned prefix-sum window —
     // the q_winfunc class; its heavy producer (the tokenize stream) is
     // what the stressed shard queries already pay

@@ -46,4 +46,71 @@ class SchemaEvolutionSpec extends SparkTestBase {
     val total = q("q_schema_evolution").agg(sum($"n_docs")).as[Long].head()
     assert(total === Tables.documents(spark, sf).count())
   }
+
+  test("v2 zone: the int32 vintage is PHYSICALLY narrow and the " +
+      "declared scan widens it in place") {
+    val dir = SourceOps.schemaEvo2Dir(spark, sf)
+    // the v1 files really are int32 on disk (discovery read without a
+    // declared schema sees the physical leaf type)
+    val v1Phys = spark.read.parquet(dir) // first footer wins: no lang cols
+    // find a file whose inferred doc_id is IntegerType
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath)
+    val physTypes = files.map(f =>
+      spark.read.parquet(f).schema("doc_id").dataType).toSet
+    assert(physTypes.contains(org.apache.spark.sql.types.IntegerType),
+      "fixture lost its int32 vintage")
+    assert(physTypes.contains(org.apache.spark.sql.types.LongType))
+    // the declared read returns LongType for every row, values intact
+    val declared = spark.read.schema(SourceOps.evo2Schema).parquet(dir)
+    assert(declared.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val ids = declared.select($"doc_id").as[Long].collect().sorted
+    val src = Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(ids.toSeq === src.toSeq,
+      "widened ids diverge from the source corpus")
+    assert(v1Phys.columns.contains("doc_id")) // touch to avoid unused warn
+  }
+
+  test("v2 zone: rename resolution — lang_code and lang fold to one " +
+      "effective column, NULL default applied uniformly") {
+    val dir = SourceOps.schemaEvo2Dir(spark, sf)
+    val rows = spark.read.schema(SourceOps.evo2Schema).parquet(dir)
+      .select($"doc_id", $"lang_code", $"lang",
+        coalesce($"lang", $"lang_code", lit("und")).as("lang_eff"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("doc_id") % 3
+      if (m == 0) { // int32 pre-lang vintage: both names NULL -> default
+        assert(r.isNullAt(1) && r.isNullAt(2))
+        assert(r.getAs[String]("lang_eff") === "und")
+      } else if (m == 1) { // renamed vintage: only the OLD name is set
+        assert(!r.isNullAt(1) && r.isNullAt(2))
+        assert(r.getAs[String]("lang_eff") === r.getAs[String]("lang_code"))
+      } else { // current vintage: only the new name
+        assert(r.isNullAt(1) && !r.isNullAt(2))
+        assert(r.getAs[String]("lang_eff") === r.getAs[String]("lang"))
+      }
+    }
+  }
+
+  test("v2 zone: a pushable doc_id predicate reaches the scan and " +
+      "filters the WIDENED column correctly across all three vintages") {
+    val dir = SourceOps.schemaEvo2Dir(spark, sf)
+    val df = spark.read.schema(SourceOps.evo2Schema).parquet(dir)
+      .filter($"doc_id" > 100L)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata.get("PushedFilters")
+      .exists(_.contains("GreaterThan(doc_id")),
+      "doc_id predicate not pushed over the three-vintage zone")
+    // and the filter is CORRECT against the narrow physical vintage
+    val expected = Tables.documents(spark, sf)
+      .filter($"doc_id" > 100L).count()
+    assert(df.count() === expected)
+  }
 }
