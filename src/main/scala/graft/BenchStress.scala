@@ -515,6 +515,18 @@ object BenchStress {
       // tokenizer; this times the actual learning loop
       "x_bpe_learn" ->
         ((s, d) => operators.BpeOps.learnBpeUncached(s, d)._2),
+      // the q_shard_forget blast-radius decomposition (VERDICT r13 task
+      // 1): the declared query's fixture delete set hits EVERY (shard,
+      // gen) partition — the bound's worst case. These two pin the
+      // PROPORTIONAL claim: bounded = the two partitions of one shard
+      // (2/16 of the re-pack); noop = zero partitions (the shared
+      // build + manifest fixed cost). Expect
+      // (bounded - noop) ≈ 2/16 × (q_shard_forget - noop).
+      "x_shard_forget_bounded" -> ((s, d) => operators.ShardOps
+        .forgetVariant(s, d,
+          col("doc_id") % operators.ShardOps.NShards === 3)),
+      "x_shard_forget_noop" -> ((s, d) => operators.ShardOps
+        .forgetVariant(s, d, lit(false))),
       // the reference DAG end-to-end at 10x payload volume (VERDICT r4
       // task 4): 3000-file landing zone → PayloadJsonSource micro-batches
       // (admission-capped at 256 files/trigger, so the stream takes ~12
@@ -536,7 +548,13 @@ object BenchStress {
         ss.table("stress_avg_info")
       }))
 
-    val all = StressQueries.map(n => n -> SparkEntry.queries(n)) ++ extra
+    // SPARK_GRAFT_STRESS_ONLY=q1,q2 restricts the run to named entries —
+    // for focused multi-draw band measurements (a full pass costs
+    // ~12-15 min; a 3-draw band on two queries should not cost 45)
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val allFull = StressQueries.map(n => n -> SparkEntry.queries(n)) ++ extra
+    val all = only.fold(allFull)(o => allFull.filter(p => o.contains(p._1)))
     all.foreach { case (_, fn) => // warm-up: JIT + staging materialization
       try fn(spark, dir).count() catch { case _: Throwable => () }
       spark.sharedState.cacheManager.clearCache()

@@ -477,6 +477,27 @@ object ShardOps extends QueryPack {
     rewrite(1, aff1, Some(offsets))
   }
 
+  /** Stress-only blast-radius variant (BenchStress `x_shard_forget_*`):
+    * same build + forget pipeline as the declared query but with a
+    * caller-chosen delete set, on its own store dir. Three points pin
+    * the proportional-cost claim at 10×: the declared query's fixture
+    * rule hits EVERY (shard, gen) partition (the bound's worst case —
+    * a ~full 2× re-pack); `doc_id % NShards == 3` hits exactly the two
+    * partitions of one shard (2/16 of the re-pack); `false` hits zero
+    * (build + manifest reads only — the shared fixed cost). */
+  private[graft] def forgetVariant(s: SparkSession, d: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    import s.implicits._
+    val dir = graft.streaming.StreamingOps
+      .indexArtifactDir("shard_forget_x", d).toString
+    writeShardBaseTo(s, d, dir)
+    appendShardDeltaTo(s, d, dir)
+    forgetDocs(s, d, dir, pred)
+    s.read.parquet(dir)
+      .select($"shard".cast("long").as("shard"),
+        $"gen".cast("long").as("gen"), $"seq_idx", $"n_ids")
+  }
+
   private val shardForget = QueryDef(
     "q_shard_forget",
     (s, d) => {
