@@ -74,6 +74,8 @@ object BenchStress {
     // artifact (built once at warm-up via the corpus stamp) + hash only
     // the probe set, so it should sit well under q_simsearch_media
     "q_simsearch_media_index",
+    // round-14: the audio twin of the persisted-index serving path
+    "q_simsearch_audio_index",
     // round-13: perceptual media near-dup — dHash map + band buckets
     // grow xREP; stressed to prove candidates stay banded (no all-pairs)
     "q_dedup_media",

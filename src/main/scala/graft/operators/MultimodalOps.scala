@@ -1202,21 +1202,100 @@ object MultimodalOps extends QueryPack {
       FROM vcand c JOIN vbp x ON c.probe_id = x.mid
         JOIN vbp y ON c.neighbor_id = y.mid)"""
 
+  /** Shared by the per-run audio search and its persisted-index twin
+    * (same declared result). */
+  private def audioSearchOracleSql: String = s"""WITH $audioSearchCtes
+      SELECT CAST(probe_id AS BIGINT) AS probe_id,
+        CAST(row_number() OVER (PARTITION BY probe_id
+          ORDER BY hamming, neighbor_id) AS BIGINT) AS rnk,
+        CAST(neighbor_id AS BIGINT) AS neighbor_id, hamming
+      FROM vhm QUALIFY rnk <= $TopK ORDER BY probe_id, rnk"""
+
   private val audioSearch = QueryDef(
     "q_simsearch_audio",
     (s, d) => {
       import s.implicits._
       audioTopK(s, d).orderBy($"probe_id", $"rnk")
     },
-    Some(s"""WITH $audioSearchCtes
-      SELECT CAST(probe_id AS BIGINT) AS probe_id,
-        CAST(row_number() OVER (PARTITION BY probe_id
-          ORDER BY hamming, neighbor_id) AS BIGINT) AS rnk,
-        CAST(neighbor_id AS BIGINT) AS neighbor_id, hamming
-      FROM vhm QUALIFY rnk <= $TopK ORDER BY probe_id, rnk"""),
+    Some(audioSearchOracleSql),
     "Audio top-k search: banded fingerprint candidates, exact Hamming " +
       "re-rank per probe; probes are volume-halved variants; DuckDB " +
       "replays samples->bits->bands->rank — full hash oracle")
+
+  // ------ persisted audio band index (r14 — the q_simsearch_media_index
+  // pattern on the WAV kernels; see that operator's comment for the
+  // design: LSM base + delta-only maintain, signatures carried next to
+  // band keys, probe-only hashing at search time).
+  private def audioIndexSlice(s: SparkSession, d: String, delta: Boolean)
+      : DataFrame = {
+    import s.implicits._
+    val sel = if (delta) col("doc_id") % BpeOps.HoldoutMod === 0
+      else col("doc_id") % BpeOps.HoldoutMod =!= 0
+    Tables.documents(s, d).filter($"doc_id" % 2 === 1).filter(sel)
+      .select($"doc_id", encode($"text", "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, tb) => (id, MediaCodec.encodeWav(id, tb)) }
+      .toDF("media_id", "payload")
+  }
+
+  private def audioBandRows(slice: DataFrame): DataFrame =
+    ahBands(ahSig(slice)).toDF("media_id", "ph", "band", "bkey")
+
+  private[graft] def writeAudioIndexBase(s: SparkSession, d: String,
+      dir: String): Unit =
+    audioBandRows(audioIndexSlice(s, d, delta = false))
+      .withColumn("gen", lit(0))
+      .write.mode("overwrite").partitionBy("gen").parquet(dir)
+
+  private[graft] def appendAudioIndexDelta(s: SparkSession, d: String,
+      dir: String): Unit =
+    audioBandRows(audioIndexSlice(s, d, delta = true))
+      .withColumn("gen", lit(1))
+      .write.mode("append").partitionBy("gen").parquet(dir)
+
+  private[graft] def audioIndexDir(s: SparkSession, d: String): String = {
+    val dir = graft.streaming.StreamingOps
+      .indexArtifactDir("audio_band_index", d)
+    val marker = dir.resolve("_complete")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "documents")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
+    graft.Fs.deleteRecursively(dir)
+    writeAudioIndexBase(s, d, dir.toString)
+    appendAudioIndexDelta(s, d, dir.toString)
+    graft.FixtureStamp.complete(marker, stamp)
+    dir.toString
+  }
+
+  private[graft] def audioTopKIndexed(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val dir = audioIndexDir(s, d)
+    val (_, probes) = audioSearchCorpus(s, d)
+    val ibands = s.read.parquet(dir)
+      .select($"media_id".as("neighbor_id"), $"ph".as("phi"),
+        $"band", $"bkey")
+    val cand = ahBands(ahSig(probes))
+      .toDF("probe_id", "php", "band", "bkey")
+      .hint("shuffle_hash")
+      .join(ibands, Seq("band", "bkey"))
+      .select($"probe_id", $"neighbor_id",
+        bit_count($"php".bitwiseXOR($"phi")).cast("long").as("hamming"))
+      .distinct()
+    topKFrom(cand)
+  }
+
+  private val audioSearchIndexed = QueryDef(
+    "q_simsearch_audio_index",
+    (s, d) => {
+      import s.implicits._
+      audioTopKIndexed(s, d).orderBy($"probe_id", $"rnk")
+    },
+    Some(audioSearchOracleSql),
+    "Audio top-k search over the PERSISTED fingerprint band index (LSM " +
+      "base + incremental delta, maintain hashes only the delta slice): " +
+      "probe hashes join the index read — the corpus is never re-hashed " +
+      "at search time; same full sample-replay hash oracle as " +
+      "q_simsearch_audio")
 
   private val audioSearchAudit = QueryDef(
     "q_simsearch_audio_audit",
@@ -1286,5 +1365,6 @@ object MultimodalOps extends QueryPack {
     Seq(multimodalMeta, multimodalFeatures, multimodalDecode,
       mediaDedup, mediaDedupAudit, mediaSearch, mediaSearchAudit,
       mediaSearchIndexed,
-      audioDedup, audioDedupAudit, audioSearch, audioSearchAudit)
+      audioDedup, audioDedupAudit, audioSearch, audioSearchAudit,
+      audioSearchIndexed)
 }

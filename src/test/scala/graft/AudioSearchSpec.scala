@@ -80,4 +80,46 @@ class AudioSearchSpec extends SparkTestBase {
     }
     assert(checked > 0, "no low-distance probes in the fixture — vacuous")
   }
+
+  test("persisted-index audio search == per-run rebuild, maintain pass " +
+      "file-incremental, plan reads the index artifact") {
+    spark.sharedState.cacheManager.clearCache()
+    val base = java.nio.file.Paths.get("target", "test-audio-index")
+      .toAbsolutePath
+    graft.Fs.deleteRecursively(base)
+    def md5s(): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq(f) else Seq.empty
+      walk(base.toFile).map { f =>
+        f.getAbsolutePath -> java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+    MultimodalOps.writeAudioIndexBase(spark, sf, base.toString)
+    val gen0 = md5s()
+    assert(gen0.nonEmpty && gen0.keySet.forall(_.contains("gen=0")))
+    MultimodalOps.appendAudioIndexDelta(spark, sf, base.toString)
+    val after = md5s()
+    gen0.foreach { case (p, sig) =>
+      assert(after.get(p) === Some(sig), s"base index file rewritten: $p")
+    }
+    assert((after.keySet -- gen0.keySet).forall(_.contains("gen=1")))
+    import org.apache.spark.sql.functions._
+    val nIdx = Tables.documents(spark, sf).filter($"doc_id" % 2 === 1)
+      .count()
+    assert(spark.read.parquet(base.toString)
+      .select($"media_id").distinct().count() === nIdx)
+    val indexed = q("q_simsearch_audio_index").collect().toSeq
+    assert(indexed.nonEmpty &&
+      indexed === q("q_simsearch_audio").collect().toSeq)
+    val scans = q("q_simsearch_audio_index").queryExecution.sparkPlan
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("Location", "")
+      }
+    assert(scans.exists(_.contains("audio_band_index")),
+      "indexed audio search does not scan the persisted index")
+  }
 }
