@@ -266,6 +266,9 @@ object BenchStress {
     // same plan class as q_shard_lineage (one prefix-sum window / a
     // survivor-filtered variant of it) over the same tokenize stream
     "q_shard_lineage_compact", "q_shard_lineage_forget",
+    // same lineage cost class over the streamed store: gate filters
+    // (stressed inside q_stream_pipeline) + one prefix-sum window
+    "q_stream_pipeline_lineage",
     // linear scans / projections / filters / per-row scalar maps
     "q_scan_parquet", "q_project_cast", "q_filter_between", "q_filter_pred",
     "q_round_format", "q_scalar_string", "q_scalar_string2",

@@ -1944,6 +1944,115 @@ object StreamingOps extends QueryPack {
     (accepted, a0, kept1, shed)
   }
 
+  // ---------------- lineage over the STREAMED store (r14)
+  // The lineage family's fourth store type: q_shard_lineage covers the
+  // batch append store, _compact and _forget its evolutions — this one
+  // answers the same compliance question for the STREAM-built store
+  // (q_stream_pipeline's shard log), where a doc's generation is the
+  // micro-batch that admitted it and the accepted set is gate-dependent
+  // (quality + global first-wins dedup — with doc_id-ordered admission,
+  // the stream's per-batch first-wins composes to exactly the global
+  // rule, which is what makes this replayable). Same zero-store-scan
+  // posture: doc → (shard, gen) by the admission split; gstart = the
+  // survivor prefix sum per (shard, gen); gen-1 offset = the gen-0
+  // packed-row boundary. Docs shed by a gate simply have no lineage row
+  // — the inverse statement ("doc X is NOT in the training set") the
+  // audit trail needs. Spec cross-checks token-by-token against the
+  // real pipeline shard log.
+  private val streamPipelineLineage = QueryDef(
+    "q_stream_pipeline_lineage",
+    (s, d) => {
+      import s.implicits._
+      val docs = graft.Tables.documents(s, d).select($"doc_id", $"text")
+      val sp = docs.agg(((max($"doc_id") + 1L) / 2L).cast("long"))
+        .head().getLong(0)
+      val (n, raw) = graft.operators.TextOps.modelRawScore($"text")
+      val kept = docs
+        .select($"doc_id", $"text", n.as("n_grams"), raw.as("raw"))
+        .filter(graft.operators.TextOps.modelScore($"n_grams", $"raw") >=
+          lit(0).cast("decimal(38,6)"))
+        .select($"doc_id", $"text",
+          md5(graft.operators.DedupOps.normText).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"h").orderBy($"doc_id")))
+        .filter($"rn" === 1)
+        .select($"doc_id")
+      val seqLen = graft.operators.ShardOps.SeqLen
+      val t = graft.operators.BpeOps.subwordIdRows(s, d)
+        .join(kept, Seq("doc_id"), "left_semi")
+        .withColumn("shard", pmod($"doc_id",
+          lit(graft.operators.ShardOps.NShards.toLong)))
+        .withColumn("gen", when($"doc_id" < sp, 0L).otherwise(1L))
+      val perDoc = t.groupBy($"shard", $"gen", $"doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tok"))
+      val w = Window.partitionBy($"shard", $"gen").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nbRows = t.filter($"gen" === 0L)
+        .groupBy($"shard").agg(count(lit(1)).as("nb"))
+        .select($"shard",
+          expr(s"(nb + ${seqLen - 1}) div $seqLen").as("nbseq"))
+      perDoc
+        .withColumn("start_in_gen",
+          coalesce(sum($"n_tok").over(w), lit(0L)))
+        .join(broadcast(nbRows), Seq("shard"), "left")
+        .withColumn("gstart", when($"gen" === 1L,
+          coalesce($"nbseq", lit(0L)) * seqLen).otherwise(0L)
+          + $"start_in_gen")
+        .select($"doc_id", $"shard", $"gen", $"n_tok", $"gstart",
+          expr(s"gstart div $seqLen").as("first_row"),
+          expr(s"(gstart + n_tok - 1) div $seqLen").as("last_row"))
+        .orderBy($"doc_id")
+    },
+    Some({
+      val grams = graft.operators.TextOps.modelSqlGrams("text")
+      val raw = graft.operators.TextOps.modelSqlRaw("grams")
+      val score = graft.operators.TextOps.modelSqlScore("n_grams", "raw")
+      val nsh = graft.operators.ShardOps.NShards
+      val sl = graft.operators.ShardOps.SeqLen
+      s"""WITH ${graft.operators.BpeOps.subwordIdCtes},
+      pnorm AS (SELECT doc_id, text,
+          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        FROM documents),
+      pg AS (SELECT doc_id, t, $grams AS grams FROM pnorm),
+      psc AS (SELECT doc_id, t, CAST(len(grams) AS BIGINT) AS n_grams,
+          $raw AS raw FROM pg),
+      pq AS (SELECT doc_id, t FROM psc WHERE $score >= 0),
+      pkept AS (SELECT doc_id FROM (
+          SELECT doc_id,
+            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+          FROM pq) WHERE rn = 1),
+      kids AS (SELECT i.doc_id, i.tid, i.doc_id % $nsh AS shard,
+          CASE WHEN i.doc_id <
+              (SELECT (max(doc_id) + 1) // 2 FROM documents)
+            THEN 0 ELSE 1 END AS gen
+        FROM ids i JOIN pkept k USING (doc_id)),
+      dc AS (SELECT shard, gen, doc_id, CAST(count(*) AS BIGINT) AS n_tok
+        FROM kids GROUP BY 1, 2, 3),
+      pre AS (SELECT shard, gen, doc_id, n_tok,
+          COALESCE(SUM(n_tok) OVER (PARTITION BY shard, gen ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sg
+        FROM dc),
+      pbase AS (SELECT shard, count(*) AS nb FROM kids WHERE gen = 0
+        GROUP BY 1),
+      fin AS (SELECT p.doc_id, p.shard, p.gen, p.n_tok,
+          CASE WHEN p.gen = 1
+            THEN ((b.nb + ${sl - 1}) // $sl) * $sl
+            ELSE 0 END + p.sg AS gstart
+        FROM pre p LEFT JOIN pbase b
+          ON p.gen = 1 AND p.shard = b.shard)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        CAST(gen AS BIGINT) AS gen, n_tok,
+        CAST(gstart AS BIGINT) AS gstart,
+        CAST(gstart // $sl AS BIGINT) AS first_row,
+        CAST((gstart + n_tok - 1) // $sl AS BIGINT) AS last_row
+      FROM fin ORDER BY doc_id"""
+    }),
+    "Doc -> packed-row lineage over the STREAM-built store: gate " +
+      "survivors' prefix sums per (shard, micro-batch generation), " +
+      "gen-1 offset at the gen-0 row boundary; shed docs have no row " +
+      "(the negative audit answer); spec cross-checks token-by-token " +
+      "against the real pipeline shard log")
+
   // Audit: the streamed near-dup decisions against (a) the batch
   // reference with no streaming machinery — set equality of the whole
   // accepted corpus — and (b) the BRUTE-FORCE exact truth (every
@@ -2061,5 +2170,6 @@ object StreamingOps extends QueryPack {
       streamForeachBatch, streamSinkFiles, streamQualityGate,
       streamIndexMaintain, streamIndexCompact, streamAnomaly,
       streamDedupBloom, streamStateInspect, streamStateEvict,
-      streamPipeline, streamPipelineNearDup, streamPipelineNearDupAudit)
+      streamPipeline, streamPipelineNearDup, streamPipelineNearDupAudit,
+      streamPipelineLineage)
 }

@@ -136,6 +136,43 @@ class StreamPipelineSpec extends SparkTestBase {
       "restart read-back must equal the single-run pipeline result")
   }
 
+  test("stream-store lineage addresses every token of the real pipeline " +
+      "shard log, and shed docs have no lineage row") {
+    val rows = result // materialize the pipeline store (lazy)
+    assert(rows.nonEmpty)
+    val actual = rows.flatMap { r =>
+      val (sh, g, seq) = (r.getAs[Long]("shard"), r.getAs[Long]("gen"),
+        r.getAs[Long]("seq_idx"))
+      r.getAs[String]("ids_str").split(",").zipWithIndex.map {
+        case (tid, p) => (sh, g, seq * ShardOps.SeqLen + p, tid)
+      }
+    }.toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos", $"subpos")
+    val lineage = q("q_stream_pipeline_lineage")
+    val expected = BpeOps.subwordIdRows(spark, sf)
+      .withColumn("k", row_number().over(w).cast("long") - 1L)
+      .select($"doc_id", $"k", $"tid".cast("string").as("tid"))
+      .join(lineage.select($"doc_id", $"shard", $"gen", $"gstart"),
+        Seq("doc_id"))
+      .select($"shard", $"gen", ($"gstart" + $"k").as("gpos"), $"tid")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(actual === expected,
+      "stream-store lineage addresses diverge from the real shard log")
+    // the negative answer: a gate-shed doc has NO lineage row
+    val lineageDocs = lineage.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val keptDocs = batchKept.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(lineageDocs === keptDocs)
+    val allDocs = Tables.documents(spark, sf).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((allDocs -- keptDocs).nonEmpty &&
+      (allDocs -- keptDocs).forall(!lineageDocs.contains(_)))
+  }
+
   test("the near-dup pipeline sheds real cross-batch near-dups and is " +
       "exactly-once across a mid-corpus stop/restart") {
     val base = Paths.get("target", "test-pipe-nd-restart").toAbsolutePath
