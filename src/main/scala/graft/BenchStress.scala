@@ -76,6 +76,10 @@ object BenchStress {
     "q_simsearch_media_index",
     // round-14: the audio twin of the persisted-index serving path
     "q_simsearch_audio_index",
+    // round-14: search over the STREAM-maintained band-signature log —
+    // per-batch delta appends (stressed inside the stream pipelines'
+    // cost class), search cost = the q_simsearch_media_index claim
+    "q_stream_media_index",
     // round-13: perceptual media near-dup — dHash map + band buckets
     // grow xREP; stressed to prove candidates stay banded (no all-pairs)
     "q_dedup_media",

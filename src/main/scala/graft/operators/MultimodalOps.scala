@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryPack, Tables}
 import graft.functions.MediaCodec
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A media row as a training pipeline would model it: opaque binary
@@ -719,6 +719,94 @@ object MultimodalOps extends QueryPack {
     topKFrom(cand)
   }
 
+  // ---------- STREAM-maintained media band index (r14, the literal
+  // q_stream_media_index the r13 verdict named). The batch LSM build
+  // above covers the daily shape; a serving index is really maintained
+  // by the INGEST STREAM: each arriving micro-batch of documents
+  // derives its media payloads, hashes them, and appends its
+  // (media_id, ph, band, bkey, gen=batchId) signature DELTA to the
+  // index log — the q_stream_index_maintain posture with band rows
+  // instead of postings. No streaming-engine state; a replayed
+  // at-least-once batch re-appends byte-identical rows and the search
+  // read's distinct collapses them (each media id is admitted by
+  // exactly one batch). Search = the persisted-index plan over the
+  // stream-maintained log; the declared result is identical to
+  // q_simsearch_media, so the SAME full pixel-replay oracle checks the
+  // entire stream → hash → band → log → search chain.
+  private[graft] def streamMediaIndexBatch(batch: Dataset[Row],
+      batchId: Long, out: String): Unit = {
+    val s2 = batch.sparkSession
+    import s2.implicits._
+    val media = batch
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", encode($"text", "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, tb) => (id, MediaCodec.encodeBmp(id, tb)) }
+      .toDF("media_id", "payload")
+    bandRows(media).withColumn("gen", lit(batchId))
+      .write.mode("append").parquet(out)
+  }
+
+  private[graft] def streamMediaIndexLog(s: SparkSession, d: String)
+      : String = {
+    import s.implicits._
+    val dir = graft.streaming.StreamingOps.streamPipeDir(s, d)
+    val outPath = graft.streaming.StreamingOps
+      .indexArtifactDir("stream_media_band_index", d)
+    val marker = outPath.resolve("_complete")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "documents")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return outPath.toString
+    graft.Fs.deleteRecursively(outPath)
+    val out = outPath.toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    graft.streaming.StreamingOps.withStreamPartitions(s, 8) { ss =>
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(dir)
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          streamMediaIndexBatch(batch, batchId, out)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    graft.FixtureStamp.complete(marker, stamp)
+    out
+  }
+
+  private val mediaSearchStreamIndexed = QueryDef(
+    "q_stream_media_index",
+    (s, d) => {
+      import s.implicits._
+      val log = streamMediaIndexLog(s, d)
+      val (_, probes) = searchCorpus(s, d)
+      // replay-duplicate collapse: identical re-appended rows fold away
+      val ibands = s.read.parquet(log)
+        .select($"media_id".as("neighbor_id"), $"ph".as("phi"),
+          $"band", $"bkey")
+        .distinct()
+      val cand = phBands(phSig(probes))
+        .toDF("probe_id", "php", "band", "bkey")
+        .hint("shuffle_hash")
+        .join(ibands, Seq("band", "bkey"))
+        .select($"probe_id", $"neighbor_id",
+          bit_count($"php".bitwiseXOR($"phi")).cast("long").as("hamming"))
+        .distinct()
+      topKFrom(cand).orderBy($"probe_id", $"rnk")
+    },
+    Some(searchOracleSql),
+    "Perceptual top-k search over the STREAM-maintained band index: " +
+      "each micro-batch appends its media signature delta to the index " +
+      "log (no streaming-engine state; replays collapse under the " +
+      "distinct read); same full pixel-replay hash oracle — the whole " +
+      "stream->hash->band->log->search chain under one hash")
+
   private val mediaSearchIndexed = QueryDef(
     "q_simsearch_media_index",
     (s, d) => {
@@ -1364,7 +1452,7 @@ object MultimodalOps extends QueryPack {
   override def defs: Seq[QueryDef] =
     Seq(multimodalMeta, multimodalFeatures, multimodalDecode,
       mediaDedup, mediaDedupAudit, mediaSearch, mediaSearchAudit,
-      mediaSearchIndexed,
+      mediaSearchIndexed, mediaSearchStreamIndexed,
       audioDedup, audioDedupAudit, audioSearch, audioSearchAudit,
       audioSearchIndexed)
 }

@@ -1539,7 +1539,7 @@ object StreamingOps extends QueryPack {
     * pipeline batch-replayable in SQL: the dedup gate's first-wins rule
     * becomes "min doc_id per hash", and the shard log's generation
     * layout becomes a doc_id range split. Idempotent per sf. */
-  private def streamPipeDir(s: SparkSession, d: String): String = {
+  private[graft] def streamPipeDir(s: SparkSession, d: String): String = {
     import s.implicits._
     val dir = java.nio.file.Paths.get("target", "stream_pipe",
       new java.io.File(d).getName).toAbsolutePath

@@ -123,4 +123,38 @@ class MediaSearchSpec extends SparkTestBase {
     assert(scans.exists(_.contains("media_band_index")),
       "indexed search does not scan the persisted index")
   }
+
+  test("stream-maintained index search == per-run rebuild, covers every " +
+      "batch, and a replayed batch collapses under the distinct read") {
+    spark.sharedState.cacheManager.clearCache()
+    val streamed = q("q_stream_media_index").collect().toSeq
+    val rebuilt = q("q_simsearch_media").collect().toSeq
+    assert(streamed.nonEmpty && streamed === rebuilt)
+    // the log really is per-micro-batch increments: >= 2 generations,
+    // and every even doc's signature landed in exactly one
+    val log = spark.read.parquet(
+      MultimodalOps.streamMediaIndexLog(spark, sf))
+    assert(log.select($"gen").distinct().count() >= 2L,
+      "stream index log has a single generation — not incremental")
+    val nIdx = Tables.documents(spark, sf).filter($"doc_id" % 2 === 0)
+      .count()
+    assert(log.select($"media_id").distinct().count() === nIdx)
+    assert(log.groupBy($"media_id")
+      .agg(countDistinct($"gen").as("g")).filter($"g" > 1).count() === 0L,
+      "a media id landed in more than one generation")
+    // at-least-once replay: re-append one batch's rows verbatim; the
+    // declared search result must not change (distinct collapse)
+    val scratch = java.nio.file.Paths.get("target", "test-stream-media-idx")
+      .toAbsolutePath
+    graft.Fs.deleteRecursively(scratch)
+    org.apache.spark.sql.functions.lit(1) // keep import used
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    MultimodalOps.streamMediaIndexBatch(docs.toDF(), 0L, scratch.toString)
+    val once = spark.read.parquet(scratch.toString).count()
+    MultimodalOps.streamMediaIndexBatch(docs.toDF(), 0L, scratch.toString)
+    val log2 = spark.read.parquet(scratch.toString)
+    assert(log2.count() === 2 * once, "replay should append row-identical data")
+    assert(log2.select($"media_id", $"ph", $"band", $"bkey").distinct()
+      .count() === once, "replayed rows must collapse under distinct")
+  }
 }
