@@ -80,6 +80,9 @@ object BenchStress {
     // per-batch delta appends (stressed inside the stream pipelines'
     // cost class), search cost = the q_simsearch_media_index claim
     "q_stream_media_index",
+    // round-14: RTBF propagation into the serving index — affected-
+    // generation re-derive + dynamic partition overwrite at 10x
+    "q_media_index_forget",
     // round-13: perceptual media near-dup — dHash map + band buckets
     // grow xREP; stressed to prove candidates stay banded (no all-pairs)
     "q_dedup_media",
@@ -135,6 +138,10 @@ object BenchStress {
     // (terms x batches) xREP and rewrites the base index; stressed to
     // prove the fold stays term-sized while the corpus stream grows
     "q_stream_index_compact",
+    // round-14: the media-signature analog of the stressed
+    // q_stream_index_compact — distinct fold of the stream log into a
+    // single-file base + the indexed search
+    "q_stream_media_index_compact",
     // round-3 additions: stream-static enrichment (broadcast side grows
     // with the dim table), foreachBatch sink (per-batch write amplification),
     // JDBC round trip (writer fan-in) — stressed so the tracked surface

@@ -539,9 +539,14 @@ object MultimodalOps extends QueryPack {
     * the left half for probes) → 9×8 grid → 64 bits → band keys, both
     * unpivoted (sbk, for the band join) and pivoted (sbp, for Hamming
     * via per-band XOR popcounts), then banded candidates + distances. */
-  private def searchCtes: String = s"""sm AS (
+  private def searchCtes: String = searchCtesWith("")
+
+  /** `idxExtra` appends a predicate to the INDEX branch only — the
+    * post-forget oracle excludes deleted docs from the searchable side
+    * while probes (the queries) stay untouched. */
+  private def searchCtesWith(idxExtra: String): String = s"""sm AS (
       SELECT doc_id AS mid, doc_id AS gid, 0 AS half, text
-      FROM documents WHERE doc_id % 2 = 0
+      FROM documents WHERE doc_id % 2 = 0 $idxExtra
       UNION ALL
       SELECT doc_id + $ProbeOff, doc_id, 1, text
       FROM documents WHERE doc_id % 6 = 0 AND length(text) > 0),
@@ -654,13 +659,16 @@ object MultimodalOps extends QueryPack {
   // the (band, bkey) layout can bucket-partition for probe-side pruning.
 
   /** One generation's media slice, ENCODED ONLY FOR THAT SLICE — the
-    * incremental-maintain contract (filter before the encode map). */
-  private def indexSlice(s: SparkSession, d: String, delta: Boolean)
-      : DataFrame = {
+    * incremental-maintain contract (filter before the encode map).
+    * `keep` further restricts the slice (the forget rewrite passes the
+    * survivor predicate). */
+  private def indexSlice(s: SparkSession, d: String, delta: Boolean,
+      keep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import s.implicits._
     val sel = if (delta) col("doc_id") % BpeOps.HoldoutMod === 0
       else col("doc_id") % BpeOps.HoldoutMod =!= 0
     Tables.documents(s, d).filter($"doc_id" % 2 === 0).filter(sel)
+      .filter(keep)
       .select($"doc_id", encode($"text", "UTF-8").as("tb"))
       .as[(Long, Array[Byte])]
       .map { case (id, tb) => (id, MediaCodec.encodeBmp(id, tb)) }
@@ -699,16 +707,15 @@ object MultimodalOps extends QueryPack {
     dir.toString
   }
 
-  /** Search over the persisted index: probe hashes (bounded) against
-    * the index read — no corpus re-hash anywhere in the plan. */
-  private[graft] def mediaTopKIndexed(s: SparkSession, d: String)
+  /** Probe top-k over an arbitrary (neighbor_id, phi, band, bkey) index
+    * relation — the ONE search plan every persisted-index variant
+    * (batch LSM, stream log, compacted base, post-forget store) shares:
+    * hash the bounded probe set, shuffle-hash equi-join on (band, bkey),
+    * exact Hamming, per-probe rank. */
+  private def probeTopK(s: SparkSession, d: String, ibands: DataFrame)
       : DataFrame = {
     import s.implicits._
-    val dir = mediaIndexDir(s, d)
     val (_, probes) = searchCorpus(s, d)
-    val ibands = s.read.parquet(dir)
-      .select($"media_id".as("neighbor_id"), $"ph".as("phi"),
-        $"band", $"bkey")
     val cand = phBands(phSig(probes))
       .toDF("probe_id", "php", "band", "bkey")
       .hint("shuffle_hash")
@@ -718,6 +725,82 @@ object MultimodalOps extends QueryPack {
       .distinct()
     topKFrom(cand)
   }
+
+  private def indexRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(dir)
+      .select($"media_id".as("neighbor_id"), $"ph".as("phi"),
+        $"band", $"bkey")
+  }
+
+  /** Search over the persisted index: probe hashes (bounded) against
+    * the index read — no corpus re-hash anywhere in the plan. */
+  private[graft] def mediaTopKIndexed(s: SparkSession, d: String)
+      : DataFrame =
+    probeTopK(s, d, indexRead(s, mediaIndexDir(s, d)))
+
+  // ---------- RTBF propagation into the serving index (r14). Forgetting
+  // a doc from the training shards (q_shard_forget) is not enough: its
+  // SIGNATURES still sit in the search index and keep surfacing it —
+  // the compliance requirement is that a delete propagates to every
+  // derived artifact. Generation alignment gives the same bounded blast
+  // radius here as in the shard store: a media id's index rows live in
+  // exactly ONE generation, derivable from the id alone (the HoldoutMod
+  // layout rule), so only the generations the delete set touches are
+  // re-derived — from their SURVIVING source slice (filter before the
+  // encode map, so deleted payloads are never even hashed) — and
+  // swapped in with dynamic partition overwrite; untouched generations
+  // keep their files byte-identical (MediaSearchSpec). A generation
+  // whose every media was deleted is dropped at the directory level
+  // (the dynamic-overwrite zero-row gap, same as forgetDocs).
+  private[graft] def forgetMediaIndex(s: SparkSession, d: String,
+      dir: String, deletePred: org.apache.spark.sql.Column): Unit = {
+    import s.implicits._
+    val media = Tables.documents(s, d).filter($"doc_id" % 2 === 0)
+    // affected generations from the layout rule — no index scan
+    val affected = media.filter(deletePred)
+      .select(when($"doc_id" % BpeOps.HoldoutMod === 0, 1).otherwise(0)
+        .as("gen"))
+      .distinct().as[Int].collect().toSeq.sorted
+    affected.foreach { g =>
+      val genSel = if (g == 1) $"doc_id" % BpeOps.HoldoutMod === 0
+        else $"doc_id" % BpeOps.HoldoutMod =!= 0
+      val anySurvivor = !media.filter(genSel).filter(!deletePred).isEmpty
+      if (anySurvivor)
+        bandRows(indexSlice(s, d, delta = g == 1, keep = !deletePred))
+          .withColumn("gen", lit(g))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen").parquet(dir)
+      else graft.Fs.deleteRecursively(
+        java.nio.file.Paths.get(dir).resolve(s"gen=$g"))
+    }
+  }
+
+  private val mediaIndexForget = QueryDef(
+    "q_media_index_forget",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.streaming.StreamingOps
+        .indexArtifactDir("media_band_index_forget", d).toString
+      writeMediaIndexBase(s, d, dir)
+      appendMediaIndexDelta(s, d, dir)
+      forgetMediaIndex(s, d, dir,
+        col("doc_id") % ShardOps.ForgetMod === ShardOps.ForgetRes)
+      probeTopK(s, d, indexRead(s, dir)).orderBy($"probe_id", $"rnk")
+    },
+    Some(s"""WITH ${searchCtesWith(
+        s"AND NOT doc_id % ${ShardOps.ForgetMod} = ${ShardOps.ForgetRes}")}
+      SELECT CAST(probe_id AS BIGINT) AS probe_id,
+        CAST(row_number() OVER (PARTITION BY probe_id
+          ORDER BY hamming, neighbor_id) AS BIGINT) AS rnk,
+        CAST(neighbor_id AS BIGINT) AS neighbor_id, hamming
+      FROM shm QUALIFY rnk <= $TopK ORDER BY probe_id, rnk"""),
+    "RTBF propagation into the serving index: affected generations " +
+      "re-derived from their surviving source slice (deleted payloads " +
+      "never re-hashed) and swapped via dynamic partition overwrite; " +
+      "post-forget search hash-equal to the oracle's replay with " +
+      "deleted docs excluded from the searchable side")
 
   // ---------- STREAM-maintained media band index (r14, the literal
   // q_stream_media_index the r13 verdict named). The batch LSM build
@@ -785,20 +868,9 @@ object MultimodalOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val log = streamMediaIndexLog(s, d)
-      val (_, probes) = searchCorpus(s, d)
       // replay-duplicate collapse: identical re-appended rows fold away
-      val ibands = s.read.parquet(log)
-        .select($"media_id".as("neighbor_id"), $"ph".as("phi"),
-          $"band", $"bkey")
-        .distinct()
-      val cand = phBands(phSig(probes))
-        .toDF("probe_id", "php", "band", "bkey")
-        .hint("shuffle_hash")
-        .join(ibands, Seq("band", "bkey"))
-        .select($"probe_id", $"neighbor_id",
-          bit_count($"php".bitwiseXOR($"phi")).cast("long").as("hamming"))
-        .distinct()
-      topKFrom(cand).orderBy($"probe_id", $"rnk")
+      probeTopK(s, d, indexRead(s, log).distinct())
+        .orderBy($"probe_id", $"rnk")
     },
     Some(searchOracleSql),
     "Perceptual top-k search over the STREAM-maintained band index: " +
@@ -806,6 +878,35 @@ object MultimodalOps extends QueryPack {
       "log (no streaming-engine state; replays collapse under the " +
       "distinct read); same full pixel-replay hash oracle — the whole " +
       "stream->hash->band->log->search chain under one hash")
+
+  // The compact half of the maintain/compact pair: after many
+  // micro-batches the stream log is one file set per (batch × writer
+  // partition) — serving reads amplify. Fold it into a single-
+  // generation base: the distinct signature rows (the same collapse the
+  // search read applies, so an at-least-once replay can never survive
+  // compaction), coalesced to a small file set (the q_sink_compaction
+  // layout rule). Search over the compacted base is the same declared
+  // result — one more full-hash replay of the whole chain.
+  private val mediaSearchStreamCompacted = QueryDef(
+    "q_stream_media_index_compact",
+    (s, d) => {
+      import s.implicits._
+      val log = streamMediaIndexLog(s, d)
+      val basePath = graft.streaming.StreamingOps
+        .indexArtifactDir("stream_media_band_base", d)
+      s.read.parquet(log)
+        .select($"media_id", $"ph", $"band", $"bkey")
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite").parquet(basePath.toString)
+      probeTopK(s, d, indexRead(s, basePath.toString))
+        .orderBy($"probe_id", $"rnk")
+    },
+    Some(searchOracleSql),
+    "Stream-index compaction: the multi-generation signature log folded " +
+      "into a single-file base (exactly-once distinct collapse, " +
+      "q_sink_compaction layout rule); search over the compacted base " +
+      "under the same full pixel-replay hash oracle")
 
   private val mediaSearchIndexed = QueryDef(
     "q_simsearch_media_index",
@@ -1453,6 +1554,7 @@ object MultimodalOps extends QueryPack {
     Seq(multimodalMeta, multimodalFeatures, multimodalDecode,
       mediaDedup, mediaDedupAudit, mediaSearch, mediaSearchAudit,
       mediaSearchIndexed, mediaSearchStreamIndexed,
+      mediaSearchStreamCompacted, mediaIndexForget,
       audioDedup, audioDedupAudit, audioSearch, audioSearchAudit,
       audioSearchIndexed)
 }

@@ -157,4 +157,46 @@ class MediaSearchSpec extends SparkTestBase {
     assert(log2.select($"media_id", $"ph", $"band", $"bkey").distinct()
       .count() === once, "replayed rows must collapse under distinct")
   }
+
+  test("index forget: bounded blast radius (gen-1-only delete leaves " +
+      "gen-0 files byte-identical) and deleted ids vanish from the index") {
+    val base = java.nio.file.Paths.get("target", "test-media-index-forget")
+      .toAbsolutePath
+    graft.Fs.deleteRecursively(base)
+    def md5s(): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq(f) else Seq.empty
+      walk(base.toFile).map { f =>
+        f.getAbsolutePath -> java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+    MultimodalOps.writeMediaIndexBase(spark, sf, base.toString)
+    MultimodalOps.appendMediaIndexDelta(spark, sf, base.toString)
+    val before = md5s()
+    // delete set confined to generation 1 (the HoldoutMod slice): the
+    // layout rule says ONLY gen=1 may rewrite
+    val pred = $"doc_id" % graft.operators.BpeOps.HoldoutMod === 0 &&
+      $"doc_id" % 5 === 0
+    val deleted = Tables.documents(spark, sf)
+      .filter($"doc_id" % 2 === 0).filter(pred)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty, "fixture delete set is empty — vacuous")
+    MultimodalOps.forgetMediaIndex(spark, sf, base.toString, pred)
+    val after = md5s()
+    before.filter(_._1.contains("gen=0")).foreach { case (p, sig) =>
+      assert(after.get(p) === Some(sig),
+        s"gen-0 file rewritten by a gen-1-only delete: $p")
+    }
+    // deleted ids gone, survivors complete
+    val left = spark.read.parquet(base.toString)
+      .select($"media_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(deleted.forall(!left.contains(_)), "a deleted id survived")
+    val expected = Tables.documents(spark, sf)
+      .filter($"doc_id" % 2 === 0).filter(!pred)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(left === expected, "survivor set diverges")
+  }
 }
