@@ -83,6 +83,8 @@ object BenchStress {
     // round-14: RTBF propagation into the serving index — affected-
     // generation re-derive + dynamic partition overwrite at 10x
     "q_media_index_forget",
+    // round-14: the audio twin of the index-forget compliance path
+    "q_audio_index_forget",
     // round-13: perceptual media near-dup — dHash map + band buckets
     // grow xREP; stressed to prove candidates stay banded (no all-pairs)
     "q_dedup_media",

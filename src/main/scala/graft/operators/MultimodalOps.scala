@@ -1326,9 +1326,13 @@ object MultimodalOps extends QueryPack {
   /** Oracle CTE chain: generator samples (floor-halved for probes) →
     * 65 probes → bits → contiguous 16-bit bands (unpivoted + pivoted) →
     * banded candidates + per-band XOR popcount Hamming. */
-  private def audioSearchCtes: String = s"""vm AS (
+  private def audioSearchCtes: String = audioSearchCtesWith("")
+
+  /** `idxExtra` appends a predicate to the INDEX branch only — see
+    * [[searchCtesWith]]. */
+  private def audioSearchCtesWith(idxExtra: String): String = s"""vm AS (
       SELECT doc_id AS mid, doc_id AS gid, 0 AS halfvol, text
-      FROM documents WHERE doc_id % 2 = 1
+      FROM documents WHERE doc_id % 2 = 1 $idxExtra
       UNION ALL
       SELECT doc_id + $ProbeOff, doc_id, 1, text
       FROM documents WHERE doc_id % 6 = 3 AND length(text) > 0),
@@ -1415,12 +1419,21 @@ object MultimodalOps extends QueryPack {
   // pattern on the WAV kernels; see that operator's comment for the
   // design: LSM base + delta-only maintain, signatures carried next to
   // band keys, probe-only hashing at search time).
-  private def audioIndexSlice(s: SparkSession, d: String, delta: Boolean)
-      : DataFrame = {
+  /** The audio family's base/delta split. The family HoldoutMod rule
+    * (doc_id % 10 == 0) only ever selects EVEN ids, so on the odd (WAV)
+    * half it is vacuous — the delta generation would be empty and the
+    * "maintain hashes only the delta" claim untested. Rank the odd ids
+    * ((doc_id−1) div 2) and take every HoldoutMod-th: the same 1/10
+    * delta fraction, genuinely populated. */
+  private[graft] def audioDeltaSel: org.apache.spark.sql.Column =
+    pmod(expr("(doc_id - 1) div 2"), lit(BpeOps.HoldoutMod.toLong)) === 0
+
+  private def audioIndexSlice(s: SparkSession, d: String, delta: Boolean,
+      keep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import s.implicits._
-    val sel = if (delta) col("doc_id") % BpeOps.HoldoutMod === 0
-      else col("doc_id") % BpeOps.HoldoutMod =!= 0
+    val sel = if (delta) audioDeltaSel else !audioDeltaSel
     Tables.documents(s, d).filter($"doc_id" % 2 === 1).filter(sel)
+      .filter(keep)
       .select($"doc_id", encode($"text", "UTF-8").as("tb"))
       .as[(Long, Array[Byte])]
       .map { case (id, tb) => (id, MediaCodec.encodeWav(id, tb)) }
@@ -1472,6 +1485,74 @@ object MultimodalOps extends QueryPack {
       .distinct()
     topKFrom(cand)
   }
+
+  /** Probe top-k over an arbitrary audio index relation — the audio
+    * twin of [[probeTopK]]. */
+  private def audioProbeTopK(s: SparkSession, d: String, ibands: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    val (_, probes) = audioSearchCorpus(s, d)
+    val cand = ahBands(ahSig(probes))
+      .toDF("probe_id", "php", "band", "bkey")
+      .hint("shuffle_hash")
+      .join(ibands, Seq("band", "bkey"))
+      .select($"probe_id", $"neighbor_id",
+        bit_count($"php".bitwiseXOR($"phi")).cast("long").as("hamming"))
+      .distinct()
+    topKFrom(cand)
+  }
+
+  // RTBF propagation into the audio index — a delete must reach EVERY
+  // derived artifact, and the WAV fingerprints are one (see
+  // q_media_index_forget for the design: affected generations
+  // re-derived from their surviving source slice, deleted payloads
+  // never re-hashed, dynamic partition overwrite).
+  private[graft] def forgetAudioIndex(s: SparkSession, d: String,
+      dir: String, deletePred: org.apache.spark.sql.Column): Unit = {
+    import s.implicits._
+    val media = Tables.documents(s, d).filter($"doc_id" % 2 === 1)
+    val affected = media.filter(deletePred)
+      .select(when(audioDeltaSel, 1).otherwise(0).as("gen"))
+      .distinct().as[Int].collect().toSeq.sorted
+    affected.foreach { g =>
+      val genSel = if (g == 1) audioDeltaSel else !audioDeltaSel
+      val anySurvivor = !media.filter(genSel).filter(!deletePred).isEmpty
+      if (anySurvivor)
+        audioBandRows(audioIndexSlice(s, d, delta = g == 1,
+          keep = !deletePred))
+          .withColumn("gen", lit(g))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen").parquet(dir)
+      else graft.Fs.deleteRecursively(
+        java.nio.file.Paths.get(dir).resolve(s"gen=$g"))
+    }
+  }
+
+  private val audioIndexForget = QueryDef(
+    "q_audio_index_forget",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.streaming.StreamingOps
+        .indexArtifactDir("audio_band_index_forget", d).toString
+      writeAudioIndexBase(s, d, dir)
+      appendAudioIndexDelta(s, d, dir)
+      forgetAudioIndex(s, d, dir,
+        col("doc_id") % ShardOps.ForgetMod === ShardOps.ForgetRes)
+      audioProbeTopK(s, d, indexRead(s, dir)).orderBy($"probe_id", $"rnk")
+    },
+    Some(s"""WITH ${audioSearchCtesWith(
+        s"AND NOT doc_id % ${ShardOps.ForgetMod} = ${ShardOps.ForgetRes}")}
+      SELECT CAST(probe_id AS BIGINT) AS probe_id,
+        CAST(row_number() OVER (PARTITION BY probe_id
+          ORDER BY hamming, neighbor_id) AS BIGINT) AS rnk,
+        CAST(neighbor_id AS BIGINT) AS neighbor_id, hamming
+      FROM vhm QUALIFY rnk <= $TopK ORDER BY probe_id, rnk"""),
+    "RTBF propagation into the audio fingerprint index: affected " +
+      "generations re-derived from the surviving source slice and " +
+      "swapped via dynamic partition overwrite; post-forget search " +
+      "hash-equal to the replay with deleted docs excluded from the " +
+      "searchable side")
 
   private val audioSearchIndexed = QueryDef(
     "q_simsearch_audio_index",
@@ -1556,5 +1637,5 @@ object MultimodalOps extends QueryPack {
       mediaSearchIndexed, mediaSearchStreamIndexed,
       mediaSearchStreamCompacted, mediaIndexForget,
       audioDedup, audioDedupAudit, audioSearch, audioSearchAudit,
-      audioSearchIndexed)
+      audioSearchIndexed, audioIndexForget)
 }

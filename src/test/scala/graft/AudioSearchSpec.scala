@@ -105,7 +105,9 @@ class AudioSearchSpec extends SparkTestBase {
     gen0.foreach { case (p, sig) =>
       assert(after.get(p) === Some(sig), s"base index file rewritten: $p")
     }
-    assert((after.keySet -- gen0.keySet).forall(_.contains("gen=1")))
+    val deltaFiles = after.keySet -- gen0.keySet
+    assert(deltaFiles.nonEmpty && deltaFiles.forall(_.contains("gen=1")),
+      "audio delta generation is empty — the incremental claim is vacuous")
     import org.apache.spark.sql.functions._
     val nIdx = Tables.documents(spark, sf).filter($"doc_id" % 2 === 1)
       .count()
@@ -121,5 +123,44 @@ class AudioSearchSpec extends SparkTestBase {
       }
     assert(scans.exists(_.contains("audio_band_index")),
       "indexed audio search does not scan the persisted index")
+  }
+
+  test("audio index forget: gen-1-only delete leaves gen-0 files " +
+      "byte-identical and deleted ids vanish") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Paths.get("target", "test-audio-index-forget")
+      .toAbsolutePath
+    graft.Fs.deleteRecursively(base)
+    def md5s(): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq(f) else Seq.empty
+      walk(base.toFile).map { f =>
+        f.getAbsolutePath -> java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+    MultimodalOps.writeAudioIndexBase(spark, sf, base.toString)
+    MultimodalOps.appendAudioIndexDelta(spark, sf, base.toString)
+    val before = md5s()
+    // confined to generation 1 (the audio delta slice), a strict subset
+    val pred = MultimodalOps.audioDeltaSel && $"doc_id" % 3 === 0
+    val deleted = Tables.documents(spark, sf)
+      .filter($"doc_id" % 2 === 1).filter(pred)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty, "fixture delete set is empty — vacuous")
+    MultimodalOps.forgetAudioIndex(spark, sf, base.toString, pred)
+    val after = md5s()
+    before.filter(_._1.contains("gen=0")).foreach { case (p, sig) =>
+      assert(after.get(p) === Some(sig),
+        s"gen-0 file rewritten by a gen-1-only delete: $p")
+    }
+    val left = spark.read.parquet(base.toString)
+      .select($"media_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(deleted.forall(!left.contains(_)), "a deleted id survived")
+    assert(left === Tables.documents(spark, sf)
+      .filter($"doc_id" % 2 === 1).filter(!pred)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet)
   }
 }

@@ -391,9 +391,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // gen-1 offset snapshot (≤ NShards rows; a DELIBERATE driver
       // snapshot — cache() was not one, ADVICE r13)
       "operators/ShardOps.scala" -> 3,
-      // media-index forget: the affected-generation set (≤ generation
-      // count by the layout rule — the forgetDocs class)
-      "operators/MultimodalOps.scala" -> 1)
+      // media/audio index forget: each collects the affected-generation
+      // set (≤ generation count by the layout rule — the forgetDocs
+      // class)
+      "operators/MultimodalOps.scala" -> 2)
     val base = java.nio.file.Paths.get("src", "main", "scala", "graft")
     val offenders = java.nio.file.Files.walk(base).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
