@@ -536,13 +536,19 @@ object BenchStress {
       // the q_shard_forget blast-radius decomposition (VERDICT r13 task
       // 1): the declared query's fixture delete set hits EVERY (shard,
       // gen) partition — the bound's worst case. These two pin the
-      // PROPORTIONAL claim: bounded = the two partitions of one shard
-      // (2/16 of the re-pack); noop = zero partitions (the shared
-      // build + manifest fixed cost). Expect
-      // (bounded - noop) ≈ 2/16 × (q_shard_forget - noop).
+      // PROPORTIONAL claim: bounded = BOTH generations of one shard
+      // (2/16 partitions, ~1/8 of the re-packed tokens); noop = zero
+      // partitions (the shared build + manifest fixed cost). Expect
+      // (bounded - noop) ≈ 1/8 × (q_shard_forget - noop).
+      // Residue 4, not 3 (ADVICE r14): gen-1 membership is
+      // doc_id % 10 == 0 (even ids only), so an ODD residue never
+      // intersects gen 1 — the variant would rewrite one gen-0
+      // partition and silently skip the frozen-offset gen-1 path the
+      // forgetDocs snapshot fix exists for. Residue 4 intersects at
+      // ids ≡ 20 (mod 40), so both generations of shard 4 are hit.
       "x_shard_forget_bounded" -> ((s, d) => operators.ShardOps
         .forgetVariant(s, d,
-          col("doc_id") % operators.ShardOps.NShards === 3)),
+          col("doc_id") % operators.ShardOps.NShards === 4)),
       "x_shard_forget_noop" -> ((s, d) => operators.ShardOps
         .forgetVariant(s, d, lit(false))),
       // the reference DAG end-to-end at 10x payload volume (VERDICT r4

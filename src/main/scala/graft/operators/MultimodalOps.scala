@@ -665,9 +665,9 @@ object MultimodalOps extends QueryPack {
   private def indexSlice(s: SparkSession, d: String, delta: Boolean,
       keep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import s.implicits._
-    val sel = if (delta) col("doc_id") % BpeOps.HoldoutMod === 0
-      else col("doc_id") % BpeOps.HoldoutMod =!= 0
-    Tables.documents(s, d).filter($"doc_id" % 2 === 0).filter(sel)
+    val lay = GenerationLayout.MediaIndex
+    Tables.documents(s, d).filter(lay.slice($"doc_id"))
+      .filter(lay.genSlice($"doc_id", delta))
       .filter(keep)
       .select($"doc_id", encode($"text", "UTF-8").as("tb"))
       .as[(Long, Array[Byte])]
@@ -756,15 +756,14 @@ object MultimodalOps extends QueryPack {
   private[graft] def forgetMediaIndex(s: SparkSession, d: String,
       dir: String, deletePred: org.apache.spark.sql.Column): Unit = {
     import s.implicits._
-    val media = Tables.documents(s, d).filter($"doc_id" % 2 === 0)
+    val lay = GenerationLayout.MediaIndex
+    val media = Tables.documents(s, d).filter(lay.slice($"doc_id"))
     // affected generations from the layout rule — no index scan
     val affected = media.filter(deletePred)
-      .select(when($"doc_id" % BpeOps.HoldoutMod === 0, 1).otherwise(0)
-        .as("gen"))
+      .select(lay.genOfInt($"doc_id").as("gen"))
       .distinct().as[Int].collect().toSeq.sorted
     affected.foreach { g =>
-      val genSel = if (g == 1) $"doc_id" % BpeOps.HoldoutMod === 0
-        else $"doc_id" % BpeOps.HoldoutMod =!= 0
+      val genSel = lay.genSlice($"doc_id", delta = g == 1)
       val anySurvivor = !media.filter(genSel).filter(!deletePred).isEmpty
       if (anySurvivor)
         bandRows(indexSlice(s, d, delta = g == 1, keep = !deletePred))
@@ -1419,20 +1418,18 @@ object MultimodalOps extends QueryPack {
   // pattern on the WAV kernels; see that operator's comment for the
   // design: LSM base + delta-only maintain, signatures carried next to
   // band keys, probe-only hashing at search time).
-  /** The audio family's base/delta split. The family HoldoutMod rule
-    * (doc_id % 10 == 0) only ever selects EVEN ids, so on the odd (WAV)
-    * half it is vacuous — the delta generation would be empty and the
-    * "maintain hashes only the delta" claim untested. Rank the odd ids
-    * ((doc_id−1) div 2) and take every HoldoutMod-th: the same 1/10
-    * delta fraction, genuinely populated. */
+  /** The audio family's base/delta split — the property-tested
+    * [[GenerationLayout.AudioIndex]] rule (see its comment for why the
+    * plain HoldoutMod rule is vacuous on the odd-id slice: ea3ed50). */
   private[graft] def audioDeltaSel: org.apache.spark.sql.Column =
-    pmod(expr("(doc_id - 1) div 2"), lit(BpeOps.HoldoutMod.toLong)) === 0
+    GenerationLayout.AudioIndex.isDelta(col("doc_id"))
 
   private def audioIndexSlice(s: SparkSession, d: String, delta: Boolean,
       keep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import s.implicits._
-    val sel = if (delta) audioDeltaSel else !audioDeltaSel
-    Tables.documents(s, d).filter($"doc_id" % 2 === 1).filter(sel)
+    val lay = GenerationLayout.AudioIndex
+    Tables.documents(s, d).filter(lay.slice($"doc_id"))
+      .filter(lay.genSlice($"doc_id", delta))
       .filter(keep)
       .select($"doc_id", encode($"text", "UTF-8").as("tb"))
       .as[(Long, Array[Byte])]
@@ -1468,23 +1465,13 @@ object MultimodalOps extends QueryPack {
     dir.toString
   }
 
+  /** Search over the persisted audio index — composed from the ONE
+    * audio search plan ([[audioProbeTopK]]) and the shared index read,
+    * mirroring [[mediaTopKIndexed]], so the declared search and the
+    * forget-path search can never drift (ADVICE r14). */
   private[graft] def audioTopKIndexed(s: SparkSession, d: String)
-      : DataFrame = {
-    import s.implicits._
-    val dir = audioIndexDir(s, d)
-    val (_, probes) = audioSearchCorpus(s, d)
-    val ibands = s.read.parquet(dir)
-      .select($"media_id".as("neighbor_id"), $"ph".as("phi"),
-        $"band", $"bkey")
-    val cand = ahBands(ahSig(probes))
-      .toDF("probe_id", "php", "band", "bkey")
-      .hint("shuffle_hash")
-      .join(ibands, Seq("band", "bkey"))
-      .select($"probe_id", $"neighbor_id",
-        bit_count($"php".bitwiseXOR($"phi")).cast("long").as("hamming"))
-      .distinct()
-    topKFrom(cand)
-  }
+      : DataFrame =
+    audioProbeTopK(s, d, indexRead(s, audioIndexDir(s, d)))
 
   /** Probe top-k over an arbitrary audio index relation — the audio
     * twin of [[probeTopK]]. */
@@ -1510,12 +1497,13 @@ object MultimodalOps extends QueryPack {
   private[graft] def forgetAudioIndex(s: SparkSession, d: String,
       dir: String, deletePred: org.apache.spark.sql.Column): Unit = {
     import s.implicits._
-    val media = Tables.documents(s, d).filter($"doc_id" % 2 === 1)
+    val lay = GenerationLayout.AudioIndex
+    val media = Tables.documents(s, d).filter(lay.slice($"doc_id"))
     val affected = media.filter(deletePred)
-      .select(when(audioDeltaSel, 1).otherwise(0).as("gen"))
+      .select(lay.genOfInt($"doc_id").as("gen"))
       .distinct().as[Int].collect().toSeq.sorted
     affected.foreach { g =>
-      val genSel = if (g == 1) audioDeltaSel else !audioDeltaSel
+      val genSel = lay.genSlice($"doc_id", delta = g == 1)
       val anySurvivor = !media.filter(genSel).filter(!deletePred).isEmpty
       if (anySurvivor)
         audioBandRows(audioIndexSlice(s, d, delta = g == 1,

@@ -100,7 +100,7 @@ object ShardOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val ids = BpeOps.subwordIdRows(s, d)
-        .withColumn("shard", pmod($"doc_id", lit(NShards.toLong)))
+        .withColumn("shard", GenerationLayout.shardOf($"doc_id"))
       val packed = packRows(s, ids, None)
       val dir = shardDir(d)
       packed.write.mode("overwrite").partitionBy("shard").parquet(dir)
@@ -155,13 +155,13 @@ object ShardOps extends QueryPack {
   private[graft] def appendShardDir(d: String): String =
     graft.streaming.StreamingOps.indexArtifactDir("shard_append", d).toString
 
-  /** One ingest generation's subword-id stream (the HoldoutMod split). */
+  /** One ingest generation's subword-id stream (the shared
+    * [[GenerationLayout.ShardStore]] rule). */
   private def genIds(s: SparkSession, d: String, delta: Boolean): DataFrame = {
     import s.implicits._
-    val in = BpeOps.subwordIdRows(s, d)
-    val sel = if (delta) $"doc_id" % BpeOps.HoldoutMod === 0
-    else $"doc_id" % BpeOps.HoldoutMod =!= 0
-    in.filter(sel).withColumn("shard", pmod($"doc_id", lit(NShards.toLong)))
+    BpeOps.subwordIdRows(s, d)
+      .filter(GenerationLayout.ShardStore.genSlice($"doc_id", delta))
+      .withColumn("shard", GenerationLayout.shardOf($"doc_id"))
   }
 
   /** Base build: pack the base generation from seq 0, overwrite. */
@@ -433,8 +433,8 @@ object ShardOps extends QueryPack {
     import s.implicits._
     val del = graft.Tables.documents(s, d)
       .filter(deletePred)
-      .select(pmod($"doc_id", lit(NShards.toLong)).as("shard"),
-        when($"doc_id" % BpeOps.HoldoutMod === 0, 1).otherwise(0).as("gen"))
+      .select(GenerationLayout.shardOf($"doc_id").as("shard"),
+        GenerationLayout.ShardStore.genOfInt($"doc_id").as("gen"))
       .distinct()
     // bounded collect: ≤ NShards × 2 rows regardless of corpus size
     val affected = del.collect()
@@ -569,9 +569,8 @@ object ShardOps extends QueryPack {
       survPred: Option[org.apache.spark.sql.Column]): DataFrame = {
     import s.implicits._
     val t = BpeOps.subwordIdRows(s, d)
-      .withColumn("shard", pmod($"doc_id", lit(NShards.toLong)))
-      .withColumn("gen",
-        when($"doc_id" % BpeOps.HoldoutMod === 0, 1L).otherwise(0L))
+      .withColumn("shard", GenerationLayout.shardOf($"doc_id"))
+      .withColumn("gen", GenerationLayout.ShardStore.genOf($"doc_id"))
     // gen-1 offsets come from the FULL original base — q_shard_forget
     // deliberately never re-addresses later generations
     val nbRows = t.filter($"gen" === 0L)
@@ -649,9 +648,8 @@ object ShardOps extends QueryPack {
   private[graft] def compactLineage(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = BpeOps.subwordIdRows(s, d)
-      .withColumn("shard", pmod($"doc_id", lit(NShards.toLong)))
-      .withColumn("gen",
-        when($"doc_id" % BpeOps.HoldoutMod === 0, 1L).otherwise(0L))
+      .withColumn("shard", GenerationLayout.shardOf($"doc_id"))
+      .withColumn("gen", GenerationLayout.ShardStore.genOf($"doc_id"))
     val perDoc = t.groupBy($"shard", $"gen", $"doc_id")
       .agg(count(lit(1)).cast("long").as("n_tok"))
     // ONE prefix sum across the unified (gen, doc_id) order per shard

@@ -1617,7 +1617,7 @@ object StreamingOps extends QueryPack {
     val ids = graft.operators.BpeOps
       .subwordIdsOf(spark2, d, kept.select($"doc_id", $"text"))
       .withColumn("shard",
-        pmod($"doc_id", lit(graft.operators.ShardOps.NShards.toLong)))
+        graft.operators.GenerationLayout.shardOf($"doc_id"))
     val offsets = spark2.read.parquet(shardLog)
       .where($"gen" < batchId)
       .groupBy($"shard")
@@ -1834,7 +1834,7 @@ object StreamingOps extends QueryPack {
     val ids = graft.operators.BpeOps
       .subwordIdsOf(spark2, d, kept.select($"doc_id", $"text"))
       .withColumn("shard",
-        pmod($"doc_id", lit(graft.operators.ShardOps.NShards.toLong)))
+        graft.operators.GenerationLayout.shardOf($"doc_id"))
     val offsets = spark2.read.parquet(shardLog)
       .where($"gen" < batchId)
       .groupBy($"shard")
@@ -1980,9 +1980,10 @@ object StreamingOps extends QueryPack {
       val seqLen = graft.operators.ShardOps.SeqLen
       val t = graft.operators.BpeOps.subwordIdRows(s, d)
         .join(kept, Seq("doc_id"), "left_semi")
-        .withColumn("shard", pmod($"doc_id",
-          lit(graft.operators.ShardOps.NShards.toLong)))
-        .withColumn("gen", when($"doc_id" < sp, 0L).otherwise(1L))
+        .withColumn("shard",
+          graft.operators.GenerationLayout.shardOf($"doc_id"))
+        .withColumn("gen",
+          graft.operators.GenerationLayout.streamGenOf($"doc_id", sp))
       val perDoc = t.groupBy($"shard", $"gen", $"doc_id")
         .agg(count(lit(1)).cast("long").as("n_tok"))
       val w = Window.partitionBy($"shard", $"gen").orderBy($"doc_id")

@@ -86,12 +86,20 @@ class SchemaEvolutionSpec extends SparkTestBase {
       if (m == 0) { // int32 pre-lang vintage: both names NULL -> default
         assert(r.isNullAt(1) && r.isNullAt(2))
         assert(r.getAs[String]("lang_eff") === "und")
-      } else if (m == 1) { // renamed vintage: only the OLD name is set
-        assert(!r.isNullAt(1) && r.isNullAt(2))
-        assert(r.getAs[String]("lang_eff") === r.getAs[String]("lang_code"))
-      } else { // current vintage: only the new name
-        assert(r.isNullAt(1) && !r.isNullAt(2))
-        assert(r.getAs[String]("lang_eff") === r.getAs[String]("lang"))
+      } else if (m == 1) {
+        // renamed vintage: the NEW name is never set; the OLD name
+        // carries whatever the source had — possibly NULL (the oracles
+        // are deliberately NULL-lang-defensive, so this assert must be
+        // too: ADVICE r14), in which case the default applies
+        assert(r.isNullAt(2))
+        val expected = Option(r.getAs[String]("lang_code")).getOrElse("und")
+        assert(r.getAs[String]("lang_eff") === expected)
+      } else {
+        // current vintage: the OLD name is never set; same NULL-default
+        // defence on the new name
+        assert(r.isNullAt(1))
+        val expected = Option(r.getAs[String]("lang")).getOrElse("und")
+        assert(r.getAs[String]("lang_eff") === expected)
       }
     }
   }
