@@ -133,21 +133,27 @@ object SearchOps extends QueryPack {
         .as("contrib"))
   }
 
-  /** DuckDB mirror of [[lexContrib]]: CTEs ending in
-    * `scored(doc_id, contrib)`. */
-  private val lexContribSql: String =
-    s"""toks AS ($toksSql),
+  /** DuckDB mirror of [[lexContrib]] over an arbitrary docs relation:
+    * CTEs ending in `scored(doc_id, contrib)`. Parameterized so the
+    * post-forget search replays the SAME scorer over the surviving
+    * corpus (q_search_index_forget). */
+  private def lexContribSqlOver(docsRel: String): String =
+    s"""toks AS (SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), ' +'), x -> x <> '')) AS tok
+      FROM $docsRel),
       tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
         FROM toks
         WHERE tok IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
         GROUP BY 1, 2),
       w AS (SELECT tok, ${milSql("n_docs - df", "n_docs")} AS w_mil
         FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df,
-            (SELECT count(*) FROM documents) AS n_docs
+            (SELECT count(*) FROM $docsRel) AS n_docs
           FROM tf GROUP BY tok)),
       scored AS (SELECT tf.doc_id,
           w.w_mil * ${milSql("tf.tf * 5", "tf.tf * 5 + 6")} AS contrib
         FROM tf JOIN w USING (tok))"""
+
+  private val lexContribSql: String = lexContribSqlOver("documents")
 
   private val searchTerm = QueryDef(
     "q_search_term",
@@ -198,6 +204,175 @@ object SearchOps extends QueryPack {
       ORDER BY n_matches DESC, doc_id LIMIT $SearchTopN"""),
     "Exact phrase search: positional bigram match as a pure map + " +
       "filter; only matching positions shuffle to the per-doc count")
+
+  // --------------------------------------- q_search_index_forget (r15,
+  // VERDICT r14 task 1 — the RTBF matrix's text-retrieval cell). The
+  // media and audio band indexes forget (q_media_index_forget /
+  // q_audio_index_forget); until r15 the POSTING index did not: a doc
+  // deleted from the training shards kept ranking in q_search_term —
+  // "deleting from the shards is not enough; its signatures keep
+  // surfacing it in search" applies to postings verbatim. Same design
+  // as the band-index forgets, instantiated on the lexical relation:
+  //   - the PERSISTED index is the doc-grain posting relation
+  //     (tok, doc_id, tf), generation-aligned by the shared
+  //     [[GenerationLayout.ShardStore]] rule and hive-partitioned on
+  //     gen, so a doc's postings live in exactly ONE generation
+  //     derivable from its id alone (no index scan to find the blast
+  //     radius), plus a per-generation doc-count manifest (the
+  //     search-time N — corpus-size facts belong in a manifest, not a
+  //     full-index distinct);
+  //   - forget re-derives ONLY the affected generations from their
+  //     SURVIVING source slice (filter before tokenize: deleted texts
+  //     are never re-tokenized) and swaps them in with dynamic
+  //     partition overwrite; untouched generations keep their files
+  //     byte-identical (SearchIndexForgetSpec); a generation whose
+  //     every doc was deleted is dropped at the directory level;
+  //   - the declared result is the q_search_term ranked search run
+  //     AGAINST THE INDEX READ (tok pushdown prunes the postings scan
+  //     to the query terms; df from the pruned postings; N from the
+  //     manifest; probes untouched) — hash-equal to the oracle's
+  //     replay of the SAME scorer over the surviving corpus.
+  //
+  // Scale posture: the index build is the q_search_index shuffle at
+  // doc grain (one corpus-sized (tok, doc) exchange); forget is
+  // slice-sized re-tokenization, never corpus-sized; search reads the
+  // posting index with the term filter pushed to parquet (at 100 TB a
+  // tok-bucketed layout also prunes files) and joins a broadcast
+  // query-cardinality weight relation — the corpus is never re-read.
+
+  private[graft] def postingIndexDir(d: String): String =
+    graft.streaming.StreamingOps
+      .indexArtifactDir("posting_index_forget", d).toString
+
+  private[graft] def postingMetaDir(dir: String): String = dir + "_meta"
+
+  /** One generation's doc-grain posting rows (tok, doc_id, tf) —
+    * tokenized ONLY for that slice (filter before the token explode);
+    * `keep` further restricts it (the forget rewrite passes the
+    * survivor predicate). */
+  private def postingRows(s: org.apache.spark.sql.SparkSession, d: String,
+      delta: Boolean, keep: Column = lit(true)): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(GenerationLayout.ShardStore.genSlice($"doc_id", delta))
+      .filter(keep)
+      .select($"doc_id",
+        explode(array_remove(split(lower($"text"), " +"), "")).as("tok"))
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).cast("long").as("tf"))
+  }
+
+  /** The generation's doc-count manifest row — always exactly one row
+    * (an agg over zero docs still yields count 0), so the manifest has
+    * no empty-partition edge case. */
+  private def metaRows(s: org.apache.spark.sql.SparkSession, d: String,
+      delta: Boolean, keep: Column = lit(true)): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(GenerationLayout.ShardStore.genSlice($"doc_id", delta))
+      .filter(keep)
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("gen", lit(if (delta) 1 else 0))
+  }
+
+  private[graft] def writePostingBase(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String): Unit = {
+    postingRows(s, d, delta = false).withColumn("gen", lit(0))
+      .write.mode("overwrite").partitionBy("gen").parquet(dir)
+    metaRows(s, d, delta = false)
+      .write.mode("overwrite").partitionBy("gen")
+      .parquet(postingMetaDir(dir))
+  }
+
+  /** Incremental maintain: ONLY the delta slice is tokenized; lands as
+    * new gen=1 files, base generation byte-untouched. */
+  private[graft] def appendPostingDelta(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String): Unit = {
+    postingRows(s, d, delta = true).withColumn("gen", lit(1))
+      .write.mode("append").partitionBy("gen").parquet(dir)
+    metaRows(s, d, delta = true)
+      .write.mode("append").partitionBy("gen").parquet(postingMetaDir(dir))
+  }
+
+  /** RTBF propagation into the posting index: affected generations (by
+    * the layout rule — no index scan) re-derived from their surviving
+    * source slice and swapped via dynamic partition overwrite; the
+    * manifest is rewritten under the same discipline. */
+  private[graft] def forgetPostingIndex(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String, deletePred: Column): Unit = {
+    import s.implicits._
+    val lay = GenerationLayout.ShardStore
+    val docs = Tables.documents(s, d)
+    // bounded collect: ≤ 2 generation keys regardless of corpus size
+    val affected = docs.filter(deletePred)
+      .select(lay.genOfInt($"doc_id").as("gen"))
+      .distinct().as[Int].collect().toSeq.sorted
+    affected.foreach { g =>
+      val anySurvivor = !docs.filter(lay.genSlice($"doc_id", delta = g == 1))
+        .filter(!deletePred).isEmpty
+      if (anySurvivor)
+        postingRows(s, d, delta = g == 1, keep = !deletePred)
+          .withColumn("gen", lit(g))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen").parquet(dir)
+      else graft.Fs.deleteRecursively(
+        java.nio.file.Paths.get(dir).resolve(s"gen=$g"))
+      // the manifest row always rewrites (count 0 is a valid fact)
+      metaRows(s, d, delta = g == 1, keep = !deletePred)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen").parquet(postingMetaDir(dir))
+    }
+  }
+
+  /** The q_search_term ranked search AGAINST a posting-index read: the
+    * term filter prunes the postings scan (parquet pushdown on tok);
+    * df comes from the pruned postings, N from the manifest; weights
+    * are query-cardinality-sized and broadcast. The source corpus is
+    * never touched. */
+  private[graft] def searchOverIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val tf = s.read.parquet(dir)
+      .filter($"tok".isin(SearchTerms: _*))
+      .select($"tok", $"doc_id", $"tf")
+    val n = s.read.parquet(postingMetaDir(dir))
+      .agg(sum($"n_docs").cast("long").as("n_docs"))
+    val weights = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select($"tok", mil($"n_docs" - $"df", $"n_docs").as("w_mil"))
+    tf.join(broadcast(weights), "tok")
+      .select($"doc_id", ($"w_mil" * mil($"tf" * 5L, $"tf" * 5L + 6L))
+        .as("contrib"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"contrib").as("score"))
+      .select($"doc_id", $"n_terms", $"score".cast("long").as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(SearchTopN)
+  }
+
+  private val searchIndexForget = QueryDef(
+    "q_search_index_forget",
+    (s, d) => {
+      val dir = postingIndexDir(d)
+      writePostingBase(s, d, dir)
+      appendPostingDelta(s, d, dir)
+      forgetPostingIndex(s, d, dir,
+        col("doc_id") % ShardOps.ForgetMod === ShardOps.ForgetRes)
+      searchOverIndex(s, dir)
+    },
+    Some(s"""WITH ${lexContribSqlOver(s"""(SELECT * FROM documents
+        WHERE NOT doc_id % ${ShardOps.ForgetMod} = ${ShardOps.ForgetRes})""")}
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(contrib) AS BIGINT) AS score
+      FROM scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT $SearchTopN"""),
+    "RTBF propagation into the posting index: affected generations " +
+      "re-derived from the surviving source slice (deleted texts never " +
+      "re-tokenized) and swapped via dynamic partition overwrite, " +
+      "doc-count manifest rewritten alongside; post-forget ranked " +
+      "search over the index read hash-equal to the scorer's replay " +
+      "over the surviving corpus")
 
   // ------------------------------------------- q_search_hybrid_rrf
   // Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
@@ -277,5 +452,6 @@ object SearchOps extends QueryPack {
       "head and the exact-decimal dense cosine head, in integer millionths")
 
   override def defs: Seq[QueryDef] =
-    Seq(searchIndex, searchTerm, searchPhrase, searchHybrid)
+    Seq(searchIndex, searchTerm, searchPhrase, searchHybrid,
+      searchIndexForget)
 }
