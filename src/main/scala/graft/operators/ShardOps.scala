@@ -756,7 +756,106 @@ object ShardOps extends QueryPack {
       "append-time values; spec cross-checks token-by-token against the " +
       "real post-delete store")
 
+  // ------------------------------ q_shard_asof (r15, VERDICT r14 #6)
+  // Store time travel — the compliance complement of lineage: lineage
+  // answers "where is doc X", as-of answers "what WAS the training set
+  // when model M trained", and it matters precisely because the
+  // lifecycle DESTROYS old views (append extends, forget rewrites in
+  // place). The store needs no retained snapshots to answer it: the
+  // layout is a pure function of the layout rule at every lifecycle
+  // event, so the as-of manifest — every (shard, gen, seq_idx, n_ids)
+  // row the store held at event N — derives from per-(shard, gen)
+  // token counts alone. Three events over the append-store lifecycle:
+  //   0  base written            gen-0 counts, packed from seq 0
+  //   1  delta appended          + gen-1 counts at the frozen base
+  //                              row boundary (generation alignment)
+  //   2  fixture-rule forgotten  survivor counts per generation,
+  //                              gen-1 offsets STILL at the original
+  //                              (pre-delete) base boundary — the
+  //                              q_shard_forget frozen-offset rule; a
+  //                              fully-emptied (shard, gen) has no rows
+  // Zero store scans, zero retained copies: the heavy input is the
+  // doc-grain token-count aggregate (one corpus-sized shuffle), and
+  // each event's rows are a per-(shard, gen) integer-division fan-out.
+  // ShardAsOfSpec builds the REAL store through the same lifecycle and
+  // cross-checks the manifest row-for-row at every event.
+  private[graft] def asOfManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = BpeOps.subwordIdRows(s, d)
+      .withColumn("shard", GenerationLayout.shardOf($"doc_id"))
+      .withColumn("gen", GenerationLayout.ShardStore.genOf($"doc_id"))
+    // both count relations are NShards×2-row aggregates — checkpointed
+    // so the three event branches don't re-run the corpus shuffle
+    val fullc = t.groupBy($"shard", $"gen")
+      .agg(count(lit(1)).cast("long").as("n")).localCheckpoint()
+    val survc = t.filter($"doc_id" % ForgetMod =!= ForgetRes)
+      .groupBy($"shard", $"gen")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val nb = fullc.filter($"gen" === 0L)
+      .select($"shard", expr(s"(n + ${SeqLen - 1}) div $SeqLen").as("nbseq"))
+    def rowsOf(counts: DataFrame, event: Long): DataFrame =
+      counts.join(broadcast(nb), Seq("shard"), "left")
+        .select(lit(event).as("asof_event"), $"shard", $"gen",
+          when($"gen" === 1L, coalesce($"nbseq", lit(0L)))
+            .otherwise(0L).as("off"),
+          $"n")
+    rowsOf(fullc.filter($"gen" === 0L), 0L)
+      .unionAll(rowsOf(fullc, 1L))
+      .unionAll(rowsOf(survc, 2L))
+      .withColumn("nrows", expr(s"(n + ${SeqLen - 1}) div $SeqLen"))
+      .select($"asof_event", $"shard", $"gen", $"off", $"n", $"nrows",
+        explode(sequence(lit(0L), $"nrows" - 1L)).as("i"))
+      .select($"asof_event", $"shard", $"gen",
+        ($"off" + $"i").as("seq_idx"),
+        when($"i" === $"nrows" - 1L, $"n" - $"i" * SeqLen)
+          .otherwise(SeqLen.toLong).as("n_ids"))
+  }
+
+  private val shardAsOf = QueryDef(
+    "q_shard_asof",
+    (s, d) => {
+      import s.implicits._
+      asOfManifest(s, d)
+        .orderBy($"asof_event", $"shard", $"gen", $"seq_idx")
+    },
+    Some(s"""WITH ${BpeOps.subwordIdCtes},
+      t AS (SELECT doc_id, tid, doc_id % $NShards AS shard,
+          CASE WHEN doc_id % ${BpeOps.HoldoutMod} = 0 THEN 1 ELSE 0 END AS gen
+        FROM ids),
+      fullc AS (SELECT shard, gen, CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY 1, 2),
+      survc AS (SELECT shard, gen, CAST(count(*) AS BIGINT) AS n
+        FROM t WHERE NOT doc_id % $ForgetMod = $ForgetRes GROUP BY 1, 2),
+      nb AS (SELECT shard, (n + ${SeqLen - 1}) // $SeqLen AS nbseq
+        FROM fullc WHERE gen = 0),
+      ev AS (
+        SELECT 0 AS asof_event, shard, gen, 0 AS off, n
+        FROM fullc WHERE gen = 0
+        UNION ALL
+        SELECT 1, f.shard, f.gen,
+          CASE WHEN f.gen = 1 THEN COALESCE(b.nbseq, 0) ELSE 0 END, f.n
+        FROM fullc f LEFT JOIN nb b ON f.gen = 1 AND f.shard = b.shard
+        UNION ALL
+        SELECT 2, f.shard, f.gen,
+          CASE WHEN f.gen = 1 THEN COALESCE(b.nbseq, 0) ELSE 0 END, f.n
+        FROM survc f LEFT JOIN nb b ON f.gen = 1 AND f.shard = b.shard),
+      rws AS (SELECT asof_event, shard, gen, off, n,
+          unnest(range(0, (n + ${SeqLen - 1}) // $SeqLen)) AS i
+        FROM ev)
+      SELECT CAST(asof_event AS BIGINT) AS asof_event,
+        CAST(shard AS BIGINT) AS shard, CAST(gen AS BIGINT) AS gen,
+        CAST(off + i AS BIGINT) AS seq_idx,
+        CAST(CASE WHEN i = (n + ${SeqLen - 1}) // $SeqLen - 1
+          THEN n - i * $SeqLen ELSE $SeqLen END AS BIGINT) AS n_ids
+      FROM rws ORDER BY asof_event, shard, gen, seq_idx"""),
+    "Shard-store time travel: the (shard, gen, seq_idx, n_ids) manifest " +
+      "at each lifecycle event (base written / delta appended / " +
+      "fixture-rule forgotten) derived from the layout rule alone — no " +
+      "store scan, no retained snapshot; gen-1 offsets frozen at the " +
+      "original base boundary; spec cross-checks the real store at " +
+      "every event")
+
   override def defs: Seq[QueryDef] =
     Seq(shardWrite, shardAppend, shardCompact, shardForget, shardLineage,
-      shardLineageCompact, shardLineageForget)
+      shardLineageCompact, shardLineageForget, shardAsOf)
 }
