@@ -85,6 +85,16 @@ object BenchStress {
     "q_media_index_forget",
     // round-14: the audio twin of the index-forget compliance path
     "q_audio_index_forget",
+    // round-15: RTBF into the posting index — 2x corpus-sized posting
+    // build + affected-generation re-tokenize + the manifest-backed
+    // search; stressed to prove the forget stays slice-sized and the
+    // search stays term-pruned at 10x
+    "q_search_index_forget",
+    // round-15: RTBF over the STREAM-built store — pristine store built
+    // once at warm-up (corpus-stamped memo), timed passes pay
+    // copy + blast-radius re-pack + read-back; the x_streamstore_forget
+    // variants decompose the proportional-cost claim
+    "q_stream_pipeline_forget",
     // round-13: perceptual media near-dup — dHash map + band buckets
     // grow xREP; stressed to prove candidates stay banded (no all-pairs)
     "q_dedup_media",
@@ -282,6 +292,10 @@ object BenchStress {
     // same lineage cost class over the streamed store: gate filters
     // (stressed inside q_stream_pipeline) + one prefix-sum window
     "q_stream_pipeline_lineage",
+    // as-of manifests: the lineage cost class (per-(shard, gen) token
+    // counts + an integer-division fan-out) — strictly less work than
+    // q_shard_lineage's per-doc window; no store scan by construction
+    "q_shard_asof",
     // linear scans / projections / filters / per-row scalar maps
     "q_scan_parquet", "q_project_cast", "q_filter_between", "q_filter_pred",
     "q_round_format", "q_scalar_string", "q_scalar_string2",
@@ -551,6 +565,17 @@ object BenchStress {
           col("doc_id") % operators.ShardOps.NShards === 4)),
       "x_shard_forget_noop" -> ((s, d) => operators.ShardOps
         .forgetVariant(s, d, lit(false))),
+      // the q_stream_pipeline_forget blast-radius decomposition, same
+      // methodology: bounded = a partial delete inside one shard, both
+      // generations touched (ids ≡ 4 mod 16 — an even-intersecting
+      // residue, the r14 parity lesson); noop = zero partitions (the
+      // shared copy + kept-set + manifest fixed cost). Expect
+      // (bounded − noop) ≈ 1/8 × (q_stream_pipeline_forget − noop).
+      "x_streamstore_forget_bounded" -> ((s, d) => streaming.StreamingOps
+        .forgetStreamVariant(s, d, "stream_pipe_store_xb",
+          col("doc_id") % (2L * operators.ShardOps.NShards) === 4)),
+      "x_streamstore_forget_noop" -> ((s, d) => streaming.StreamingOps
+        .forgetStreamVariant(s, d, "stream_pipe_store_xn", lit(false))),
       // the reference DAG end-to-end at 10x payload volume (VERDICT r4
       // task 4): 3000-file landing zone → PayloadJsonSource micro-batches
       // (admission-capped at 256 files/trigger, so the stream takes ~12

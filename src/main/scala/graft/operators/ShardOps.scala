@@ -422,6 +422,61 @@ object ShardOps extends QueryPack {
   private[graft] def forgetShardDir(d: String): String =
     graft.streaming.StreamingOps.indexArtifactDir("shard_forget", d).toString
 
+  /** The ONE forget-rewrite engine for generation-aligned packed
+    * stores, shared by the batch store ([[forgetDocs]]) and the
+    * stream-built store (StreamingOps.forgetStreamStore) — the r14
+    * verdict's point that duplicated layout plumbing breeds the
+    * vacuous-split bug class applies to the rewrite loop too.
+    *
+    * `affected` is the (shard, gen) partition set the delete touches
+    * (derived by the caller from its layout rule — bounded, never a
+    * store scan); `survivingIds(gen, shards)` returns that
+    * generation's surviving token stream restricted to the affected
+    * shards, as a (doc_id, pos, subpos, tid, shard) relation. Each
+    * affected generation is re-packed and swapped in with DYNAMIC
+    * partition overwrite; generations rewrite in ascending order with
+    * seq offsets FROZEN at their original pre-delete values
+    * (snapshotted DRIVER-SIDE before any rewrite — cache() is NOT a
+    * snapshot: block eviction would recompute from the already-shrunk
+    * store and mis-address later generations); a partition whose every
+    * doc was deleted is dropped at the directory level (dynamic
+    * overwrite leaves zero-row partitions' stale files behind). */
+  private[graft] def forgetRewrite(s: SparkSession, dir: String,
+      affected: Seq[(Long, Long)],
+      survivingIds: (Long, Seq[Long]) => DataFrame): Unit = {
+    import s.implicits._
+    if (affected.isEmpty) return
+    // pre-delete (shard, gen) → max seq_idx snapshot; bounded:
+    // NShards × generations rows
+    val maxSeq = s.read.parquet(dir)
+      .groupBy($"shard".cast("long").as("shard"),
+        $"gen".cast("long").as("gen"))
+      .agg(max($"seq_idx").as("mx"))
+      .as[(Long, Long, Long)].collect().toSeq
+    affected.map(_._2).distinct.sorted.foreach { g =>
+      val shards = affected.collect { case (sh, gg) if gg == g => sh }
+      // this generation's original start = 1 + max seq of EARLIER
+      // generations (per shard), from the pre-delete snapshot
+      val startSeq = if (g == 0L) None else {
+        val rows = maxSeq.filter(_._2 < g).groupBy(_._1)
+          .map { case (sh, rs) => (sh, rs.map(_._3).max + 1L) }.toSeq
+        Some(s.createDataset(rows).toDF("shard", "seq0"))
+      }
+      val packed = packRows(s, survivingIds(g, shards), startSeq)
+        .withColumn("gen", lit(g))
+      packed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard", "gen").parquet(dir)
+      // bounded collect: ≤ NShards distinct shard keys
+      val survivors = packed.select($"shard").distinct()
+        .as[Long].collect().toSet
+      shards.filterNot(survivors).foreach { sh =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir)
+          .resolve(s"shard=$sh").resolve(s"gen=$g"))
+      }
+    }
+  }
+
   /** Delete every doc matching `deletePred` (default: the declared
     * fixture rule doc_id % [[ForgetMod]] == [[ForgetRes]]) from the
     * two-generation store at `dir`, rewriting only the affected
@@ -431,50 +486,18 @@ object ShardOps extends QueryPack {
       deletePred: org.apache.spark.sql.Column =
         col("doc_id") % ForgetMod === ForgetRes): Unit = {
     import s.implicits._
-    val del = graft.Tables.documents(s, d)
+    // bounded collect: ≤ NShards × 2 rows regardless of corpus size —
+    // the blast radius comes from the layout rule, never a store scan
+    val affected = graft.Tables.documents(s, d)
       .filter(deletePred)
       .select(GenerationLayout.shardOf($"doc_id").as("shard"),
-        GenerationLayout.ShardStore.genOfInt($"doc_id").as("gen"))
+        GenerationLayout.ShardStore.genOf($"doc_id").as("gen"))
       .distinct()
-    // bounded collect: ≤ NShards × 2 rows regardless of corpus size
-    val affected = del.collect()
-      .map(r => (r.getAs[Long]("shard"), r.getAs[Int]("gen")))
-    val aff0 = affected.collect { case (sh, 0) => sh }.toSeq
-    val aff1 = affected.collect { case (sh, 1) => sh }.toSeq
-    // original append-time gen-1 offsets — snapshotted to the DRIVER
-    // before any rewrite (bounded: ≤ NShards rows). cache() is NOT a
-    // snapshot: block eviction would recompute the plan from the parquet
-    // dir AFTER the gen-0 dynamic overwrite shrank it, silently
-    // mis-addressing the rewritten gen-1 rows (overlapping seq_idx).
-    val offsetRows = s.read.parquet(dir).filter($"gen" === 0)
-      .groupBy($"shard".cast("long").as("shard"))
-      .agg((max($"seq_idx") + 1L).as("seq0"))
       .as[(Long, Long)].collect().toSeq
-    val offsets = s.createDataset(offsetRows).toDF("shard", "seq0")
-    def surviving(delta: Boolean, shards: Seq[Long]): DataFrame =
-      genIds(s, d, delta)
+    forgetRewrite(s, dir, affected, (g, shards) =>
+      genIds(s, d, delta = g == 1L)
         .filter($"shard".isin(shards: _*))
-        .filter(!deletePred)
-    def rewrite(gen: Int, shards: Seq[Long],
-        startSeq: Option[DataFrame]): Unit = {
-      if (shards.isEmpty) return
-      val packed = packRows(s, surviving(gen == 1, shards), startSeq)
-        .withColumn("gen", lit(gen))
-      packed.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard", "gen").parquet(dir)
-      // a partition whose EVERY doc was deleted writes zero rows, so
-      // dynamic overwrite leaves its stale files — drop them explicitly
-      // (bounded collect: ≤ NShards distinct shard keys)
-      val survivors = packed.select($"shard").distinct()
-        .as[Long].collect().toSet
-      shards.filterNot(survivors).foreach { sh =>
-        graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir)
-          .resolve(s"shard=$sh").resolve(s"gen=$gen"))
-      }
-    }
-    rewrite(0, aff0, None)
-    rewrite(1, aff1, Some(offsets))
+        .filter(!deletePred))
   }
 
   /** Stress-only blast-radius variant (BenchStress `x_shard_forget_*`):

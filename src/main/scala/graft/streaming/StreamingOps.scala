@@ -1569,7 +1569,7 @@ object StreamingOps extends QueryPack {
     StructField("n_ids", LongType), StructField("ids_str", StringType),
     StructField("n_docs", LongType), StructField("first_doc", LongType),
     StructField("last_doc", LongType), StructField("gen", LongType)))
-  private val pipeAcceptSchema = StructType(Seq(
+  private[graft] val pipeAcceptSchema = StructType(Seq(
     StructField("h", StringType), StructField("gen", LongType)))
 
   /** Reset both pipeline logs to schema-bearing empty parquet dirs (so
@@ -1592,7 +1592,21 @@ object StreamingOps extends QueryPack {
     * identical inputs and appends identical rows — the delta-log
     * exactly-once rule (read-back collapses duplicates). */
   private[graft] def pipelineBatch(batch: Dataset[Row], batchId: Long,
-      d: String, shardLog: String, acceptLog: String): Unit = {
+      d: String, shardLog: String, acceptLog: String): Unit =
+    pipelineBatchImpl(batch, batchId, d, shardLog, acceptLog,
+      partitioned = false)
+
+  /** The shared micro-batch body. `partitioned = true` lands the packed
+    * rows HIVE-PARTITIONED by (shard, gen) — the layout that makes the
+    * stream-built store forgettable at partition grain
+    * (q_stream_pipeline_forget); the flat variant is the original
+    * q_stream_pipeline log. Same replay contract either way: every
+    * cross-batch read filters gen < batchId (on the partitioned store
+    * that filter is partition-PRUNED), so a replayed at-least-once
+    * batch recomputes from identical inputs and appends identical rows. */
+  private[graft] def pipelineBatchImpl(batch: Dataset[Row], batchId: Long,
+      d: String, shardLog: String, acceptLog: String,
+      partitioned: Boolean): Unit = {
     val spark2 = batch.sparkSession
     import spark2.implicits._
     val b = batch.localCheckpoint()
@@ -1618,13 +1632,43 @@ object StreamingOps extends QueryPack {
       .subwordIdsOf(spark2, d, kept.select($"doc_id", $"text"))
       .withColumn("shard",
         graft.operators.GenerationLayout.shardOf($"doc_id"))
-    val offsets = spark2.read.parquet(shardLog)
-      .where($"gen" < batchId)
-      .groupBy($"shard")
-      .agg((max($"seq_idx") + 1L).as("seq0"))
-    graft.operators.ShardOps.packRows(spark2, ids, Some(offsets))
+    val offsets =
+      if (partitioned) partitionedStoreOffsets(spark2, shardLog, batchId)
+      else Some(spark2.read.parquet(shardLog)
+        .where($"gen" < batchId)
+        .groupBy($"shard")
+        .agg((max($"seq_idx") + 1L).as("seq0")))
+    val packed = graft.operators.ShardOps.packRows(spark2, ids, offsets)
       .withColumn("gen", lit(batchId))
-      .write.mode("append").parquet(shardLog)
+    if (partitioned)
+      packed.write.mode("append").partitionBy("shard", "gen")
+        .parquet(shardLog)
+    else packed.write.mode("append").parquet(shardLog)
+  }
+
+  /** Next-free-seq offsets over the PARTITIONED store. Before the first
+    * batch the store directory has no partitions at all (a partitioned
+    * store cannot carry a schema-bearing empty file the way the flat
+    * log does — mixed depths break partition discovery), so absence is
+    * the batch-0 signal: None = pack from seq 0, which is also what a
+    * replayed batch 0 computes (gen < 0 matches nothing). */
+  private def partitionedStoreOffsets(s: SparkSession, dir: String,
+      batchId: Long): Option[DataFrame] = {
+    import s.implicits._
+    val root = java.nio.file.Paths.get(dir)
+    val hasParts = java.nio.file.Files.isDirectory(root) && {
+      val l = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala
+          .exists(_.getFileName.toString.startsWith("shard="))
+      } finally l.close()
+    }
+    if (!hasParts) None
+    else Some(s.read.parquet(dir)
+      .where($"gen" < batchId) // partition-pruned
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg((max($"seq_idx") + 1L).as("seq0")))
   }
 
   // The grand composition the LLM-pipeline tiers exist for (VERDICT r12
@@ -1729,6 +1773,220 @@ object StreamingOps extends QueryPack {
       "exact-dedup ingest gate -> frozen-tokenizer encode -> " +
       "generation-aligned shard append; all cross-batch state in file " +
       "logs (exactly-once under replay), full DuckDB hash oracle")
+
+  // ---------- forget over the STREAM-built store (r15, VERDICT r14 #2)
+  // Completes the RTBF matrix: the batch store forgets
+  // (ShardOps.forgetDocs), the media/audio/posting indexes forget — but
+  // the store the STREAMING pipeline builds only had lineage. Same
+  // design, stream-specific layout: the store is the q_stream_pipeline
+  // composition landed HIVE-PARTITIONED by (shard, gen = admitting
+  // micro-batch), so a doc's tokens live in exactly ONE partition
+  // derivable from the admission split + the layout rule; forget
+  // re-packs only the affected partitions from the surviving ADMITTED
+  // token stream via the shared ShardOps.forgetRewrite engine, with
+  // every generation's seq offsets frozen at their append-time values
+  // (the q_shard_forget rule — re-addressing would rewrite every later
+  // batch's partitions). Gate decisions are HISTORICAL FACTS: the
+  // quality/dedup verdicts were made at ingest against the then-current
+  // corpus and are not recomputed — forget removes the named docs'
+  // content, nothing is re-admitted (same contract as forgetDocs,
+  // stated here because the dedup gate makes it observable: a duplicate
+  // shed at ingest stays shed even if its keeper is later forgotten).
+  //
+  // The declared query works on a FILE COPY of a memoized pristine
+  // store (one stream run per corpus per JVM; the copy keeps the
+  // pristine store reusable and makes the forget's blast radius
+  // byte-auditable), and its read-back is hash-checked against the
+  // oracle's one-pass rebuild: gates + admission split + survivor
+  // filter + frozen-offset pack, all in SQL.
+
+  private val pipeStoreMemo = new graft.Memo.Bounded[
+    (String, String, String), String](cap = 4, onEvict = _ => ())
+
+  /** The pristine PARTITIONED stream-built store (built once per
+    * (application, corpus, fixture-stamp)): the q_stream_pipeline
+    * gates and pack, landed by (shard, gen) for partition-grain RTBF. */
+  private[graft] def streamPipelineStore(s: SparkSession, d: String)
+      : String =
+    pipeStoreMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+      graft.FixtureStamp.stamp("v1", d, "documents"))) {
+      val dir = streamPipeDir(s, d)
+      val storePath = indexArtifactDir("stream_pipe_store", d)
+      val acceptPath = indexArtifactDir("stream_pipe_store_accept", d)
+      graft.Fs.deleteRecursively(storePath)
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(acceptPath.toString))
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], pipeAcceptSchema)
+        .coalesce(1).write.mode("overwrite").parquet(acceptPath.toString)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val (n, raw) = graft.operators.TextOps.modelRawScore(col("text"))
+      withStreamPartitions(s, 8) { ss =>
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .parquet(dir)
+          .select(col("doc_id"), col("text"),
+            n.as("n_grams"), raw.as("raw"))
+          .filter(graft.operators.TextOps
+            .modelScore(col("n_grams"), col("raw")) >=
+            lit(0).cast("decimal(38,6)"))
+          .select(col("doc_id"), col("text"))
+          .writeStream
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            pipelineBatchImpl(batch, batchId, d, storePath.toString,
+              acceptPath.toString, partitioned = true)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      storePath.toString
+    }
+
+  /** The corpus midpoint the pinned landing zone splits admission at. */
+  private[graft] def pipeMidpoint(s: SparkSession, d: String): Long = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .agg(((max($"doc_id") + 1L) / 2L).cast("long")).head().getLong(0)
+  }
+
+  /** The pipeline's admitted doc set — quality gate + global first-wins
+    * exact dedup (per-batch first-wins composes to the global rule
+    * under doc_id-ordered admission). Shared by the lineage query and
+    * the forget blast-radius derivation. */
+  private[graft] def pipelineKeptDocs(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val (n, raw) = graft.operators.TextOps.modelRawScore($"text")
+    graft.Tables.documents(s, d).select($"doc_id", $"text")
+      .select($"doc_id", $"text", n.as("n_grams"), raw.as("raw"))
+      .filter(graft.operators.TextOps.modelScore($"n_grams", $"raw") >=
+        lit(0).cast("decimal(38,6)"))
+      .select($"doc_id", $"text",
+        md5(graft.operators.DedupOps.normText).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"h").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+      .select($"doc_id")
+  }
+
+  /** RTBF over the stream-built store at `dir`: blast radius from the
+    * admission layout (deleted ∩ admitted → (shard, gen) pairs, bounded
+    * collect), rewrite via the shared frozen-offset engine over the
+    * surviving admitted token stream. */
+  private[graft] def forgetStreamStore(s: SparkSession, d: String,
+      dir: String, deletePred: org.apache.spark.sql.Column): Unit = {
+    import s.implicits._
+    val sp = pipeMidpoint(s, d)
+    val kept = pipelineKeptDocs(s, d).localCheckpoint()
+    val affected = kept.filter(deletePred)
+      .select(graft.operators.GenerationLayout.shardOf($"doc_id")
+        .as("shard"),
+        graft.operators.GenerationLayout.streamGenOf($"doc_id", sp)
+          .as("gen"))
+      .distinct()
+      .as[(Long, Long)].collect().toSeq
+    graft.operators.ShardOps.forgetRewrite(s, dir, affected,
+      (g, shards) => {
+        val docs = graft.Tables.documents(s, d).select($"doc_id", $"text")
+          .filter(graft.operators.GenerationLayout
+            .streamGenOf($"doc_id", sp) === g)
+          .filter(!deletePred)
+          .join(kept, Seq("doc_id"), "left_semi")
+          .filter(graft.operators.GenerationLayout.shardOf($"doc_id")
+            .isin(shards: _*))
+        graft.operators.BpeOps.subwordIdsOf(s, d, docs)
+          .withColumn("shard",
+            graft.operators.GenerationLayout.shardOf($"doc_id"))
+      })
+  }
+
+  /** Build-copy-forget on a caller-chosen delete set (the declared
+    * query and the BenchStress blast-radius variants share it). */
+  private[graft] def forgetStreamVariant(s: SparkSession, d: String,
+      kind: String, pred: org.apache.spark.sql.Column): DataFrame = {
+    import s.implicits._
+    val pristine = streamPipelineStore(s, d)
+    val dir = indexArtifactDir(kind, d)
+    graft.Fs.deleteRecursively(dir)
+    graft.Fs.copyRecursively(java.nio.file.Paths.get(pristine), dir)
+    forgetStreamStore(s, d, dir.toString, pred)
+    s.read.parquet(dir.toString)
+      // replay-duplicate collapse — the family's at-least-once read rule
+      .groupBy($"shard".cast("long").as("shard"),
+        $"gen".cast("long").as("gen"), $"seq_idx")
+      .agg(max($"n_ids").as("n_ids"), max($"n_docs").as("n_docs"),
+        max($"first_doc").as("first_doc"), max($"last_doc").as("last_doc"),
+        max($"ids_str").as("ids_str"))
+  }
+
+  private val streamPipelineForget = QueryDef(
+    "q_stream_pipeline_forget",
+    (s, d) => {
+      import s.implicits._
+      forgetStreamVariant(s, d, "stream_pipe_store_forget",
+        col("doc_id") % graft.operators.ShardOps.ForgetMod ===
+          graft.operators.ShardOps.ForgetRes)
+        .select($"shard", $"gen", $"seq_idx", $"n_ids", $"n_docs",
+          $"first_doc", $"last_doc", $"ids_str")
+        .orderBy($"shard", $"gen", $"seq_idx")
+    },
+    Some({
+      val fm = graft.operators.ShardOps.ForgetMod
+      val fr = graft.operators.ShardOps.ForgetRes
+      val nsh = graft.operators.ShardOps.NShards
+      val sl = graft.operators.ShardOps.SeqLen
+      s"""WITH ${graft.operators.BpeOps.subwordIdCtes},
+      pnorm AS (SELECT doc_id, text,
+          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        FROM documents),
+      pg AS (SELECT doc_id, t,
+          ${graft.operators.TextOps.modelSqlGrams("text")} AS grams
+        FROM pnorm),
+      psc AS (SELECT doc_id, t, CAST(len(grams) AS BIGINT) AS n_grams,
+          ${graft.operators.TextOps.modelSqlRaw("grams")} AS raw
+        FROM pg),
+      pq AS (SELECT doc_id, t FROM psc
+        WHERE ${graft.operators.TextOps.modelSqlScore("n_grams", "raw")} >= 0),
+      pkept AS (SELECT doc_id FROM (
+          SELECT doc_id,
+            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+          FROM pq) WHERE rn = 1),
+      kids AS (SELECT i.doc_id, i.pos, i.subpos, i.tid,
+          i.doc_id % $nsh AS shard,
+          CASE WHEN i.doc_id <
+              (SELECT (max(doc_id) + 1) // 2 FROM documents)
+            THEN 0 ELSE 1 END AS gen
+        FROM ids i JOIN pkept k USING (doc_id)),
+      pbase AS (SELECT shard, count(*) AS nb FROM kids WHERE gen = 0
+        GROUP BY 1),
+      surv AS (SELECT * FROM kids WHERE NOT doc_id % $fm = $fr),
+      pord AS (SELECT shard, gen, doc_id, tid,
+          row_number() OVER (PARTITION BY shard, gen
+            ORDER BY doc_id, pos, subpos) - 1 AS tok
+        FROM surv),
+      psq AS (SELECT o.shard, o.gen, o.doc_id, o.tid, o.tok,
+          CASE WHEN o.gen = 0 THEN o.tok // $sl
+               ELSE COALESCE(b.nbseq, 0) + o.tok // $sl END AS seq_idx
+        FROM pord o LEFT JOIN (SELECT shard,
+            (nb + ${sl - 1}) // $sl AS nbseq FROM pbase) b
+          ON o.gen = 1 AND o.shard = b.shard)
+      SELECT CAST(shard AS BIGINT) AS shard, CAST(gen AS BIGINT) AS gen,
+        CAST(seq_idx AS BIGINT) AS seq_idx,
+        CAST(count(*) AS BIGINT) AS n_ids,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        array_to_string(list(CAST(tid AS VARCHAR) ORDER BY tok), ',')
+          AS ids_str
+      FROM psq GROUP BY 1, 2, 3 ORDER BY shard, gen, seq_idx"""
+    }),
+    "RTBF over the STREAM-built shard store: the pipeline's store " +
+      "landed hive-partitioned by (shard, micro-batch generation), a " +
+      "file-copied snapshot forgotten via the shared frozen-offset " +
+      "rewrite engine — only partitions the delete touches are " +
+      "re-packed (from the surviving admitted token stream; gate " +
+      "decisions are historical facts, nothing re-admitted); read-back " +
+      "hash-equal to the oracle's one-pass post-delete rebuild")
 
   // ------- near-dup-gated streaming pipeline (r14, VERDICT r13 task 3)
   // q_stream_pipeline sheds EXACT duplicates only; a production ingest
@@ -1963,20 +2221,8 @@ object StreamingOps extends QueryPack {
     "q_stream_pipeline_lineage",
     (s, d) => {
       import s.implicits._
-      val docs = graft.Tables.documents(s, d).select($"doc_id", $"text")
-      val sp = docs.agg(((max($"doc_id") + 1L) / 2L).cast("long"))
-        .head().getLong(0)
-      val (n, raw) = graft.operators.TextOps.modelRawScore($"text")
-      val kept = docs
-        .select($"doc_id", $"text", n.as("n_grams"), raw.as("raw"))
-        .filter(graft.operators.TextOps.modelScore($"n_grams", $"raw") >=
-          lit(0).cast("decimal(38,6)"))
-        .select($"doc_id", $"text",
-          md5(graft.operators.DedupOps.normText).as("h"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"h").orderBy($"doc_id")))
-        .filter($"rn" === 1)
-        .select($"doc_id")
+      val sp = pipeMidpoint(s, d)
+      val kept = pipelineKeptDocs(s, d)
       val seqLen = graft.operators.ShardOps.SeqLen
       val t = graft.operators.BpeOps.subwordIdRows(s, d)
         .join(kept, Seq("doc_id"), "left_semi")
@@ -2171,6 +2417,6 @@ object StreamingOps extends QueryPack {
       streamForeachBatch, streamSinkFiles, streamQualityGate,
       streamIndexMaintain, streamIndexCompact, streamAnomaly,
       streamDedupBloom, streamStateInspect, streamStateEvict,
-      streamPipeline, streamPipelineNearDup, streamPipelineNearDupAudit,
-      streamPipelineLineage)
+      streamPipeline, streamPipelineForget, streamPipelineNearDup,
+      streamPipelineNearDupAudit, streamPipelineLineage)
 }
