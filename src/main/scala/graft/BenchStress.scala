@@ -282,6 +282,10 @@ object BenchStress {
     // same class over the three-vintage zone: widening happens inside
     // the vectorized reader (no extra pass), rename is one coalesce
     "q_schema_evolution_v2",
+    // the streamed variant: the same linear per-batch language agg in
+    // micro-batches + a (lang × batches)-sized log fold — the
+    // q_stream_index_maintain cost class, already stressed there
+    "q_stream_schema_evolution",
     // doc-grain grouped count + one partitioned prefix-sum window —
     // the q_winfunc class; its heavy producer (the tokenize stream) is
     // what the stressed shard queries already pay

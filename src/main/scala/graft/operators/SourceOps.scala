@@ -484,6 +484,42 @@ object SourceOps extends QueryPack {
     dir.toString
   }
 
+  /** Streaming landing zone of the SAME three drifted vintages, one
+    * file per vintage with pinned mtimes so the stream admits them
+    * oldest-first (v1 int32/pre-lang → v2 renamed → v3 current) — the
+    * production shape where a landing zone drifts MID-STREAM
+    * (q_stream_schema_evolution; VERDICT r14 task 4). */
+  private[graft] def schemaEvo2StreamDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = graft.streaming.StreamingOps
+      .indexArtifactDir("schema_evo2_stream", d)
+    val marker = dir.resolve("_complete")
+    val stamp = graft.FixtureStamp.stamp("v1", d, "documents")
+    if (graft.FixtureStamp.upToDate(marker, stamp)) return dir.toString
+    graft.Fs.deleteRecursively(dir)
+    val docs = Tables.documents(s, d)
+    docs.filter($"doc_id" % 3 === 0)
+      .select($"doc_id".cast("int").as("doc_id"), $"text")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    def parts: Set[java.io.File] = new java.io.File(dir.toString)
+      .listFiles().filter(_.getName.startsWith("part-")).toSet
+    val v1 = parts
+    docs.filter($"doc_id" % 3 === 1)
+      .select($"doc_id", $"text", $"lang".as("lang_code"))
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val v12 = parts
+    docs.filter($"doc_id" % 3 === 2)
+      .select($"doc_id", $"text", $"lang")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val all = parts
+    val t = System.currentTimeMillis()
+    v1.foreach(_.setLastModified(t - 120000L))
+    (v12 -- v1).foreach(_.setLastModified(t - 60000L))
+    (all -- v12).foreach(_.setLastModified(t))
+    graft.FixtureStamp.complete(marker, stamp)
+    dir.toString
+  }
+
   /** The declared unified schema: widened id + BOTH lang names. */
   private[graft] val evo2Schema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",

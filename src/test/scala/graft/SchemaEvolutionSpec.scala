@@ -104,6 +104,66 @@ class SchemaEvolutionSpec extends SparkTestBase {
     }
   }
 
+  test("streamed evolution is exactly-once across a restart AT the " +
+      "vintage boundary: the widened and renamed vintages arrive only " +
+      "AFTER the checkpoint resume") {
+    val base = java.nio.file.Paths.get("target", "test-schema-evo-restart")
+      .toAbsolutePath
+    graft.Fs.deleteRecursively(base)
+    val landing = base.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val ckpt = base.resolve("ckpt").toString
+    val out = base.resolve("out").toString
+    // vintage files oldest-first from the pinned fixture
+    val srcDir = new java.io.File(
+      SourceOps.schemaEvo2StreamDir(spark, sf))
+    val srcFiles = srcDir.listFiles().filter(_.getName.startsWith("part-"))
+      .sortBy(_.lastModified).toSeq
+    assert(srcFiles.size === 3, "expected the three-vintage fixture")
+    def copy(f: java.io.File): Unit =
+      java.nio.file.Files.copy(f.toPath, landing.resolve(f.getName))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(SourceOps.evo2Schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+        .select($"doc_id", length($"text").as("len"),
+          coalesce($"lang", $"lang_code", lit("und")).as("lang_eff"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            batch.groupBy(col("lang_eff"))
+              .agg(count(lit(1)).cast("long").as("n_docs"),
+                sum(col("len")).cast("long").as("n_chars"),
+                min(col("doc_id")).as("min_doc"),
+                max(col("doc_id")).as("max_doc"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    copy(srcFiles.head); drain() // phase 1: only the int32 vintage
+    copy(srcFiles(1)); copy(srcFiles(2)); drain() // RESTART: v2+v3 arrive
+    val restarted = spark.read.parquet(out)
+      .groupBy($"lang_eff", $"batch_id")
+      .agg(max($"n_docs").as("n_docs"), max($"n_chars").as("n_chars"),
+        max($"min_doc").as("min_doc"), max($"max_doc").as("max_doc"))
+      .groupBy($"lang_eff")
+      .agg(sum($"n_docs").cast("long").as("n_docs"),
+        sum($"n_chars").cast("long").as("n_chars"),
+        min($"min_doc").as("min_doc"), max($"max_doc").as("max_doc"))
+      .orderBy($"lang_eff").collect().toSeq
+    // == the batch answer AND the declared single-run streamed answer
+    val batch = q("q_schema_evolution_v2")
+      .select($"lang_eff", $"n_docs", $"n_chars", $"min_doc", $"max_doc")
+      .orderBy($"lang_eff").collect().toSeq
+    assert(restarted === batch,
+      "restarted streamed answer diverges from the batch answer")
+    assert(q("q_stream_schema_evolution").collect().toSeq === batch)
+  }
+
   test("v2 zone: a pushable doc_id predicate reaches the scan and " +
       "filters the WIDENED column correctly across all three vintages") {
     val dir = SourceOps.schemaEvo2Dir(spark, sf)
