@@ -333,10 +333,10 @@ object BenchStress {
     // audio-search audit: the stressed q_simsearch_audio plus the
     // probe-broadcast brute force — audit-only by design
     "q_simsearch_audio_audit",
-    // near-dup pipeline audit: re-runs the stressed
-    // q_stream_pipeline_neardup plus the brute-force all-pairs exact
-    // Jaccard truth — audit-only by design (the banded gate exists to
-    // avoid exactly that pass)
+    // near-dup pipeline audit: reads the memoized pipeline logs (build
+    // cost tracked by x_neardup_pipeline_build) plus the brute-force
+    // all-pairs exact Jaccard truth — audit-only by design (the banded
+    // gate exists to avoid exactly that pass)
     "q_stream_pipeline_neardup_audit",
     // post-eviction statestore read: the stressed q_stream_state_inspect
     // plan family with one more micro-batch and a SMALLER surviving
@@ -551,6 +551,14 @@ object BenchStress {
       // tokenizer; this times the actual learning loop
       "x_bpe_learn" ->
         ((s, d) => operators.BpeOps.learnBpeUncached(s, d)._2),
+      // r15: the declared q_stream_pipeline_neardup reads the memoized
+      // log pair (its stress entry times the LSM read); this times the
+      // actual gated stream build — the cost that used to be double-paid
+      // by the audit
+      "x_neardup_pipeline_build" -> ((s, d) => {
+        val (shardLog, _) = streaming.StreamingOps.buildNdLogs(s, d)
+        s.read.parquet(shardLog)
+      }),
       // the q_shard_forget blast-radius decomposition (VERDICT r13 task
       // 1): the declared query's fixture delete set hits EVERY (shard,
       // gen) partition — the bound's worst case. These two pin the

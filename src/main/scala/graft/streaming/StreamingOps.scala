@@ -2175,8 +2175,12 @@ object StreamingOps extends QueryPack {
       .write.mode("append").parquet(shardLog)
   }
 
-  private[graft] def runNearDupPipeline(s: SparkSession, d: String)
-      : DataFrame = {
+  /** Run the near-dup-gated stream and land the three logs — the
+    * UNCACHED build ([[ndPipelineLogs]] memoizes it; BenchStress's
+    * x_neardup_pipeline_build times this directly so the build cost
+    * stays on the tracked surface after memoization). */
+  private[graft] def buildNdLogs(s: SparkSession, d: String)
+      : (String, String) = {
     import s.implicits._
     val dir = streamPipeDir(s, d)
     val shardLog = indexArtifactDir("stream_pipe_nd_shards", d).toString
@@ -2204,6 +2208,27 @@ object StreamingOps extends QueryPack {
       q.processAllAvailable()
       q.stop()
     }
+    (shardLog, acceptLog)
+  }
+
+  /** The (shard log, accept log) pair, built ONCE per (application,
+    * corpus, fixture stamp) and shared by the declared pipeline query
+    * and its audit — the audit used to re-run the whole stream just to
+    * re-materialize logs the first run already wrote (ADVICE r14 /
+    * VERDICT r14 task 5: the single most expensive bench query was
+    * ~60% redundant recompute). The log content is deterministic
+    * within a JVM, so sharing changes no declared result. */
+  private val ndLogsMemo = new graft.Memo.Bounded[
+    (String, String, String), (String, String)](cap = 4, onEvict = _ => ())
+  private[graft] def ndPipelineLogs(s: SparkSession, d: String)
+      : (String, String) =
+    ndLogsMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+      graft.FixtureStamp.stamp("v1", d, "documents")))(buildNdLogs(s, d))
+
+  private[graft] def runNearDupPipeline(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val (shardLog, _) = ndPipelineLogs(s, d)
     s.read.parquet(shardLog)
       .groupBy($"shard", $"gen", $"seq_idx") // replay-duplicate collapse
       .agg(max($"n_ids").as("n_ids"), max($"n_docs").as("n_docs"),
@@ -2221,9 +2246,11 @@ object StreamingOps extends QueryPack {
     "Near-dup-gated streaming corpus pipeline: quality gate -> exact " +
       "dedup -> banded MinHash near-dup gate (band-key file log, " +
       "candidates exact-Jaccard-verified against id-fetched partners) " +
-      "-> tokenize -> generation-aligned shard append; MinHash bands " +
-      "not SQL-replayable, audited + spec'd (stream == batch, restart " +
-      "exactly-once)")
+      "-> tokenize -> generation-aligned shard append. Gate scope is " +
+      "CROSS-BATCH by design: docs within one micro-batch are not " +
+      "paired (batch atomicity) — the audit's n_intra_true_nd column " +
+      "measures that exclusion. MinHash bands not SQL-replayable, " +
+      "audited + spec'd (stream == batch, restart exactly-once)")
 
   /** Batch reference for the near-dup pipeline — the same decisions
     * with no streaming machinery, against the same midpoint split the
@@ -2386,8 +2413,9 @@ object StreamingOps extends QueryPack {
     "q_stream_pipeline_neardup_audit",
     (s, d) => {
       import s.implicits._
-      runNearDupPipeline(s, d).count() // materialize fresh logs
-      val acceptLog = indexArtifactDir("stream_pipe_nd_accept", d).toString
+      // the MEMOIZED logs — the audit no longer re-runs the stream the
+      // declared pipeline already ran (VERDICT r14 task 5)
+      val (_, acceptLog) = ndPipelineLogs(s, d)
       val streamed = s.read.parquet(acceptLog)
         .select($"doc_id").distinct().localCheckpoint()
       val (accepted, a0, kept1, shed) = nearDupBatchReference(s, d)
@@ -2412,6 +2440,22 @@ object StreamingOps extends QueryPack {
         .localCheckpoint()
       val trueNd = trueJ.filter($"bj" >= lit("0.5").cast("decimal(38,6)"))
       val trueHi = trueJ.filter($"bj" >= lit("0.9").cast("decimal(38,6)"))
+      // the INTRA-batch gap, measured (ADVICE r14): the gate pairs an
+      // arriving doc only against EARLIER generations, so two near-dups
+      // landing in the same micro-batch both survive — this counts the
+      // delta-batch docs with a same-batch earlier-id true J>=0.5
+      // partner (kept1 self-join on the already-built posting stream),
+      // so the exclusion is a pinned number, not a silent gap
+      val intraTrueNd = kp.join(
+          kp.select($"did".as("bid2"), $"g", $"kn".as("kn2")), Seq("g"))
+        .filter($"did" > $"bid2")
+        .groupBy($"did", $"bid2", $"kn", $"kn2")
+        .agg(count(lit(1)).as("i"))
+        .select($"did",
+          round($"i".cast("decimal(18,2)") / ($"kn" + $"kn2" - $"i"), 6)
+            .cast("decimal(38,6)").as("j"))
+        .filter($"j" >= lit("0.5").cast("decimal(38,6)"))
+        .select($"did").distinct()
       def emptyFlag(df: DataFrame): org.apache.spark.sql.Column =
         lit(1L) - least(lit(df.count()), lit(1L))
       val equalsOk = emptyFlag(streamed.unionAll(accepted)
@@ -2427,6 +2471,7 @@ object StreamingOps extends QueryPack {
         count(lit(1)).cast("long").as("n_delta"))
         .select($"n_accept0", $"n_delta",
           lit(trueNd.count()).as("n_true_nd"),
+          lit(intraTrueNd.count()).as("n_intra_true_nd"),
           equalsOk.as("stream_equals_batch_ok"),
           precisionOk.as("precision_ok"),
           recallHiOk.as("recall_hi_ok"))
@@ -2469,11 +2514,19 @@ object StreamingOps extends QueryPack {
       inter AS (SELECT did, bid, kn, an, count(*) AS i
         FROM kp JOIN ap USING (g) GROUP BY 1, 2, 3, 4),
       jj AS (SELECT did, CAST(round(CAST(i AS DECIMAL(18,2)) / (kn + an - i),
-          6) AS DECIMAL(38,6)) AS j FROM inter)
+          6) AS DECIMAL(38,6)) AS j FROM inter),
+      iinter AS (SELECT a.did, b.did AS bid, a.kn AS kn1, b.kn AS kn2,
+          count(*) AS i
+        FROM kp a JOIN kp b ON a.g = b.g AND a.did > b.did
+        GROUP BY 1, 2, 3, 4),
+      ij AS (SELECT did, CAST(round(CAST(i AS DECIMAL(18,2))
+          / (kn1 + kn2 - i), 6) AS DECIMAL(38,6)) AS j FROM iinter)
       SELECT CAST((SELECT count(*) FROM a0) AS BIGINT) AS n_accept0,
         CAST((SELECT count(*) FROM k1) AS BIGINT) AS n_delta,
         CAST((SELECT count(DISTINCT did) FROM jj WHERE j >= 0.5) AS BIGINT)
           AS n_true_nd,
+        CAST((SELECT count(DISTINCT did) FROM ij WHERE j >= 0.5) AS BIGINT)
+          AS n_intra_true_nd,
         CAST(1 AS BIGINT) AS stream_equals_batch_ok,
         CAST(1 AS BIGINT) AS precision_ok,
         CAST(1 AS BIGINT) AS recall_hi_ok"""
@@ -2481,7 +2534,10 @@ object StreamingOps extends QueryPack {
     "Near-dup pipeline audit: streamed accepted corpus set-equal to the " +
       "no-streaming batch reference; shed set verified against the " +
       "brute-force exact Jaccard truth (precision, J>=0.9 banding " +
-      "recall); gate-input scalars oracle-recomputed")
+      "recall); the gate's intra-batch exclusion MEASURED " +
+      "(n_intra_true_nd); gate-input scalars oracle-recomputed; logs " +
+      "shared with the declared pipeline via the corpus-stamped memo " +
+      "instead of a redundant stream re-run")
 
   override def defs: Seq[QueryDef] =
     Seq(sessionize, streamTumbling, streamSession, streamChained,
