@@ -95,6 +95,10 @@ object BenchStress {
     // copy + blast-radius re-pack + read-back; the x_streamstore_forget
     // variants decompose the proportional-cost claim
     "q_stream_pipeline_forget",
+    // round-15: LSM compaction over the stream store — the re-pack must
+    // stay bounded by |tails + later generations| while gen-0 full rows
+    // (the bulk at 10x) stay file-untouched
+    "q_stream_pipeline_compact",
     // round-13: perceptual media near-dup — dHash map + band buckets
     // grow xREP; stressed to prove candidates stay banded (no all-pairs)
     "q_dedup_media",

@@ -2061,6 +2061,148 @@ object StreamingOps extends QueryPack {
       "decisions are historical facts, nothing re-admitted); read-back " +
       "hash-equal to the oracle's one-pass post-delete rebuild")
 
+  // ---------- compaction over the STREAM-built store (r15). The stream
+  // store is where LSM compaction matters MOST: every micro-batch is a
+  // generation (the batch store gets one per ingest day), so a
+  // long-running ingest leaves one under-filled tail row and one file
+  // set per (shard, batch) — G× the file count a trainer opens and up
+  // to G·(SeqLen−1) wasted ids per shard. Same defragmentation
+  // invariant as q_shard_compact, generalized to G generations: gen-0
+  // packs from seq 0, so its FULL rows are already at their final
+  // defragmented addresses — only [gen-0 tail ∪ every later
+  // generation] re-packs, continuing from the gen-0 full-row count, in
+  // store order (gen, seq, pos). The merged rows land under a FIXED
+  // target generation chosen outside the batch-id space, which is what
+  // makes the crash-retry safe: a retry after the write but before the
+  // vacuum re-packs from the still-present source generations and
+  // dynamically overwrites the identical target (including the target
+  // in the source stream instead would double the content — the
+  // max-gen+1 trap); once the vacuum ran, a re-run sees no source
+  // generations and no-ops. The read view shadows the stale gen-0 tail
+  // by the n_ids = SeqLen rule, exactly like the batch store.
+  //
+  // Scale shape: one partition-pruned manifest aggregate + re-pack
+  // work bounded by |tails + later generations|; at a production G the
+  // compactor runs periodically so "later generations" is the window
+  // since the last compact, never the store.
+
+  /** The fixed compaction target generation — outside any plausible
+    * micro-batch id range, so the source/target split is static. */
+  private[graft] val CompactedGen: Long = 1L << 30
+
+  /** Compact the partitioned stream store at `dir` (re-entrant; see
+    * the operator comment for the crash-retry argument). */
+  private[graft] def compactStreamStore(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val all = s.read.parquet(dir)
+    val sourceGens = all
+      .select($"gen".cast("long").as("gen")).distinct()
+      .as[Long].collect().filter(g => g > 0L && g != CompactedGen).sorted
+    if (sourceGens.isEmpty) return // already compacted — nothing to merge
+    val off = all.filter($"gen" === 0 &&
+        $"n_ids" === graft.operators.ShardOps.SeqLen)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg(count(lit(1)).cast("long").as("seq0"))
+    val toks = all
+      .filter(($"gen" > 0 && $"gen" =!= CompactedGen) ||
+        ($"gen" === 0 && $"n_ids" < graft.operators.ShardOps.SeqLen))
+      .select($"shard".cast("long").as("shard"),
+        $"gen".cast("long").as("gen"), $"seq_idx",
+        posexplode(split($"ids_str", ",")))
+      .toDF("shard", "gen", "seq_idx", "p", "tid")
+    graft.operators.ShardOps
+      .packStream(s, toks, Seq("gen", "seq_idx", "p"), Some(off),
+        docStats = false)
+      .withColumn("gen", lit(CompactedGen))
+      .localCheckpoint() // break read lineage on dir before overwriting it
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "gen").parquet(dir)
+    // vacuum the superseded source generations (new data first, then
+    // remove old — the crash-safe LSM order)
+    val root = java.nio.file.Paths.get(dir)
+    val shards = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      shards.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("shard="))
+        .foreach { p =>
+          sourceGens.foreach(g =>
+            graft.Fs.deleteRecursively(p.resolve(s"gen=$g")))
+        }
+    } finally shards.close()
+  }
+
+  /** The compacted logical view — untouched full gen-0 rows ∪ the
+    * merged generation; the stale gen-0 tail shadowed by the full-row
+    * rule. Two single-generation reads, not one OR filter (the
+    * q_shard_compact partition-pruning rule). */
+  private[graft] def compactedStreamView(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val all = s.read.parquet(dir)
+    all.filter($"gen" === 0 &&
+        $"n_ids" === graft.operators.ShardOps.SeqLen)
+      .unionAll(all.filter($"gen" === CompactedGen))
+      .select($"shard".cast("long").as("shard"), $"seq_idx", $"n_ids",
+        $"ids_str")
+  }
+
+  private val streamPipelineCompact = QueryDef(
+    "q_stream_pipeline_compact",
+    (s, d) => {
+      import s.implicits._
+      val pristine = streamPipelineStore(s, d)
+      val dir = indexArtifactDir("stream_pipe_store_compact", d)
+      graft.Fs.deleteRecursively(dir)
+      graft.Fs.copyRecursively(java.nio.file.Paths.get(pristine), dir)
+      compactStreamStore(s, dir.toString)
+      compactedStreamView(s, dir.toString).orderBy($"shard", $"seq_idx")
+    },
+    Some({
+      val nsh = graft.operators.ShardOps.NShards
+      val sl = graft.operators.ShardOps.SeqLen
+      s"""WITH ${graft.operators.BpeOps.subwordIdCtes},
+      pnorm AS (SELECT doc_id, text,
+          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        FROM documents),
+      pg AS (SELECT doc_id, t,
+          ${graft.operators.TextOps.modelSqlGrams("text")} AS grams
+        FROM pnorm),
+      psc AS (SELECT doc_id, t, CAST(len(grams) AS BIGINT) AS n_grams,
+          ${graft.operators.TextOps.modelSqlRaw("grams")} AS raw
+        FROM pg),
+      pq AS (SELECT doc_id, t FROM psc
+        WHERE ${graft.operators.TextOps.modelSqlScore("n_grams", "raw")} >= 0),
+      pkept AS (SELECT doc_id FROM (
+          SELECT doc_id,
+            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+          FROM pq) WHERE rn = 1),
+      kids AS (SELECT i.doc_id, i.pos, i.subpos, i.tid,
+          i.doc_id % $nsh AS shard,
+          CASE WHEN i.doc_id <
+              (SELECT (max(doc_id) + 1) // 2 FROM documents)
+            THEN 0 ELSE 1 END AS gen
+        FROM ids i JOIN pkept k USING (doc_id)),
+      ord AS (SELECT shard, tid,
+          row_number() OVER (PARTITION BY shard
+            ORDER BY gen, doc_id, pos, subpos) - 1 AS tok
+        FROM kids)
+      SELECT CAST(shard AS BIGINT) AS shard,
+        CAST(tok // $sl AS BIGINT) AS seq_idx,
+        CAST(count(*) AS BIGINT) AS n_ids,
+        array_to_string(list(CAST(tid AS VARCHAR) ORDER BY tok), ',')
+          AS ids_str
+      FROM ord GROUP BY 1, 2 ORDER BY shard, seq_idx"""
+    }),
+    "LSM compaction over the STREAM-built store, where it matters most " +
+      "(one under-filled tail per (shard, micro-batch)): gen-0 full " +
+      "rows untouched at final addresses, [gen-0 tail + every later " +
+      "generation] re-packed into a fixed target generation (crash-" +
+      "retry-safe: the target is never its own source), superseded " +
+      "generations vacuumed; read view hash-equal to a one-pass global " +
+      "defragmented pack of the whole admitted token stream")
+
   // ------- near-dup-gated streaming pipeline (r14, VERDICT r13 task 3)
   // q_stream_pipeline sheds EXACT duplicates only; a production ingest
   // stream also sheds NEAR-duplicates, or every lightly-edited repost
@@ -2546,7 +2688,8 @@ object StreamingOps extends QueryPack {
       streamForeachBatch, streamSinkFiles, streamQualityGate,
       streamIndexMaintain, streamIndexCompact, streamAnomaly,
       streamDedupBloom, streamStateInspect, streamStateEvict,
-      streamPipeline, streamPipelineForget, streamPipelineNearDup,
+      streamPipeline, streamPipelineForget, streamPipelineCompact,
+      streamPipelineNearDup,
       streamPipelineNearDupAudit, streamPipelineLineage,
       streamSchemaEvolution)
 }
