@@ -236,6 +236,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "q_simsearch_filtered", // same NQ-row query broadcast, pre-filtered corpus
       // 1-row corpus-total broadcast crossJoins (share/idf denominators)
       "q_search_term", "q_search_hybrid_rrf", "q_profile_drift",
+      // 1-row doc-count MANIFEST attach (the post-forget search's N —
+      // same idf-denominator class as q_search_term)
+      "q_search_index_forget",
       "q_profile_skew", // 1-row stat attach to the bounded top-N head
       "q_dedup_embedding", // 1-row near-dup total attached to the 8-row audit
       // audit companions: bounded-window all-pairs / 1-row flag attachments
@@ -394,7 +397,17 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // media/audio index forget: each collects the affected-generation
       // set (≤ generation count by the layout rule — the forgetDocs
       // class)
-      "operators/MultimodalOps.scala" -> 2)
+      "operators/MultimodalOps.scala" -> 2,
+      // posting-index forget: the affected-generation set (≤ 2 rows by
+      // the layout rule — the forgetDocs class)
+      "operators/SearchOps.scala" -> 1,
+      // stream-store forget: the affected (shard, gen) pair set
+      // (≤ NShards × generations rows by the admission layout rule) +
+      // stream-store compact: the source-generation key set (≤ the
+      // micro-batch count). Both manifest-grain, never row-grain —
+      // the forgetDocs class, NOT the r4 collect-into-MemoryStream
+      // class this lint exists for
+      "streaming/StreamingOps.scala" -> 2)
     val base = java.nio.file.Paths.get("src", "main", "scala", "graft")
     val offenders = java.nio.file.Files.walk(base).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
