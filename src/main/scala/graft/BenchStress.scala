@@ -564,19 +564,30 @@ object BenchStress {
         s.read.parquet(shardLog)
       }),
       // the q_shard_forget blast-radius decomposition (VERDICT r13 task
-      // 1): the declared query's fixture delete set hits EVERY (shard,
-      // gen) partition — the bound's worst case. These two pin the
-      // PROPORTIONAL claim: bounded = BOTH generations of one shard
-      // (2/16 partitions, ~1/8 of the re-packed tokens); noop = zero
-      // partitions (the shared build + manifest fixed cost). Expect
-      // (bounded - noop) ≈ 1/8 × (q_shard_forget - noop).
-      // Residue 4, not 3 (ADVICE r14): gen-1 membership is
-      // doc_id % 10 == 0 (even ids only), so an ODD residue never
-      // intersects gen 1 — the variant would rewrite one gen-0
-      // partition and silently skip the frozen-offset gen-1 path the
-      // forgetDocs snapshot fix exists for. Residue 4 intersects at
-      // ids ≡ 20 (mod 40), so both generations of shard 4 are hit.
+      // 1, re-derived r15 after the ADVICE r14 parity finding): four
+      // points separating the REWRITE-FIXED cost (per-rewrite corpus
+      // read + machinery; the tokenize itself is slice-sized — the
+      // survivor filter sits directly above the parquet relation, below
+      // the explode) from the TOKEN-PROPORTIONAL re-pack cost.
+      //   noop      zero rewrites — build + manifest only
+      //   shardwipe ids ≡ 4 (mod 8): the WHOLE shard deleted — both
+      //             partitions dropped at directory level, ZERO tokens
+      //             re-packed → (shardwipe − noop) is the pure fixed
+      //             cost of two rewrite passes
+      //   bounded   ids ≡ 4 (mod 16): a PARTIAL delete of shard 4 with
+      //             non-empty survivors in BOTH generations (gen-1
+      //             survivors ≡ 60 mod 80), so the frozen-offset gen-1
+      //             re-pack path genuinely executes — the r14 advice's
+      //             intent; expect ≈ shardwipe + ~1/16 of the full
+      //             token re-pack
+      //   declared  the fixture rule hits EVERY partition — fixed +
+      //             the full token re-pack (the worst case)
+      // An odd residue is never used: gen-1 membership (doc_id % 10 = 0)
+      // is even-only, so odd residues silently skip gen 1 entirely.
       "x_shard_forget_bounded" -> ((s, d) => operators.ShardOps
+        .forgetVariant(s, d,
+          col("doc_id") % (2L * operators.ShardOps.NShards) === 4)),
+      "x_shard_forget_shardwipe" -> ((s, d) => operators.ShardOps
         .forgetVariant(s, d,
           col("doc_id") % operators.ShardOps.NShards === 4)),
       "x_shard_forget_noop" -> ((s, d) => operators.ShardOps
