@@ -304,6 +304,9 @@ object BenchStress {
     // counts + an integer-division fan-out) — strictly less work than
     // q_shard_lineage's per-doc window; no store scan by construction
     "q_shard_asof",
+    // same engine over the streamed store's admitted token stream —
+    // the gate filters are stressed inside q_stream_pipeline
+    "q_stream_pipeline_asof",
     // linear scans / projections / filters / per-row scalar maps
     "q_scan_parquet", "q_project_cast", "q_filter_between", "q_filter_pred",
     "q_round_format", "q_scalar_string", "q_scalar_string2",

@@ -802,26 +802,41 @@ object ShardOps extends QueryPack {
   // each event's rows are a per-(shard, gen) integer-division fan-out.
   // ShardAsOfSpec builds the REAL store through the same lifecycle and
   // cross-checks the manifest row-for-row at every event.
-  private[graft] def asOfManifest(s: SparkSession, d: String): DataFrame = {
+  /** The ONE as-of manifest engine, shared by the batch store and the
+    * stream-built store: given a token-grain (doc_id, shard, gen)
+    * relation `t` and the delete predicate, emit the (shard, gen,
+    * seq_idx, n_ids) manifest at three lifecycle events — 0 = base
+    * written (gen 0 only), 1 = every generation appended, 2 = the
+    * delete applied (survivor counts, later-generation offsets FROZEN
+    * at the pre-delete gen-0 row boundary — the forget rule). Pure
+    * layout arithmetic: per-(shard, gen) counts + integer-division
+    * fan-outs; no store scan, no retained snapshot. */
+  private[graft] def asOfManifestFrom(s: SparkSession, t: DataFrame,
+      deletePred: org.apache.spark.sql.Column): DataFrame = {
     import s.implicits._
-    val t = BpeOps.subwordIdRows(s, d)
-      .withColumn("shard", GenerationLayout.shardOf($"doc_id"))
-      .withColumn("gen", GenerationLayout.ShardStore.genOf($"doc_id"))
-    // both count relations are NShards×2-row aggregates — checkpointed
-    // so the three event branches don't re-run the corpus shuffle
+    // both count relations are NShards×gens-row aggregates —
+    // checkpointed so the event branches don't re-run the corpus shuffle
     val fullc = t.groupBy($"shard", $"gen")
       .agg(count(lit(1)).cast("long").as("n")).localCheckpoint()
-    val survc = t.filter($"doc_id" % ForgetMod =!= ForgetRes)
+    val survc = t.filter(!deletePred)
       .groupBy($"shard", $"gen")
       .agg(count(lit(1)).cast("long").as("n"))
-    val nb = fullc.filter($"gen" === 0L)
-      .select($"shard", expr(s"(n + ${SeqLen - 1}) div $SeqLen").as("nbseq"))
+    // each generation's start = the prefix sum of EARLIER generations'
+    // row boundaries, from the FULL (pre-delete) counts — exactly the
+    // append rule (pack from the previous boundary) and the forget
+    // rule (offsets frozen at pre-delete values). Generalizes past two
+    // generations, unlike a gen-0-boundary special case.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"gen")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = fullc
+      .withColumn("gr", expr(s"(n + ${SeqLen - 1}) div $SeqLen"))
+      .withColumn("off", coalesce(sum($"gr").over(w), lit(0L)))
+      .select($"shard", $"gen", $"off")
     def rowsOf(counts: DataFrame, event: Long): DataFrame =
-      counts.join(broadcast(nb), Seq("shard"), "left")
+      counts.join(broadcast(offs), Seq("shard", "gen"), "left")
         .select(lit(event).as("asof_event"), $"shard", $"gen",
-          when($"gen" === 1L, coalesce($"nbseq", lit(0L)))
-            .otherwise(0L).as("off"),
-          $"n")
+          coalesce($"off", lit(0L)).as("off"), $"n")
     rowsOf(fullc.filter($"gen" === 0L), 0L)
       .unionAll(rowsOf(fullc, 1L))
       .unionAll(rowsOf(survc, 2L))
@@ -832,6 +847,14 @@ object ShardOps extends QueryPack {
         ($"off" + $"i").as("seq_idx"),
         when($"i" === $"nrows" - 1L, $"n" - $"i" * SeqLen)
           .otherwise(SeqLen.toLong).as("n_ids"))
+  }
+
+  private[graft] def asOfManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = BpeOps.subwordIdRows(s, d)
+      .withColumn("shard", GenerationLayout.shardOf($"doc_id"))
+      .withColumn("gen", GenerationLayout.ShardStore.genOf($"doc_id"))
+    asOfManifestFrom(s, t, col("doc_id") % ForgetMod === ForgetRes)
   }
 
   private val shardAsOf = QueryDef(

@@ -2203,6 +2203,96 @@ object StreamingOps extends QueryPack {
       "generations vacuumed; read view hash-equal to a one-pass global " +
       "defragmented pack of the whole admitted token stream")
 
+  // ---------- as-of over the STREAM-built store (r15). Completes the
+  // time-travel matrix the batch store opened (q_shard_asof): "what was
+  // the stream-built training set when model M trained" — at the
+  // micro-batch grain a serving store actually evolves at. Same engine
+  // (ShardOps.asOfManifestFrom — per-(shard, gen) counts + prefix-sum
+  // offsets + integer fan-out; zero store scans, zero snapshots), fed
+  // the ADMITTED token stream (quality + global first-wins gates) and
+  // the admission-split generation rule. Events: 0 = after micro-batch
+  // 0 landed, 1 = the full pristine store, 2 = post-fixture-forget
+  // (offsets frozen pre-delete). Spec cross-checks events 0/1 against
+  // the real pristine partitioned store and event 2 against a
+  // forgotten copy.
+  private val streamPipelineAsOf = QueryDef(
+    "q_stream_pipeline_asof",
+    (s, d) => {
+      import s.implicits._
+      val sp = pipeMidpoint(s, d)
+      val kept = pipelineKeptDocs(s, d)
+      val t = graft.operators.BpeOps.subwordIdRows(s, d)
+        .join(kept, Seq("doc_id"), "left_semi")
+        .withColumn("shard",
+          graft.operators.GenerationLayout.shardOf($"doc_id"))
+        .withColumn("gen",
+          graft.operators.GenerationLayout.streamGenOf($"doc_id", sp))
+      graft.operators.ShardOps.asOfManifestFrom(s, t,
+        col("doc_id") % graft.operators.ShardOps.ForgetMod ===
+          graft.operators.ShardOps.ForgetRes)
+        .orderBy($"asof_event", $"shard", $"gen", $"seq_idx")
+    },
+    Some({
+      val fm = graft.operators.ShardOps.ForgetMod
+      val fr = graft.operators.ShardOps.ForgetRes
+      val nsh = graft.operators.ShardOps.NShards
+      val sl = graft.operators.ShardOps.SeqLen
+      s"""WITH ${graft.operators.BpeOps.subwordIdCtes},
+      pnorm AS (SELECT doc_id, text,
+          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        FROM documents),
+      pg AS (SELECT doc_id, t,
+          ${graft.operators.TextOps.modelSqlGrams("text")} AS grams
+        FROM pnorm),
+      psc AS (SELECT doc_id, t, CAST(len(grams) AS BIGINT) AS n_grams,
+          ${graft.operators.TextOps.modelSqlRaw("grams")} AS raw
+        FROM pg),
+      pq AS (SELECT doc_id, t FROM psc
+        WHERE ${graft.operators.TextOps.modelSqlScore("n_grams", "raw")} >= 0),
+      pkept AS (SELECT doc_id FROM (
+          SELECT doc_id,
+            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+          FROM pq) WHERE rn = 1),
+      kids AS (SELECT i.doc_id, i.tid, i.doc_id % $nsh AS shard,
+          CASE WHEN i.doc_id <
+              (SELECT (max(doc_id) + 1) // 2 FROM documents)
+            THEN 0 ELSE 1 END AS gen
+        FROM ids i JOIN pkept k USING (doc_id)),
+      fullc AS (SELECT shard, gen, CAST(count(*) AS BIGINT) AS n
+        FROM kids GROUP BY 1, 2),
+      survc AS (SELECT shard, gen, CAST(count(*) AS BIGINT) AS n
+        FROM kids WHERE NOT doc_id % $fm = $fr GROUP BY 1, 2),
+      offs AS (SELECT shard, gen,
+          COALESCE(SUM((n + ${sl - 1}) // $sl) OVER (PARTITION BY shard
+            ORDER BY gen ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS off
+        FROM fullc),
+      ev AS (
+        SELECT 0 AS asof_event, f.shard, f.gen, o.off, f.n
+        FROM fullc f JOIN offs o USING (shard, gen) WHERE f.gen = 0
+        UNION ALL
+        SELECT 1, f.shard, f.gen, o.off, f.n
+        FROM fullc f JOIN offs o USING (shard, gen)
+        UNION ALL
+        SELECT 2, f.shard, f.gen, o.off, f.n
+        FROM survc f JOIN offs o USING (shard, gen)),
+      rws AS (SELECT asof_event, shard, gen, off, n,
+          unnest(range(0, (n + ${sl - 1}) // $sl)) AS i
+        FROM ev)
+      SELECT CAST(asof_event AS BIGINT) AS asof_event,
+        CAST(shard AS BIGINT) AS shard, CAST(gen AS BIGINT) AS gen,
+        CAST(off + i AS BIGINT) AS seq_idx,
+        CAST(CASE WHEN i = (n + ${sl - 1}) // $sl - 1
+          THEN n - i * $sl ELSE $sl END AS BIGINT) AS n_ids
+      FROM rws ORDER BY asof_event, shard, gen, seq_idx"""
+    }),
+    "Time travel over the STREAM-built store: the (shard, gen, seq_idx, " +
+      "n_ids) manifest at each lifecycle event (micro-batch 0 landed / " +
+      "full store / post-forget) from the admitted token stream and the " +
+      "layout rule alone — prefix-sum generation offsets frozen " +
+      "pre-delete, no store scan, no retained snapshot; spec " +
+      "cross-checks the real partitioned store at every event")
+
   // ------- near-dup-gated streaming pipeline (r14, VERDICT r13 task 3)
   // q_stream_pipeline sheds EXACT duplicates only; a production ingest
   // stream also sheds NEAR-duplicates, or every lightly-edited repost
@@ -2689,7 +2779,7 @@ object StreamingOps extends QueryPack {
       streamIndexMaintain, streamIndexCompact, streamAnomaly,
       streamDedupBloom, streamStateInspect, streamStateEvict,
       streamPipeline, streamPipelineForget, streamPipelineCompact,
-      streamPipelineNearDup,
+      streamPipelineAsOf, streamPipelineNearDup,
       streamPipelineNearDupAudit, streamPipelineLineage,
       streamSchemaEvolution)
 }
