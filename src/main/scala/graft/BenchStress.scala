@@ -597,10 +597,13 @@ object BenchStress {
         .forgetVariant(s, d, lit(false))),
       // the q_stream_pipeline_forget blast-radius decomposition, same
       // methodology: bounded = a partial delete inside one shard, both
-      // generations touched (ids ≡ 4 mod 16 — an even-intersecting
-      // residue, the r14 parity lesson); noop = zero partitions (the
-      // shared copy + kept-set + manifest fixed cost). Expect
-      // (bounded − noop) ≈ 1/8 × (q_stream_pipeline_forget − noop).
+      // generations touched with survivors in both (ids ≡ 4 mod 16 —
+      // an even-intersecting residue, the r14 parity lesson); noop =
+      // zero partitions (the shared copy + kept-set + manifest fixed
+      // cost). The predicate deletes HALF of shard 4, so the
+      // token-proportional part is (1/8 shard) × (1/2 survivors):
+      // expect (bounded − noop) ≈ fixed-rewrite cost + ~1/16 of the
+      // full token re-pack (the x_shard_forget decomposition's model).
       "x_streamstore_forget_bounded" -> ((s, d) => streaming.StreamingOps
         .forgetStreamVariant(s, d, "stream_pipe_store_xb",
           col("doc_id") % (2L * operators.ShardOps.NShards) === 4)),

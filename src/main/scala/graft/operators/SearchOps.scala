@@ -333,9 +333,13 @@ object SearchOps extends QueryPack {
   private[graft] def searchOverIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // tf feeds the weight derivation AND the scoring join — cached per
+    // the lexContrib/span_dedup convention so the pruned postings scan
+    // runs once, not twice
     val tf = s.read.parquet(dir)
       .filter($"tok".isin(SearchTerms: _*))
       .select($"tok", $"doc_id", $"tf")
+      .cache()
     val n = s.read.parquet(postingMetaDir(dir))
       .agg(sum($"n_docs").cast("long").as("n_docs"))
     val weights = tf.groupBy($"tok").agg(count(lit(1)).as("df"))

@@ -1666,7 +1666,11 @@ object StreamingOps extends QueryPack {
     }
     if (!hasParts) None
     else Some(s.read.parquet(dir)
-      .where($"gen" < batchId) // partition-pruned
+      // partition-pruned: earlier batches AND any merged generation —
+      // after a compaction cycle the merge holds the shard's highest
+      // addresses, and an append that ignored it would re-issue
+      // occupied seq_idx values (r15 self-review)
+      .where($"gen" < batchId || $"gen" >= CompactedGenBase)
       .groupBy($"shard".cast("long").as("shard"))
       .agg((max($"seq_idx") + 1L).as("seq0")))
   }
@@ -1726,21 +1730,7 @@ object StreamingOps extends QueryPack {
         .orderBy($"shard", $"gen", $"seq_idx")
     },
     Some(s"""WITH ${graft.operators.BpeOps.subwordIdCtes},
-      pnorm AS (SELECT doc_id, text,
-          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
-        FROM documents),
-      pg AS (SELECT doc_id, t,
-          ${graft.operators.TextOps.modelSqlGrams("text")} AS grams
-        FROM pnorm),
-      psc AS (SELECT doc_id, t, CAST(len(grams) AS BIGINT) AS n_grams,
-          ${graft.operators.TextOps.modelSqlRaw("grams")} AS raw
-        FROM pg),
-      pq AS (SELECT doc_id, t FROM psc
-        WHERE ${graft.operators.TextOps.modelSqlScore("n_grams", "raw")} >= 0),
-      pkept AS (SELECT doc_id FROM (
-          SELECT doc_id,
-            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
-          FROM pq) WHERE rn = 1),
+      ${pipelineKeptSqlCtes},
       kids AS (SELECT i.doc_id, i.pos, i.subpos, i.tid,
           i.doc_id % ${graft.operators.ShardOps.NShards} AS shard,
           CASE WHEN i.doc_id <
@@ -1923,6 +1913,30 @@ object StreamingOps extends QueryPack {
       .agg(((max($"doc_id") + 1L) / 2L).cast("long")).head().getLong(0)
   }
 
+  /** DuckDB CTE prologue replaying the pipeline's admission gates —
+    * quality model + global first-wins exact dedup — ending at
+    * `pkept(doc_id)`. The SQL twin of [[pipelineKeptDocs]]: every
+    * stream-store oracle interpolates THIS ONE string, so a gate
+    * change edits one place on each side (the same single-source rule
+    * GenerationLayout applies to the layout side; ADVICE-class
+    * duplication caught by the r15 self-review). */
+  private[graft] def pipelineKeptSqlCtes: String =
+    s"""pnorm AS (SELECT doc_id, text,
+          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        FROM documents),
+      pg AS (SELECT doc_id, t,
+          ${graft.operators.TextOps.modelSqlGrams("text")} AS grams
+        FROM pnorm),
+      psc AS (SELECT doc_id, t, CAST(len(grams) AS BIGINT) AS n_grams,
+          ${graft.operators.TextOps.modelSqlRaw("grams")} AS raw
+        FROM pg),
+      pq AS (SELECT doc_id, t FROM psc
+        WHERE ${graft.operators.TextOps.modelSqlScore("n_grams", "raw")} >= 0),
+      pkept AS (SELECT doc_id FROM (
+          SELECT doc_id,
+            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+          FROM pq) WHERE rn = 1)"""
+
   /** The pipeline's admitted doc set — quality gate + global first-wins
     * exact dedup (per-batch first-wins composes to the global rule
     * under doc_id-ordered admission). Shared by the lineage query and
@@ -2010,21 +2024,7 @@ object StreamingOps extends QueryPack {
       val nsh = graft.operators.ShardOps.NShards
       val sl = graft.operators.ShardOps.SeqLen
       s"""WITH ${graft.operators.BpeOps.subwordIdCtes},
-      pnorm AS (SELECT doc_id, text,
-          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
-        FROM documents),
-      pg AS (SELECT doc_id, t,
-          ${graft.operators.TextOps.modelSqlGrams("text")} AS grams
-        FROM pnorm),
-      psc AS (SELECT doc_id, t, CAST(len(grams) AS BIGINT) AS n_grams,
-          ${graft.operators.TextOps.modelSqlRaw("grams")} AS raw
-        FROM pg),
-      pq AS (SELECT doc_id, t FROM psc
-        WHERE ${graft.operators.TextOps.modelSqlScore("n_grams", "raw")} >= 0),
-      pkept AS (SELECT doc_id FROM (
-          SELECT doc_id,
-            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
-          FROM pq) WHERE rn = 1),
+      ${pipelineKeptSqlCtes},
       kids AS (SELECT i.doc_id, i.pos, i.subpos, i.tid,
           i.doc_id % $nsh AS shard,
           CASE WHEN i.doc_id <
@@ -2061,91 +2061,132 @@ object StreamingOps extends QueryPack {
       "decisions are historical facts, nothing re-admitted); read-back " +
       "hash-equal to the oracle's one-pass post-delete rebuild")
 
-  // ---------- compaction over the STREAM-built store (r15). The stream
-  // store is where LSM compaction matters MOST: every micro-batch is a
-  // generation (the batch store gets one per ingest day), so a
-  // long-running ingest leaves one under-filled tail row and one file
-  // set per (shard, batch) — G× the file count a trainer opens and up
-  // to G·(SeqLen−1) wasted ids per shard. Same defragmentation
-  // invariant as q_shard_compact, generalized to G generations: gen-0
-  // packs from seq 0, so its FULL rows are already at their final
-  // defragmented addresses — only [gen-0 tail ∪ every later
-  // generation] re-packs, continuing from the gen-0 full-row count, in
-  // store order (gen, seq, pos). The merged rows land under a FIXED
-  // target generation chosen outside the batch-id space, which is what
-  // makes the crash-retry safe: a retry after the write but before the
-  // vacuum re-packs from the still-present source generations and
-  // dynamically overwrites the identical target (including the target
-  // in the source stream instead would double the content — the
-  // max-gen+1 trap); once the vacuum ran, a re-run sees no source
-  // generations and no-ops. The read view shadows the stale gen-0 tail
-  // by the n_ids = SeqLen rule, exactly like the batch store.
+  // ---------- compaction over the STREAM-built store (r15; redesigned
+  // by the r15 self-review, which refuted the first cut's fixed-target
+  // scheme on three counts — see below). The stream store is where LSM
+  // compaction matters MOST: every micro-batch is a generation (the
+  // batch store gets one per ingest day), so a long-running ingest
+  // leaves one under-filled tail row and one file set per (shard,
+  // batch). Invariants, each carried by a specific mechanism:
+  //   - PERIODIC cycles (compact → append → compact …): each cycle's
+  //     target is CompactedGenBase + max(source batch ids) — a NEW,
+  //     deterministic generation per cycle, with the PREVIOUS merged
+  //     generation as a content source. A single fixed target (the
+  //     first cut) silently deleted every earlier merge on cycle two:
+  //     its sources were vacuumed, and the overwrite replaced them.
+  //     The gen-0 tail is a content source ONLY on the first cycle —
+  //     afterwards its tokens live in the merged generation and the
+  //     physical tail row is a shadowed stale copy.
+  //   - CRASH RETRY at any point: the target is deterministic from the
+  //     still-present sources, so a retry after the write re-packs the
+  //     identical content into the identical target (dynamic overwrite
+  //     also heals a partial target write); the vacuum deletes sources
+  //     in ASCENDING generation order (batch gens strictly before the
+  //     superseded merge), so every crash-intermediate state re-derives
+  //     the same content — deleting the old merge first could leave
+  //     [tail + new batches] masquerading as a first cycle.
+  //   - AT-LEAST-ONCE replay: every read here goes through the family's
+  //     (shard, gen, seq_idx) max-collapse first ([[collapsedStore]]),
+  //     so duplicated rows from a replayed micro-batch can neither
+  //     shift the full-row count nor double tokens in the merge.
+  //   - Content ORDER is (seq_idx, p): generation address ranges are
+  //     disjoint and monotone within a shard (each generation packs
+  //     from the previous boundary — [[partitionedStoreOffsets]] counts
+  //     merged generations too), so the address itself is the total
+  //     admission order; a (gen, seq) key would wrongly sort a merged
+  //     generation (numerically huge) after batches appended later.
   //
-  // Scale shape: one partition-pruned manifest aggregate + re-pack
-  // work bounded by |tails + later generations|; at a production G the
-  // compactor runs periodically so "later generations" is the window
-  // since the last compact, never the store.
+  // Scale shape: one partition-pruned manifest aggregate + re-pack work
+  // bounded by |tail + window since the last compact| — the previous
+  // merge is re-packed too (its addresses shift back over the vacated
+  // tail slot), which at production scale argues for tiered merges;
+  // one tier is the honest fixture-scale scope.
 
-  /** The fixed compaction target generation — outside any plausible
-    * micro-batch id range, so the source/target split is static. */
-  private[graft] val CompactedGen: Long = 1L << 30
+  /** Merged generations live at CompactedGenBase + k — outside any
+    * plausible micro-batch id range; the CURRENT merge is the largest
+    * one present. */
+  private[graft] val CompactedGenBase: Long = 1L << 30
 
-  /** Compact the partitioned stream store at `dir` (re-entrant; see
-    * the operator comment for the crash-retry argument). */
+  /** The store read every compaction input goes through: the family's
+    * at-least-once replay collapse at (shard, gen, seq_idx) grain. */
+  private def collapsedStore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(dir)
+      .groupBy($"shard".cast("long").as("shard"),
+        $"gen".cast("long").as("gen"), $"seq_idx")
+      .agg(max($"n_ids").as("n_ids"), max($"ids_str").as("ids_str"))
+  }
+
+  /** Compact the partitioned stream store at `dir`. Re-entrant across
+    * cycles AND crash windows (see the design comment). */
   private[graft] def compactStreamStore(s: SparkSession, dir: String): Unit = {
     import s.implicits._
-    val all = s.read.parquet(dir)
-    val sourceGens = all
-      .select($"gen".cast("long").as("gen")).distinct()
-      .as[Long].collect().filter(g => g > 0L && g != CompactedGen).sorted
-    if (sourceGens.isEmpty) return // already compacted — nothing to merge
-    val off = all.filter($"gen" === 0 &&
-        $"n_ids" === graft.operators.ShardOps.SeqLen)
-      .groupBy($"shard".cast("long").as("shard"))
-      .agg(count(lit(1)).cast("long").as("seq0"))
-    val toks = all
-      .filter(($"gen" > 0 && $"gen" =!= CompactedGen) ||
-        ($"gen" === 0 && $"n_ids" < graft.operators.ShardOps.SeqLen))
-      .select($"shard".cast("long").as("shard"),
-        $"gen".cast("long").as("gen"), $"seq_idx",
-        posexplode(split($"ids_str", ",")))
-      .toDF("shard", "gen", "seq_idx", "p", "tid")
+    val seqLen = graft.operators.ShardOps.SeqLen
+    val all = collapsedStore(s, dir)
+    // data-bearing generations (a crash's empty partition dir is
+    // invisible here and healed by the next overwrite)
+    val gens = all.select($"gen").distinct().as[Long].collect().sorted
+    val smalls = gens.filter(g => g > 0L && g < CompactedGenBase)
+    val merges = gens.filter(_ >= CompactedGenBase)
+    def vacuum(dead: Seq[Long]): Unit = {
+      val root = java.nio.file.Paths.get(dir)
+      val shards = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        val dirs = shards.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("shard=")).toSeq
+        // ascending: batch gens strictly before superseded merges
+        dead.sorted.foreach(g =>
+          dirs.foreach(p => graft.Fs.deleteRecursively(p.resolve(s"gen=$g"))))
+      } finally shards.close()
+    }
+    if (smalls.isEmpty) {
+      // nothing new to merge; finish an interrupted vacuum (stale
+      // superseded merges), or first-compact a single-generation
+      // store's tail so the view rule holds uniformly
+      if (merges.nonEmpty) { vacuum(merges.filter(_ != merges.max)); return }
+      if (all.filter($"gen" === 0 && $"n_ids" < seqLen).isEmpty) return
+    }
+    val target = CompactedGenBase + smalls.lastOption.getOrElse(0L)
+    val oldMerge = merges.filter(_ != target).lastOption
+    val off = all.filter($"gen" === 0 && $"n_ids" === seqLen)
+      .groupBy($"shard").agg(count(lit(1)).cast("long").as("seq0"))
+    val content = all.filter(
+      $"gen".isin((oldMerge.toSeq ++ smalls): _*) ||
+        (if (oldMerge.isEmpty) $"gen" === 0 && $"n_ids" < seqLen
+         else lit(false)))
+    val toks = content
+      .select($"shard", $"seq_idx", posexplode(split($"ids_str", ",")))
+      .toDF("shard", "seq_idx", "p", "tid")
     graft.operators.ShardOps
-      .packStream(s, toks, Seq("gen", "seq_idx", "p"), Some(off),
+      .packStream(s, toks, Seq("seq_idx", "p"), Some(off),
         docStats = false)
-      .withColumn("gen", lit(CompactedGen))
+      .withColumn("gen", lit(target))
       .localCheckpoint() // break read lineage on dir before overwriting it
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard", "gen").parquet(dir)
-    // vacuum the superseded source generations (new data first, then
-    // remove old — the crash-safe LSM order)
-    val root = java.nio.file.Paths.get(dir)
-    val shards = java.nio.file.Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      shards.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("shard="))
-        .foreach { p =>
-          sourceGens.foreach(g =>
-            graft.Fs.deleteRecursively(p.resolve(s"gen=$g")))
-        }
-    } finally shards.close()
+    vacuum(smalls ++ oldMerge.toSeq)
   }
 
   /** The compacted logical view — untouched full gen-0 rows ∪ the
-    * merged generation; the stale gen-0 tail shadowed by the full-row
-    * rule. Two single-generation reads, not one OR filter (the
-    * q_shard_compact partition-pruning rule). */
+    * CURRENT merged generation (the stale gen-0 tail shadowed by the
+    * full-row rule); an uncompacted store passes through whole. Two
+    * single-generation reads, not one OR filter (the q_shard_compact
+    * partition-pruning rule); both replay-collapsed. */
   private[graft] def compactedStreamView(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
-    val all = s.read.parquet(dir)
-    all.filter($"gen" === 0 &&
-        $"n_ids" === graft.operators.ShardOps.SeqLen)
-      .unionAll(all.filter($"gen" === CompactedGen))
-      .select($"shard".cast("long").as("shard"), $"seq_idx", $"n_ids",
-        $"ids_str")
+    val all = collapsedStore(s, dir)
+    val merges = all.select($"gen").distinct().as[Long].collect()
+      .filter(_ >= CompactedGenBase)
+    if (merges.isEmpty)
+      all.select($"shard", $"seq_idx", $"n_ids", $"ids_str")
+    else
+      all.filter($"gen" === 0 &&
+          $"n_ids" === graft.operators.ShardOps.SeqLen)
+        .unionAll(all.filter($"gen" === merges.max))
+        .select($"shard", $"seq_idx", $"n_ids", $"ids_str")
   }
 
   private val streamPipelineCompact = QueryDef(
@@ -2163,21 +2204,7 @@ object StreamingOps extends QueryPack {
       val nsh = graft.operators.ShardOps.NShards
       val sl = graft.operators.ShardOps.SeqLen
       s"""WITH ${graft.operators.BpeOps.subwordIdCtes},
-      pnorm AS (SELECT doc_id, text,
-          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
-        FROM documents),
-      pg AS (SELECT doc_id, t,
-          ${graft.operators.TextOps.modelSqlGrams("text")} AS grams
-        FROM pnorm),
-      psc AS (SELECT doc_id, t, CAST(len(grams) AS BIGINT) AS n_grams,
-          ${graft.operators.TextOps.modelSqlRaw("grams")} AS raw
-        FROM pg),
-      pq AS (SELECT doc_id, t FROM psc
-        WHERE ${graft.operators.TextOps.modelSqlScore("n_grams", "raw")} >= 0),
-      pkept AS (SELECT doc_id FROM (
-          SELECT doc_id,
-            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
-          FROM pq) WHERE rn = 1),
+      ${pipelineKeptSqlCtes},
       kids AS (SELECT i.doc_id, i.pos, i.subpos, i.tid,
           i.doc_id % $nsh AS shard,
           CASE WHEN i.doc_id <
@@ -2238,21 +2265,7 @@ object StreamingOps extends QueryPack {
       val nsh = graft.operators.ShardOps.NShards
       val sl = graft.operators.ShardOps.SeqLen
       s"""WITH ${graft.operators.BpeOps.subwordIdCtes},
-      pnorm AS (SELECT doc_id, text,
-          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
-        FROM documents),
-      pg AS (SELECT doc_id, t,
-          ${graft.operators.TextOps.modelSqlGrams("text")} AS grams
-        FROM pnorm),
-      psc AS (SELECT doc_id, t, CAST(len(grams) AS BIGINT) AS n_grams,
-          ${graft.operators.TextOps.modelSqlRaw("grams")} AS raw
-        FROM pg),
-      pq AS (SELECT doc_id, t FROM psc
-        WHERE ${graft.operators.TextOps.modelSqlScore("n_grams", "raw")} >= 0),
-      pkept AS (SELECT doc_id FROM (
-          SELECT doc_id,
-            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
-          FROM pq) WHERE rn = 1),
+      ${pipelineKeptSqlCtes},
       kids AS (SELECT i.doc_id, i.tid, i.doc_id % $nsh AS shard,
           CASE WHEN i.doc_id <
               (SELECT (max(doc_id) + 1) // 2 FROM documents)
@@ -2589,17 +2602,7 @@ object StreamingOps extends QueryPack {
       val nsh = graft.operators.ShardOps.NShards
       val sl = graft.operators.ShardOps.SeqLen
       s"""WITH ${graft.operators.BpeOps.subwordIdCtes},
-      pnorm AS (SELECT doc_id, text,
-          regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
-        FROM documents),
-      pg AS (SELECT doc_id, t, $grams AS grams FROM pnorm),
-      psc AS (SELECT doc_id, t, CAST(len(grams) AS BIGINT) AS n_grams,
-          $raw AS raw FROM pg),
-      pq AS (SELECT doc_id, t FROM psc WHERE $score >= 0),
-      pkept AS (SELECT doc_id FROM (
-          SELECT doc_id,
-            row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
-          FROM pq) WHERE rn = 1),
+      ${pipelineKeptSqlCtes},
       kids AS (SELECT i.doc_id, i.tid, i.doc_id % $nsh AS shard,
           CASE WHEN i.doc_id <
               (SELECT (max(doc_id) + 1) // 2 FROM documents)

@@ -13,31 +13,6 @@ import org.apache.spark.sql.functions._
 class SearchIndexForgetSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def fileBytes(dir: java.nio.file.Path): Map[String, Long] = {
-    if (!java.nio.file.Files.isDirectory(dir)) return Map.empty
-    val walk = java.nio.file.Files.walk(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-"))
-        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
-    } finally walk.close()
-  }
-
-  private def crcOf(dir: java.nio.file.Path): Map[String, Long] = {
-    val walk = java.nio.file.Files.walk(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-"))
-        .map { p =>
-          val crc = new java.util.zip.CRC32()
-          crc.update(java.nio.file.Files.readAllBytes(p))
-          p.toString -> crc.getValue
-        }.toMap
-    } finally walk.close()
-  }
-
   test("a gen-1-only delete leaves every gen-0 file byte-identical and " +
       "rewrites gen 1 to exactly the survivor postings") {
     val dir = graft.streaming.StreamingOps
@@ -45,14 +20,14 @@ class SearchIndexForgetSpec extends SparkTestBase {
     SearchOps.writePostingBase(spark, sf, dir)
     SearchOps.appendPostingDelta(spark, sf, dir)
     val gen0 = java.nio.file.Paths.get(dir).resolve("gen=0")
-    val before = crcOf(gen0)
+    val before = TestFs.crcByFile(gen0)
     assert(before.nonEmpty)
     // %20==0 ⊂ %10==0: the delete set lives entirely in gen 1
     val pred = col("doc_id") % 20 === 0
     val nDel = Tables.documents(spark, sf).filter(pred).count()
     assert(nDel > 0, "fixture lost its %20 ids")
     SearchOps.forgetPostingIndex(spark, sf, dir, pred)
-    assert(crcOf(gen0) === before, "gen-0 files changed under a " +
+    assert(TestFs.crcByFile(gen0) === before, "gen-0 files changed under a " +
       "gen-1-only delete — the blast radius leaked")
     // gen 1 == a fresh tokenization of the surviving delta slice
     val got = spark.read.parquet(dir).filter($"gen" === 1)
@@ -106,9 +81,15 @@ class SearchIndexForgetSpec extends SparkTestBase {
     assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val plan = SearchOps.searchOverIndex(spark, dir)
       .queryExecution.sparkPlan
-    val scans = plan.collect {
+    // the tf relation is cached (the lexContrib convention), so its
+    // parquet scan lives inside the InMemoryRelation's cached plan —
+    // collect scans through that boundary too
+    val scans = (plan +: plan.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        i.relation.cachedPlan
+    }).flatMap(_.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }
+    })
     assert(scans.nonEmpty)
     val paths = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
     assert(paths.forall(p => p.contains("posting_index_forget")),
@@ -116,6 +97,6 @@ class SearchIndexForgetSpec extends SparkTestBase {
     assert(scans.exists(_.metadata.get("PushedFilters")
       .exists(f => f.contains("In(tok") || f.contains("EqualTo(tok"))),
       "term filter not pushed into the postings scan")
-    assert(fileBytes(java.nio.file.Paths.get(dir)).nonEmpty)
+    assert(TestFs.crcByFile(java.nio.file.Paths.get(dir)).nonEmpty)
   }
 }

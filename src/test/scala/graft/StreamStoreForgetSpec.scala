@@ -13,22 +13,6 @@ import org.apache.spark.sql.functions._
 class StreamStoreForgetSpec extends SparkTestBase {
   import spark.implicits._
 
-  /** Relative-path → CRC32 map of every part- file under `root`. */
-  private def crcByPartition(root: java.nio.file.Path)
-      : Map[String, Long] = {
-    val walk = java.nio.file.Files.walk(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-"))
-        .map { p =>
-          val crc = new java.util.zip.CRC32()
-          crc.update(java.nio.file.Files.readAllBytes(p))
-          root.relativize(p).toString -> crc.getValue
-        }.toMap
-    } finally walk.close()
-  }
-
   private def partitionOf(rel: String): String =
     rel.split('/').dropRight(1).mkString("/")
 
@@ -37,7 +21,7 @@ class StreamStoreForgetSpec extends SparkTestBase {
       "BOTH generations are genuinely hit (the parity trap)") {
     val pristine = java.nio.file.Paths
       .get(StreamingOps.streamPipelineStore(spark, sf))
-    val before = crcByPartition(pristine)
+    val before = TestFs.crcByFile(pristine)
     val sp = StreamingOps.pipeMidpoint(spark, sf)
     // ids ≡ 4 (mod 16): all live in shard 4, but ids ≡ 12 (mod 16)
     // survive there — a PARTIAL rewrite of both generations, not the
@@ -54,7 +38,7 @@ class StreamStoreForgetSpec extends SparkTestBase {
     StreamingOps.forgetStreamVariant(spark, sf,
       "stream_pipe_store_spec", pred).count()
     val dir = StreamingOps.indexArtifactDir("stream_pipe_store_spec", sf)
-    val after = crcByPartition(dir)
+    val after = TestFs.crcByFile(dir)
     val expectTouched = Set("shard=4/gen=0", "shard=4/gen=1")
     // untouched partitions: identical relative file sets AND bytes
     val beforeUn = before.filterNot(kv => expectTouched(partitionOf(kv._1)))
