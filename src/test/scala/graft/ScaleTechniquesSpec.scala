@@ -403,11 +403,12 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "operators/SearchOps.scala" -> 1,
       // stream-store forget: the affected (shard, gen) pair set
       // (≤ NShards × generations rows by the admission layout rule) +
-      // stream-store compact: the source-generation key set (≤ the
-      // micro-batch count). Both manifest-grain, never row-grain —
-      // the forgetDocs class, NOT the r4 collect-into-MemoryStream
-      // class this lint exists for
-      "streaming/StreamingOps.scala" -> 2)
+      // stream-store compact: the data-bearing generation key set
+      // (≤ micro-batch count + merge count), collected once by the
+      // compactor and once by the view to locate the current merge.
+      // All manifest-grain, never row-grain — the forgetDocs class,
+      // NOT the r4 collect-into-MemoryStream class this lint exists for
+      "streaming/StreamingOps.scala" -> 3)
     val base = java.nio.file.Paths.get("src", "main", "scala", "graft")
     val offenders = java.nio.file.Files.walk(base).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
