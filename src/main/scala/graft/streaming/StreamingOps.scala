@@ -1964,6 +1964,17 @@ object StreamingOps extends QueryPack {
   private[graft] def forgetStreamStore(s: SparkSession, d: String,
       dir: String, deletePred: org.apache.spark.sql.Column): Unit = {
     import s.implicits._
+    // RTBF scope guard (r15 self-review): a doc's tokens move into a
+    // merged generation at compaction, and merged rows carry no doc
+    // boundaries — a batch-generation rewrite on a compacted store
+    // would silently LEAVE the deleted docs' tokens in the merge.
+    // Refuse loudly; the supported lifecycle runs forgets before
+    // compaction (merged-store RTBF = a source-replay re-merge, noted
+    // as future work in PLANS.md).
+    require(!hasMergedGens(dir),
+      s"forgetStreamStore: store at $dir has merged (compacted) " +
+        "generations; RTBF must run before compaction or the deleted " +
+        "docs' tokens would silently survive inside the merge")
     val sp = pipeMidpoint(s, d)
     val kept = pipelineKeptDocs(s, d).localCheckpoint()
     val affected = kept.filter(deletePred)
@@ -2061,54 +2072,96 @@ object StreamingOps extends QueryPack {
       "decisions are historical facts, nothing re-admitted); read-back " +
       "hash-equal to the oracle's one-pass post-delete rebuild")
 
-  // ---------- compaction over the STREAM-built store (r15; redesigned
-  // by the r15 self-review, which refuted the first cut's fixed-target
-  // scheme on three counts — see below). The stream store is where LSM
-  // compaction matters MOST: every micro-batch is a generation (the
-  // batch store gets one per ingest day), so a long-running ingest
-  // leaves one under-filled tail row and one file set per (shard,
-  // batch). Invariants, each carried by a specific mechanism:
-  //   - PERIODIC cycles (compact → append → compact …): each cycle's
-  //     target is CompactedGenBase + max(source batch ids) — a NEW,
-  //     deterministic generation per cycle, with the PREVIOUS merged
-  //     generation as a content source. A single fixed target (the
-  //     first cut) silently deleted every earlier merge on cycle two:
-  //     its sources were vacuumed, and the overwrite replaced them.
-  //     The gen-0 tail is a content source ONLY on the first cycle —
-  //     afterwards its tokens live in the merged generation and the
-  //     physical tail row is a shadowed stale copy.
-  //   - CRASH RETRY at any point: the target is deterministic from the
-  //     still-present sources, so a retry after the write re-packs the
-  //     identical content into the identical target (dynamic overwrite
-  //     also heals a partial target write); the vacuum deletes sources
-  //     in ASCENDING generation order (batch gens strictly before the
-  //     superseded merge), so every crash-intermediate state re-derives
-  //     the same content — deleting the old merge first could leave
-  //     [tail + new batches] masquerading as a first cycle.
-  //   - AT-LEAST-ONCE replay: every read here goes through the family's
-  //     (shard, gen, seq_idx) max-collapse first ([[collapsedStore]]),
-  //     so duplicated rows from a replayed micro-batch can neither
-  //     shift the full-row count nor double tokens in the merge.
+  // ---------- compaction over the STREAM-built store (r15; hardened
+  // twice by adversarial self-review — the first cut's fixed target
+  // lost data on cycle two, and the second cut still had two
+  // data-loss windows: a crash MID-vacuum left partial sources that a
+  // retry would re-merge over the good target, and a micro-batch
+  // REPLAYED after its generation was vacuumed re-entered the next
+  // merge as fresh-addressed duplicates). The stream store is where
+  // LSM compaction matters MOST: every micro-batch is a generation.
+  // Invariants, each carried by a specific mechanism:
+  //   - PERIODIC cycles: each cycle's target is CompactedGenBase +
+  //     max(UNMERGED batch ids) — deterministic and strictly
+  //     increasing; the previous merge is a content source; the gen-0
+  //     tail is a source only on the first cycle (afterwards its
+  //     tokens live in the merge and the physical tail row is a
+  //     shadowed stale copy).
+  //   - COMMIT MARKER: a `_merge_committed_<gen>` file at the store
+  //     root, written AFTER the target write completes and BEFORE any
+  //     vacuum starts. The marker is the write's durability witness:
+  //     retry with the marker present skips the re-pack entirely and
+  //     only finishes the vacuum — so a crash mid-vacuum (partial
+  //     source generations on disk) can never feed a partial re-merge
+  //     over the good target. Without the marker, every source is
+  //     still intact (vacuum never starts first), so a full re-pack
+  //     heals even a partial target write.
+  //   - EXACTLY-ONCE under replay-after-vacuum: a batch id ≤ the
+  //     current merge's id is ALREADY MERGED (each merge at Base + k
+  //     contains every admitted batch ≤ k, by induction over cycles);
+  //     if such a generation re-appears (an at-least-once replay whose
+  //     original was vacuumed — its rows land at fresh addresses, so
+  //     row-level collapse cannot catch them), it is vacuumed WITHOUT
+  //     being merged. Within-vacuum-window duplicates are caught by
+  //     the usual (shard, gen, seq_idx) max-collapse, which every
+  //     read here applies ([[collapsedStore]]).
   //   - Content ORDER is (seq_idx, p): generation address ranges are
   //     disjoint and monotone within a shard (each generation packs
-  //     from the previous boundary — [[partitionedStoreOffsets]] counts
-  //     merged generations too), so the address itself is the total
-  //     admission order; a (gen, seq) key would wrongly sort a merged
-  //     generation (numerically huge) after batches appended later.
+  //     from the previous boundary — [[partitionedStoreOffsets]]
+  //     counts merged generations too), so the address itself is the
+  //     total admission order.
+  //   - RTBF scope: forgets run BEFORE compaction (merged rows carry
+  //     no doc boundaries, by the trainer-format design);
+  //     [[forgetStreamStore]] refuses a compacted store loudly rather
+  //     than silently missing the merge partitions.
   //
-  // Scale shape: one partition-pruned manifest aggregate + re-pack work
-  // bounded by |tail + window since the last compact| — the previous
-  // merge is re-packed too (its addresses shift back over the vacated
-  // tail slot), which at production scale argues for tiered merges;
-  // one tier is the honest fixture-scale scope.
+  // Scale shape: generation discovery reads partition VALUES only (no
+  // data rows); re-pack work is bounded by |tail + window since the
+  // last compact| — the previous merge is re-packed too, which at
+  // production scale argues for tiered merges; one tier is the honest
+  // fixture-scale scope.
 
-  /** Merged generations live at CompactedGenBase + k — outside any
-    * plausible micro-batch id range; the CURRENT merge is the largest
-    * one present. */
+  /** Merged generations live at CompactedGenBase + k, k = the highest
+    * batch id that merge contains — outside any plausible micro-batch
+    * id range; the CURRENT merge is the largest one present. */
   private[graft] val CompactedGenBase: Long = 1L << 30
 
-  /** The store read every compaction input goes through: the family's
-    * at-least-once replay collapse at (shard, gen, seq_idx) grain. */
+  private def mergeMarker(dir: String, target: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(dir).resolve(s"_merge_committed_$target")
+
+  /** Whether any merged generation directory exists — a cheap listing
+    * (the RTBF scope guard must not pay a read). */
+  private[graft] def hasMergedGens(dir: String): Boolean = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return false
+    val shards = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      shards.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("shard="))
+        .exists { p =>
+          val l = java.nio.file.Files.list(p)
+          try l.iterator().asScala.exists { g =>
+            val n = g.getFileName.toString
+            n.startsWith("gen=") &&
+              n.stripPrefix("gen=").toLongOption.exists(_ >= CompactedGenBase)
+          } finally l.close()
+        }
+    } finally shards.close()
+  }
+
+  /** Data-bearing generation ids — from partition VALUES (metadata
+    * listing; no row aggregation; underscore-prefixed marker files are
+    * invisible to discovery). */
+  private def storeGens(s: SparkSession, dir: String): Seq[Long] = {
+    import s.implicits._
+    s.read.parquet(dir).select($"gen".cast("long"))
+      .distinct().as[Long].collect().sorted
+  }
+
+  /** The store read every compaction DATA input goes through: the
+    * family's at-least-once replay collapse at (shard, gen, seq_idx)
+    * grain. */
   private def collapsedStore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.read.parquet(dir)
@@ -2118,16 +2171,20 @@ object StreamingOps extends QueryPack {
   }
 
   /** Compact the partitioned stream store at `dir`. Re-entrant across
-    * cycles AND crash windows (see the design comment). */
+    * cycles, crash windows, and post-vacuum replays (see the design
+    * comment for the argument each clause carries). */
   private[graft] def compactStreamStore(s: SparkSession, dir: String): Unit = {
     import s.implicits._
     val seqLen = graft.operators.ShardOps.SeqLen
-    val all = collapsedStore(s, dir)
-    // data-bearing generations (a crash's empty partition dir is
-    // invisible here and healed by the next overwrite)
-    val gens = all.select($"gen").distinct().as[Long].collect().sorted
+    val gens = storeGens(s, dir)
     val smalls = gens.filter(g => g > 0L && g < CompactedGenBase)
     val merges = gens.filter(_ >= CompactedGenBase)
+    val cur = merges.lastOption
+    val curK = cur.map(_ - CompactedGenBase)
+    // batches not yet covered by the current merge vs. post-vacuum
+    // replay leftovers (already merged — vacuum them, never re-merge)
+    val newSmalls = smalls.filter(g => curK.forall(g > _))
+    val staleSmalls = smalls.filter(g => curK.exists(g <= _))
     def vacuum(dead: Seq[Long]): Unit = {
       val root = java.nio.file.Paths.get(dir)
       val shards = java.nio.file.Files.list(root)
@@ -2139,54 +2196,67 @@ object StreamingOps extends QueryPack {
         dead.sorted.foreach(g =>
           dirs.foreach(p => graft.Fs.deleteRecursively(p.resolve(s"gen=$g"))))
       } finally shards.close()
+      // superseded merges' markers go with their data
+      dead.filter(_ >= CompactedGenBase)
+        .foreach(g => java.nio.file.Files.deleteIfExists(mergeMarker(dir, g)))
     }
-    if (smalls.isEmpty) {
-      // nothing new to merge; finish an interrupted vacuum (stale
-      // superseded merges), or first-compact a single-generation
-      // store's tail so the view rule holds uniformly
-      if (merges.nonEmpty) { vacuum(merges.filter(_ != merges.max)); return }
-      if (all.filter($"gen" === 0 && $"n_ids" < seqLen).isEmpty) return
+    if (newSmalls.isEmpty) {
+      // nothing new to merge: clean up replay leftovers + any
+      // interrupted vacuum's superseded merges…
+      vacuum(staleSmalls ++ merges.filter(g => !cur.contains(g)))
+      // …and first-compact a single-generation store's tail (so the
+      // view rule holds uniformly); an already-merged or tail-less
+      // store is done
+      if (cur.nonEmpty) return
+      val all0 = collapsedStore(s, dir)
+      if (all0.filter($"gen" === 0 && $"n_ids" < seqLen).isEmpty) return
     }
-    val target = CompactedGenBase + smalls.lastOption.getOrElse(0L)
-    val oldMerge = merges.filter(_ != target).lastOption
-    val off = all.filter($"gen" === 0 && $"n_ids" === seqLen)
-      .groupBy($"shard").agg(count(lit(1)).cast("long").as("seq0"))
-    val content = all.filter(
-      $"gen".isin((oldMerge.toSeq ++ smalls): _*) ||
-        (if (oldMerge.isEmpty) $"gen" === 0 && $"n_ids" < seqLen
-         else lit(false)))
-    val toks = content
-      .select($"shard", $"seq_idx", posexplode(split($"ids_str", ",")))
-      .toDF("shard", "seq_idx", "p", "tid")
-    graft.operators.ShardOps
-      .packStream(s, toks, Seq("seq_idx", "p"), Some(off),
-        docStats = false)
-      .withColumn("gen", lit(target))
-      .localCheckpoint() // break read lineage on dir before overwriting it
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("shard", "gen").parquet(dir)
-    vacuum(smalls ++ oldMerge.toSeq)
+    val target = CompactedGenBase + newSmalls.lastOption.getOrElse(0L)
+    if (!java.nio.file.Files.exists(mergeMarker(dir, target))) {
+      val all = collapsedStore(s, dir)
+      val off = all.filter($"gen" === 0 && $"n_ids" === seqLen)
+        .groupBy($"shard").agg(count(lit(1)).cast("long").as("seq0"))
+      val content = all.filter(
+        $"gen".isin((cur.toSeq ++ newSmalls): _*) ||
+          (if (cur.isEmpty) $"gen" === 0 && $"n_ids" < seqLen
+           else lit(false)))
+      val toks = content
+        .select($"shard", $"seq_idx", posexplode(split($"ids_str", ",")))
+        .toDF("shard", "seq_idx", "p", "tid")
+      graft.operators.ShardOps
+        .packStream(s, toks, Seq("seq_idx", "p"), Some(off),
+          docStats = false)
+        .withColumn("gen", lit(target))
+        .localCheckpoint() // break read lineage on dir before overwrite
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard", "gen").parquet(dir)
+      java.nio.file.Files.createFile(mergeMarker(dir, target))
+    }
+    vacuum(staleSmalls ++ newSmalls ++ cur.toSeq)
   }
 
   /** The compacted logical view — untouched full gen-0 rows ∪ the
-    * CURRENT merged generation (the stale gen-0 tail shadowed by the
-    * full-row rule); an uncompacted store passes through whole. Two
-    * single-generation reads, not one OR filter (the q_shard_compact
-    * partition-pruning rule); both replay-collapsed. */
+    * CURRENT merge ∪ batches newer than it (appended since the last
+    * cycle — omitting them would serve a stale store between cycles);
+    * the stale gen-0 tail and already-merged replay leftovers are
+    * shadowed. An uncompacted store passes through whole. Pruned
+    * single-generation branches, all replay-collapsed. */
   private[graft] def compactedStreamView(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
+    val merges = storeGens(s, dir).filter(_ >= CompactedGenBase)
     val all = collapsedStore(s, dir)
-    val merges = all.select($"gen").distinct().as[Long].collect()
-      .filter(_ >= CompactedGenBase)
     if (merges.isEmpty)
       all.select($"shard", $"seq_idx", $"n_ids", $"ids_str")
-    else
+    else {
+      val curK = merges.max - CompactedGenBase
       all.filter($"gen" === 0 &&
           $"n_ids" === graft.operators.ShardOps.SeqLen)
         .unionAll(all.filter($"gen" === merges.max))
+        .unionAll(all.filter($"gen" > curK && $"gen" < CompactedGenBase))
         .select($"shard", $"seq_idx", $"n_ids", $"ids_str")
+    }
   }
 
   private val streamPipelineCompact = QueryDef(
@@ -2224,11 +2294,13 @@ object StreamingOps extends QueryPack {
     }),
     "LSM compaction over the STREAM-built store, where it matters most " +
       "(one under-filled tail per (shard, micro-batch)): gen-0 full " +
-      "rows untouched at final addresses, [gen-0 tail + every later " +
-      "generation] re-packed into a fixed target generation (crash-" +
-      "retry-safe: the target is never its own source), superseded " +
-      "generations vacuumed; read view hash-equal to a one-pass global " +
-      "defragmented pack of the whole admitted token stream")
+      "rows untouched at final addresses; each cycle merges [previous " +
+      "merge (or the first cycle's gen-0 tail) + unmerged batch " +
+      "generations] into a per-cycle deterministic target, committed " +
+      "by a marker before any vacuum (crash-safe at every window; " +
+      "already-merged replay leftovers are vacuumed, never re-merged); " +
+      "read view hash-equal to a one-pass global defragmented pack of " +
+      "the whole admitted token stream")
 
   // ---------- as-of over the STREAM-built store (r15). Completes the
   // time-travel matrix the batch store opened (q_shard_asof): "what was
@@ -2596,9 +2668,6 @@ object StreamingOps extends QueryPack {
         .orderBy($"doc_id")
     },
     Some({
-      val grams = graft.operators.TextOps.modelSqlGrams("text")
-      val raw = graft.operators.TextOps.modelSqlRaw("grams")
-      val score = graft.operators.TextOps.modelSqlScore("n_grams", "raw")
       val nsh = graft.operators.ShardOps.NShards
       val sl = graft.operators.ShardOps.SeqLen
       s"""WITH ${graft.operators.BpeOps.subwordIdCtes},

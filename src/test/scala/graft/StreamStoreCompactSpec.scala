@@ -4,12 +4,14 @@ import graft.operators.{GenerationLayout, ShardOps}
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.functions._
 
-/** q_stream_pipeline_compact contract (r15 self-review redesign):
-  * gen-0 files byte-untouched, superseded generations vacuumed, and —
-  * the three refuted invariants of the first cut — PERIODIC cycles
-  * preserve every earlier merge, crash windows re-derive the identical
-  * store, and at-least-once replay duplicates cannot double tokens or
-  * shift addresses. */
+/** q_stream_pipeline_compact contract (hardened twice by the r15
+  * adversarial reviews): gen-0 files byte-untouched; superseded
+  * generations vacuumed; PERIODIC cycles preserve every earlier
+  * merge; the commit marker makes every crash window safe — including
+  * the mid-vacuum window whose partial sources must never feed a
+  * re-merge; a batch replayed AFTER its generation was vacuumed is
+  * vacuumed again, never re-merged; the view between cycles includes
+  * batches newer than the merge; and RTBF refuses a compacted store. */
 class StreamStoreCompactSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -26,15 +28,35 @@ class StreamStoreCompactSpec extends SparkTestBase {
       .select($"shard", $"tid".cast("long"))
       .as[(Long, Long)].collect().toSeq
 
-  test("single cycle: gen-0 files byte-identical, sources vacuumed, " +
-      "crash-retry (sources restored after the merge) reproduces the " +
-      "identical view, further compact is a file-untouched no-op") {
+  private def freshCopy(name: String): java.nio.file.Path = {
     val pristine = java.nio.file.Paths
       .get(StreamingOps.streamPipelineStore(spark, sf))
-    val dir = StreamingOps
-      .indexArtifactDir("stream_pipe_store_compact_spec", sf)
+    val dir = StreamingOps.indexArtifactDir(name, sf)
     graft.Fs.deleteRecursively(dir)
     graft.Fs.copyRecursively(pristine, dir)
+    dir
+  }
+
+  private def restoreGen1(dir: java.nio.file.Path,
+      onlyShard: Option[Long]): Unit = {
+    val pristine = java.nio.file.Paths
+      .get(StreamingOps.streamPipelineStore(spark, sf))
+    TestFs.crcByFile(pristine).keys
+      .filter(_.contains("gen=1/"))
+      .filter(rel => onlyShard.forall(sh => rel.startsWith(s"shard=$sh/")))
+      .foreach { rel =>
+        val dst = dir.resolve(rel)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.copy(pristine.resolve(rel), dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+  }
+
+  test("single cycle: gen-0 files byte-identical, sources vacuumed, " +
+      "further compact is a file-untouched no-op; a post-vacuum replay " +
+      "of the WHOLE merged batch is vacuumed, never re-merged; so is " +
+      "the mid-vacuum crash's one-shard remnant") {
+    val dir = freshCopy("stream_pipe_store_compact_spec")
     val gen0Before = TestFs.crcByFile(dir).filter(_._1.contains("gen=0"))
     StreamingOps.compactStreamStore(spark, dir.toString)
     val after = TestFs.crcByFile(dir)
@@ -42,29 +64,29 @@ class StreamStoreCompactSpec extends SparkTestBase {
       "gen-0 files changed under compaction")
     assert(!after.keys.exists(_.contains("gen=1/")),
       "source generation not vacuumed")
-    // cycle-1 target = Base + max(batch gens) = Base + 1
     val t1 = StreamingOps.CompactedGenBase + 1L
     assert(after.keys.exists(_.contains(s"gen=$t1")), "merge missing")
     val v1 = view(dir.toString)
     assert(v1.nonEmpty)
-    // every row full except each shard's single final tail
     val tails = v1.groupBy(_.getLong(0)).values.map(rs =>
       rs.count(_.getLong(2) != ShardOps.SeqLen.toLong))
     assert(tails.forall(_ <= 1), "more than one under-filled row per shard")
-    // CRASH RETRY: restore the vacuumed source gens from the pristine
-    // copy (as if the vacuum never ran) and re-run — the deterministic
-    // target is overwritten with identical content, never re-merged
-    // as its own source
-    val pCrc = TestFs.crcByFile(pristine)
-    pCrc.keys.filter(_.contains("gen=1/")).foreach { rel =>
-      val src = pristine.resolve(rel)
-      val dst = dir.resolve(rel)
-      java.nio.file.Files.createDirectories(dst.getParent)
-      java.nio.file.Files.copy(src, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    val mergeFiles = after.filter(_._1.contains(s"gen=$t1"))
+    // POST-VACUUM REPLAY (the second review's data-loss window): the
+    // whole batch-1 generation re-appears; it is already covered by
+    // the merge, so compact must vacuum it WITHOUT touching the merge
+    restoreGen1(dir, None)
     StreamingOps.compactStreamStore(spark, dir.toString)
-    assert(view(dir.toString) === v1, "retry diverged from first compact")
+    assert(view(dir.toString) === v1, "replay leftover corrupted the view")
+    assert(!TestFs.crcByFile(dir).keys.exists(_.contains("gen=1/")))
+    assert(TestFs.crcByFile(dir).filter(_._1.contains(s"gen=$t1"))
+      === mergeFiles, "merge files rewritten for a replay leftover")
+    // MID-VACUUM CRASH: only one shard's source remnant survives; a
+    // re-merge from it would overwrite the good merge with that
+    // shard's partial content (the first review's scenario)
+    restoreGen1(dir, Some(0L))
+    StreamingOps.compactStreamStore(spark, dir.toString)
+    assert(view(dir.toString) === v1, "partial remnant fed a re-merge")
     assert(!TestFs.crcByFile(dir).keys.exists(_.contains("gen=1/")))
     // already-compacted store: a further run is a no-op, files untouched
     val settled = TestFs.crcByFile(dir)
@@ -72,20 +94,14 @@ class StreamStoreCompactSpec extends SparkTestBase {
     assert(TestFs.crcByFile(dir) === settled, "no-op compact touched files")
   }
 
-  test("periodic cycles: compact -> append batch 2 (with a replay " +
-      "duplicate) -> compact again keeps every earlier merge's tokens " +
-      "and equals the admitted stream in admission order") {
-    val pristine = java.nio.file.Paths
-      .get(StreamingOps.streamPipelineStore(spark, sf))
-    val dir = StreamingOps
-      .indexArtifactDir("stream_pipe_store_compact_cycles", sf)
-    graft.Fs.deleteRecursively(dir)
-    graft.Fs.copyRecursively(pristine, dir)
+  test("periodic cycles: compact -> append batch 2 (replay-duplicated " +
+      "in-window) -> view already serves it -> compact again keeps " +
+      "every earlier merge and equals the admitted stream; RTBF " +
+      "refuses the compacted store") {
+    val dir = freshCopy("stream_pipe_store_compact_cycles")
     val accept = StreamingOps
       .indexArtifactDir("stream_pipe_store_compact_cycles_accept", sf)
     graft.Fs.deleteRecursively(accept)
-    // pristine accept log must exist for the appended batch's gate; the
-    // batch-2 docs below are disjoint new ids, so an empty log suffices
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StreamingOps.pipeAcceptSchema)
@@ -105,19 +121,9 @@ class StreamStoreCompactSpec extends SparkTestBase {
     StreamingOps.pipelineBatchImpl(b2, 2L, sf, dir.toString,
       accept.toString, partitioned = true)
     StreamingOps.pipelineBatchImpl(b2, 2L, sf, dir.toString,
-      accept.toString, partitioned = true) // at-least-once replay
-    StreamingOps.compactStreamStore(spark, dir.toString) // cycle 2
-    val got = viewToks(dir.toString)
-    // earlier merges intact: cycle-1 tokens are a per-shard PREFIX of
-    // the cycle-2 stream (the first cut deleted them here)
-    val got1 = got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val want1 = cycle1Toks.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    want1.foreach { case (sh, toks) =>
-      assert(got1(sh).take(toks.size) === toks,
-        s"shard $sh lost cycle-1 tokens in cycle 2")
-    }
-    // and the whole view == the admitted token stream in admission
-    // order, batch 2 exactly once despite the replay duplicate
+      accept.toString, partitioned = true) // in-window replay duplicate
+    // the view BETWEEN cycles must already include batch 2 (the
+    // second review's stale-read finding)
     val fed = base.unionAll(b2)
       .withColumn("bgen",
         when($"doc_id" >= 4L * sp, 2L)
@@ -130,9 +136,26 @@ class StreamStoreCompactSpec extends SparkTestBase {
       .orderBy($"shard", $"bgen", $"doc_id", $"pos", $"subpos")
       .select($"shard", $"tid".cast("long"))
       .as[(Long, Long)].collect().toSeq
+    assert(viewToks(dir.toString) === want,
+      "between-cycles view misses the newest batch")
+    StreamingOps.compactStreamStore(spark, dir.toString) // cycle 2
+    val got = viewToks(dir.toString)
+    // earlier merge intact: cycle-1 tokens are a per-shard PREFIX
+    val got1 = got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    cycle1Toks.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .foreach { case (sh, toks) =>
+        assert(got1(sh).take(toks.size) === toks,
+          s"shard $sh lost cycle-1 tokens in cycle 2")
+      }
     assert(got === want, "cycle-2 view diverges from the admitted stream")
     val tails = view(dir.toString).groupBy(_.getLong(0)).values.map(rs =>
       rs.count(_.getLong(2) != ShardOps.SeqLen.toLong))
     assert(tails.forall(_ <= 1))
+    // RTBF on a compacted store must refuse, not silently miss the merge
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.forgetStreamStore(spark, sf, dir.toString,
+        col("doc_id") % ShardOps.ForgetMod === ShardOps.ForgetRes)
+    }
+    assert(ex.getMessage.contains("before compaction"))
   }
 }
