@@ -99,6 +99,11 @@ object BenchStress {
     // stay bounded by |tails + later generations| while gen-0 full rows
     // (the bulk at 10x) stay file-untouched
     "q_stream_pipeline_compact",
+    // round-16: RTBF on a COMPACTED store — source-replay re-merge of
+    // the touched shards; stressed to prove the replay cost is
+    // touched-shard-sized (the fixture pred touches every shard — the
+    // worst case, ~one corpus re-tokenize) and untouched files stay put
+    "q_stream_pipeline_forget_compacted",
     // round-13: perceptual media near-dup — dHash map + band buckets
     // grow xREP; stressed to prove candidates stay banded (no all-pairs)
     "q_dedup_media",

@@ -330,16 +330,30 @@ object SearchOps extends QueryPack {
     * df comes from the pruned postings, N from the manifest; weights
     * are query-cardinality-sized and broadcast. The source corpus is
     * never touched. */
+  /** The term-pruned postings read — the ONE scan the search pays over
+    * the posting data (SearchIndexForgetSpec pins its pushdown and
+    * index-only paths here, where the scan actually lives). */
+  private[graft] def prunedPostings(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.read.parquet(dir)
+      .filter($"tok".isin(SearchTerms: _*))
+      .select($"tok", $"doc_id", $"tf")
+  }
+
   private[graft] def searchOverIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    // tf feeds the weight derivation AND the scoring join — cached per
-    // the lexContrib/span_dedup convention so the pruned postings scan
-    // runs once, not twice
-    val tf = s.read.parquet(dir)
-      .filter($"tok".isin(SearchTerms: _*))
-      .select($"tok", $"doc_id", $"tf")
-      .cache()
+    // tf feeds the weight derivation AND the scoring join —
+    // localCheckpoint (not cache) so the pruned postings scan runs
+    // once: q_search_index_forget rebuilds and overwrites this dir per
+    // invocation, and a cache() here would pin relations over the
+    // STALE dir in the shared cacheManager across runs (memory churn +
+    // the plan-assert poisoning class, ADVICE r15). The checkpoint
+    // materializes the term-pruned scan eagerly, so the plan-shape
+    // contract (pushdown, index-only paths) is asserted on
+    // [[prunedPostings]] itself.
+    val tf = prunedPostings(s, dir).localCheckpoint()
     val n = s.read.parquet(postingMetaDir(dir))
       .agg(sum($"n_docs").cast("long").as("n_docs"))
     val weights = tf.groupBy($"tok").agg(count(lit(1)).as("df"))

@@ -435,8 +435,12 @@ object ShardOps extends QueryPack {
     * shards, as a (doc_id, pos, subpos, tid, shard) relation. Each
     * affected generation is re-packed and swapped in with DYNAMIC
     * partition overwrite; generations rewrite in ascending order with
-    * seq offsets FROZEN at their original pre-delete values
-    * (snapshotted DRIVER-SIDE before any rewrite — cache() is NOT a
+    * seq offsets FROZEN at their original pre-delete values — each
+    * generation's own min seq_idx, which IS its frozen start
+    * regardless of what happened to the generations below it (on a
+    * compacted store the predecessors were vacuumed into a merge, so
+    * "1 + max of earlier generations" no longer reconstructs it) —
+    * snapshotted DRIVER-SIDE before any rewrite (cache() is NOT a
     * snapshot: block eviction would recompute from the already-shrunk
     * store and mis-address later generations); a partition whose every
     * doc was deleted is dropped at the directory level (dynamic
@@ -446,20 +450,18 @@ object ShardOps extends QueryPack {
       survivingIds: (Long, Seq[Long]) => DataFrame): Unit = {
     import s.implicits._
     if (affected.isEmpty) return
-    // pre-delete (shard, gen) → max seq_idx snapshot; bounded:
-    // NShards × generations rows
-    val maxSeq = s.read.parquet(dir)
+    // pre-delete (shard, gen) → min seq_idx snapshot (the frozen
+    // generation starts); bounded: NShards × generations rows
+    val minSeq = s.read.parquet(dir)
       .groupBy($"shard".cast("long").as("shard"),
         $"gen".cast("long").as("gen"))
-      .agg(max($"seq_idx").as("mx"))
+      .agg(min($"seq_idx").as("mn"))
       .as[(Long, Long, Long)].collect().toSeq
     affected.map(_._2).distinct.sorted.foreach { g =>
       val shards = affected.collect { case (sh, gg) if gg == g => sh }
-      // this generation's original start = 1 + max seq of EARLIER
-      // generations (per shard), from the pre-delete snapshot
       val startSeq = if (g == 0L) None else {
-        val rows = maxSeq.filter(_._2 < g).groupBy(_._1)
-          .map { case (sh, rs) => (sh, rs.map(_._3).max + 1L) }.toSeq
+        val rows = minSeq.collect { case (sh, gg, mn) if gg == g =>
+          (sh, mn) }
         Some(s.createDataset(rows).toDF("shard", "seq0"))
       }
       val packed = packRows(s, survivingIds(g, shards), startSeq)
@@ -805,14 +807,23 @@ object ShardOps extends QueryPack {
   /** The ONE as-of manifest engine, shared by the batch store and the
     * stream-built store: given a token-grain (doc_id, shard, gen)
     * relation `t` and the delete predicate, emit the (shard, gen,
-    * seq_idx, n_ids) manifest at three lifecycle events — 0 = base
+    * seq_idx, n_ids) manifest at the lifecycle events — 0 = base
     * written (gen 0 only), 1 = every generation appended, 2 = the
     * delete applied (survivor counts, later-generation offsets FROZEN
-    * at the pre-delete gen-0 row boundary — the forget rule). Pure
-    * layout arithmetic: per-(shard, gen) counts + integer-division
-    * fan-outs; no store scan, no retained snapshot. */
+    * at the pre-delete gen-0 row boundary — the forget rule), and,
+    * when `compactBase` is set (the stream store's merge-generation
+    * base), 3 = the forgotten store COMPACTED: per shard the survivor
+    * gen-0 FULL rows stay at [0, s0 div SeqLen) and every other
+    * surviving token lives in ONE merge generation at base + (global
+    * max surviving gen), packed from that boundary — the whole point
+    * of as-of across the compaction boundary: the manifest keeps
+    * answering for batch generations that were PHYSICALLY VACUUMED.
+    * Pure layout arithmetic: per-(shard, gen) counts +
+    * integer-division fan-outs; no store scan, no retained
+    * snapshot. */
   private[graft] def asOfManifestFrom(s: SparkSession, t: DataFrame,
-      deletePred: org.apache.spark.sql.Column): DataFrame = {
+      deletePred: org.apache.spark.sql.Column,
+      compactBase: Option[Long] = None): DataFrame = {
     import s.implicits._
     // both count relations are NShards×gens-row aggregates —
     // checkpointed so the event branches don't re-run the corpus shuffle
@@ -820,7 +831,7 @@ object ShardOps extends QueryPack {
       .agg(count(lit(1)).cast("long").as("n")).localCheckpoint()
     val survc = t.filter(!deletePred)
       .groupBy($"shard", $"gen")
-      .agg(count(lit(1)).cast("long").as("n"))
+      .agg(count(lit(1)).cast("long").as("n")).localCheckpoint()
     // each generation's start = the prefix sum of EARLIER generations'
     // row boundaries, from the FULL (pre-delete) counts — exactly the
     // append rule (pack from the previous boundary) and the forget
@@ -837,9 +848,27 @@ object ShardOps extends QueryPack {
       counts.join(broadcast(offs), Seq("shard", "gen"), "left")
         .select(lit(event).as("asof_event"), $"shard", $"gen",
           coalesce($"off", lit(0L)).as("off"), $"n")
-    rowsOf(fullc.filter($"gen" === 0L), 0L)
+    val events = rowsOf(fullc.filter($"gen" === 0L), 0L)
       .unionAll(rowsOf(fullc, 1L))
       .unionAll(rowsOf(survc, 2L))
+    compactBase.fold(events) { cb =>
+      val sv = survc.groupBy($"shard").agg(sum($"n").as("st"),
+        sum(when($"gen" === 0L, $"n").otherwise(0L)).as("s0"))
+      // the merge target is GLOBAL (one gen value across shards):
+      // base + the largest generation surviving the delete
+      val mg = survc.agg(max($"gen").as("mg"))
+      val full0 = sv
+        .select(lit(3L).as("asof_event"), $"shard", lit(0L).as("gen"),
+          lit(0L).as("off"),
+          (expr(s"s0 div $SeqLen") * SeqLen).as("n"))
+        .filter($"n" > 0L)
+      val merged = sv.crossJoin(broadcast(mg))
+        .select(lit(3L).as("asof_event"), $"shard",
+          ($"mg" + cb).as("gen"), expr(s"s0 div $SeqLen").as("off"),
+          ($"st" - expr(s"s0 div $SeqLen") * SeqLen).as("n"))
+        .filter($"n" > 0L)
+      events.unionAll(full0).unionAll(merged)
+    }
       .withColumn("nrows", expr(s"(n + ${SeqLen - 1}) div $SeqLen"))
       .select($"asof_event", $"shard", $"gen", $"off", $"n", $"nrows",
         explode(sequence(lit(0L), $"nrows" - 1L)).as("i"))

@@ -513,9 +513,15 @@ object SourceOps extends QueryPack {
       .coalesce(1).write.mode("append").parquet(dir.toString)
     val all = parts
     val t = System.currentTimeMillis()
-    v1.foreach(_.setLastModified(t - 120000L))
-    (v12 -- v1).foreach(_.setLastModified(t - 60000L))
-    (all -- v12).foreach(_.setLastModified(t))
+    // the oldest-first admission order (and the restart test's
+    // sortBy(lastModified)) depends on these mtimes — a silent
+    // setLastModified failure would stamp an order-scrambled landing
+    // zone complete, so fail the fixture build loudly (ADVICE r15)
+    def touch(fs: Set[java.io.File], ts: Long): Unit = fs.foreach(f =>
+      require(f.setLastModified(ts), s"setLastModified failed for $f"))
+    touch(v1, t - 120000L)
+    touch(v12 -- v1, t - 60000L)
+    touch(all -- v12, t)
     graft.FixtureStamp.complete(marker, stamp)
     dir.toString
   }

@@ -1960,21 +1960,23 @@ object StreamingOps extends QueryPack {
   /** RTBF over the stream-built store at `dir`: blast radius from the
     * admission layout (deleted ∩ admitted → (shard, gen) pairs, bounded
     * collect), rewrite via the shared frozen-offset engine over the
-    * surviving admitted token stream. */
+    * surviving admitted token stream. A COMPACTED store routes to the
+    * source-replay re-merge instead ([[forgetCompactedStore]]): a
+    * doc's tokens move into a merged generation at compaction, and
+    * merged rows carry no doc boundaries — a batch-generation rewrite
+    * alone would silently LEAVE the deleted docs' tokens in the merge
+    * (the r15 guard this path replaces). */
   private[graft] def forgetStreamStore(s: SparkSession, d: String,
       dir: String, deletePred: org.apache.spark.sql.Column): Unit = {
     import s.implicits._
-    // RTBF scope guard (r15 self-review): a doc's tokens move into a
-    // merged generation at compaction, and merged rows carry no doc
-    // boundaries — a batch-generation rewrite on a compacted store
-    // would silently LEAVE the deleted docs' tokens in the merge.
-    // Refuse loudly; the supported lifecycle runs forgets before
-    // compaction (merged-store RTBF = a source-replay re-merge, noted
-    // as future work in PLANS.md).
-    require(!hasMergedGens(dir),
-      s"forgetStreamStore: store at $dir has merged (compacted) " +
-        "generations; RTBF must run before compaction or the deleted " +
-        "docs' tokens would silently survive inside the merge")
+    // route on COMMITTED merges only: a debris-only store (crash
+    // before the first merge's marker) is logically uncompacted — its
+    // batch generations are all intact and the debris is invisible to
+    // every read
+    if (splitMerges(dir, storeShardGens(dir))._1.nonEmpty) {
+      forgetCompactedStore(s, d, dir, deletePred)
+      return
+    }
     val sp = pipeMidpoint(s, d)
     val kept = pipelineKeptDocs(s, d).localCheckpoint()
     val affected = kept.filter(deletePred)
@@ -1997,6 +1999,145 @@ object StreamingOps extends QueryPack {
           .withColumn("shard",
             graft.operators.GenerationLayout.shardOf($"doc_id"))
       })
+  }
+
+  // ---------- RTBF on a COMPACTED stream store (r16, VERDICT r15 task
+  // 2 — replaces the r15 loud refusal). At production scale compaction
+  // runs forever and delete requests arrive after it; "never compact"
+  // is not a posture. Merged rows carry no doc boundaries (trainer-
+  // format design), so the store cannot answer which of its tokens
+  // belong to a deleted doc — but the SOURCE can: gate decisions are
+  // historical facts (nothing is re-admitted), so a touched shard's
+  // merged region is re-derived by replaying the surviving admitted
+  // docs through the frozen tokenizer and re-packing. Contract:
+  // forget∘compact ≡ compact∘forget — a touched shard's view becomes
+  // the one-pass contiguous pack of its SURVIVING admitted tokens
+  // (exactly what compacting a forgotten store yields), and untouched
+  // shards keep every file byte-identical. Post-compact batch
+  // generations (> the merge coverage) keep the existing bounded
+  // frozen-offset partition rewrite — only the merged region pays the
+  // replay.
+  //
+  // Crash safety (the family's marker discipline): the re-derived
+  // shards are staged under `_forget_stage` (underscore-prefixed —
+  // invisible to every store read), then a `_forget_committed` marker
+  // is written, then each staged shard is installed (drop the shard's
+  // superseded generations, move the staged run in) and its stage dir
+  // removed; marker and stage go last. Any crash replays safely on
+  // retry OF THE SAME DELETE SET: before the marker the store is
+  // untouched and the stage rebuilds (from the source — a half-
+  // installed store is never an input); after it, installation is
+  // per-shard idempotent (a shard whose stage dir is gone is already
+  // installed). A shard whose every doc was deleted stages an EMPTY
+  // directory, so its install (which only drops generations) is
+  // tracked by the same mechanism.
+  //
+  // Scale shape: blast radius = the touched shards only (bounded
+  // collect of layout-derived pairs); per-shard cost is O(that
+  // shard's surviving corpus slice) — the honest price of deleting
+  // from inside a boundary-free merge, paid by 1/NShards of the store
+  // per touched shard, never by the whole store.
+  private[graft] def forgetCompactedStore(s: SparkSession, d: String,
+      dir: String, deletePred: org.apache.spark.sql.Column,
+      crashAt: Option[String] = None): Unit = {
+    import s.implicits._
+    // spec-injected crash windows (StreamStoreForgetCompactSpec): the
+    // protocol's safety claims are tested at the named points, not
+    // just asserted in prose
+    def crash(p: String): Unit = if (crashAt.contains(p))
+      throw new IllegalStateException(s"injected crash at $p")
+    val sp = pipeMidpoint(s, d)
+    val kept = pipelineKeptDocs(s, d).localCheckpoint()
+    val pairs = storeShardGens(dir)
+    val (committed, _) = splitMerges(dir, pairs)
+    require(committed.nonEmpty, "forgetCompactedStore: no committed merge")
+    val target = committed.max
+    val curK = target - CompactedGenBase
+    // bounded collect: ≤ NShards × generations rows
+    val affected = kept.filter(deletePred)
+      .select(graft.operators.GenerationLayout.shardOf($"doc_id")
+        .as("shard"),
+        graft.operators.GenerationLayout.streamGenOf($"doc_id", sp)
+          .as("gen"))
+      .distinct()
+      .as[(Long, Long)].collect().toSeq
+    val touched = affected.filter(_._2 <= curK).map(_._1).distinct.sorted
+    if (touched.nonEmpty) {
+      val stage = java.nio.file.Paths.get(dir).resolve("_forget_stage")
+      val marker = java.nio.file.Paths.get(dir)
+        .resolve("_forget_committed")
+      if (!java.nio.file.Files.exists(marker)) {
+        graft.Fs.deleteRecursively(stage)
+        // source replay of the touched shards' merged region: the
+        // surviving admitted docs whose admission batch the merge
+        // covers, in admission order (batch, then doc)
+        val docs = graft.Tables.documents(s, d).select($"doc_id", $"text")
+          .filter(graft.operators.GenerationLayout.shardOf($"doc_id")
+            .isin(touched: _*))
+          .filter(graft.operators.GenerationLayout
+            .streamGenOf($"doc_id", sp) <= curK)
+          .filter(!deletePred)
+          .join(kept, Seq("doc_id"), "left_semi")
+        val toks = graft.operators.BpeOps.subwordIdsOf(s, d, docs)
+          .withColumn("shard",
+            graft.operators.GenerationLayout.shardOf($"doc_id"))
+          .withColumn("bgen", graft.operators.GenerationLayout
+            .streamGenOf($"doc_id", sp))
+        graft.operators.ShardOps
+          .packStream(s, toks, Seq("bgen", "doc_id", "pos", "subpos"),
+            None, docStats = false)
+          .withColumn("gen", lit(target))
+          .write.mode("overwrite")
+          .partitionBy("shard", "gen").parquet(stage.toString)
+        // a fully-deleted shard writes no partition: stage an empty
+        // dir so its install is tracked like any other
+        touched.foreach(sh => java.nio.file.Files
+          .createDirectories(stage.resolve(s"shard=$sh")))
+        crash("pre_marker")
+        java.nio.file.Files.createFile(marker)
+      }
+      crash("post_marker")
+      touched.foreach { sh =>
+        val staged = stage.resolve(s"shard=$sh")
+        if (java.nio.file.Files.isDirectory(staged)) {
+          val shDir = java.nio.file.Paths.get(dir).resolve(s"shard=$sh")
+          // drop everything the re-derived run supersedes: gen 0,
+          // merged-or-stale batches, every old merge (debris included)
+          storeShardGens(dir).filter(_._1 == sh).map(_._2)
+            .filter(g => g == 0L || g <= curK || g >= CompactedGenBase)
+            .foreach(g =>
+              graft.Fs.deleteRecursively(shDir.resolve(s"gen=$g")))
+          crash(s"dropped_$sh")
+          val stagedRun = staged.resolve(s"gen=$target")
+          if (java.nio.file.Files.isDirectory(stagedRun)) {
+            java.nio.file.Files.createDirectories(shDir)
+            java.nio.file.Files.move(stagedRun,
+              shDir.resolve(s"gen=$target"))
+          }
+          graft.Fs.deleteRecursively(staged)
+        }
+        crash(s"installed_$sh")
+      }
+      java.nio.file.Files.deleteIfExists(marker)
+      graft.Fs.deleteRecursively(stage)
+    }
+    // post-compact batch generations: the existing bounded rewrite
+    val postPairs = affected.filter(_._2 > curK)
+    if (postPairs.nonEmpty)
+      graft.operators.ShardOps.forgetRewrite(s, dir, postPairs,
+        (g, shards) => {
+          val docs = graft.Tables.documents(s, d)
+            .select($"doc_id", $"text")
+            .filter(graft.operators.GenerationLayout
+              .streamGenOf($"doc_id", sp) === g)
+            .filter(!deletePred)
+            .join(kept, Seq("doc_id"), "left_semi")
+            .filter(graft.operators.GenerationLayout.shardOf($"doc_id")
+              .isin(shards: _*))
+          graft.operators.BpeOps.subwordIdsOf(s, d, docs)
+            .withColumn("shard",
+              graft.operators.GenerationLayout.shardOf($"doc_id"))
+        })
   }
 
   /** Build-copy-forget on a caller-chosen delete set (the declared
@@ -2072,154 +2213,230 @@ object StreamingOps extends QueryPack {
       "decisions are historical facts, nothing re-admitted); read-back " +
       "hash-equal to the oracle's one-pass post-delete rebuild")
 
-  // ---------- compaction over the STREAM-built store (r15; hardened
-  // twice by adversarial self-review — the first cut's fixed target
-  // lost data on cycle two, and the second cut still had two
-  // data-loss windows: a crash MID-vacuum left partial sources that a
-  // retry would re-merge over the good target, and a micro-batch
-  // REPLAYED after its generation was vacuumed re-entered the next
-  // merge as fresh-addressed duplicates). The stream store is where
-  // LSM compaction matters MOST: every micro-batch is a generation.
-  // Invariants, each carried by a specific mechanism:
+  // ---------- compaction over the STREAM-built store (r15, hardened
+  // twice by adversarial self-review; REDESIGNED r16 to retire the
+  // round's one perf-weak finding: the r15 cut re-packed the ENTIRE
+  // previous merge as a content source, so per-cycle cost grew
+  // linearly with store age — the classic single-tier LSM failure).
+  // The stream store is where LSM compaction matters MOST: every
+  // micro-batch is a generation. Invariants, each carried by a
+  // specific mechanism:
+  //   - FLAT per-cycle cost: a pack leaves at most ONE under-filled
+  //     row per shard, at the end. So to keep the global address
+  //     space contiguous, a cycle only needs to re-pack the previous
+  //     run's TAIL rows (≤ NShards rows, < SeqLen ids each) plus the
+  //     new batch generations — never the previous merge's FULL rows,
+  //     which are final and are never read or rewritten again. Merged
+  //     generations are PERMANENT: a superseded merge keeps its full
+  //     rows live and only its tail row shadowed (the same shadowing
+  //     rule gen-0's tail always had). Per-cycle work is O(window +
+  //     NShards·SeqLen) regardless of store age; the residue is one
+  //     shadowed under-filled row per shard per cycle — bounded
+  //     metadata-scale garbage (cycles × NShards rows), which is the
+  //     trade against size-tiered merging's O(log n) write
+  //     amplification of every token.
   //   - PERIODIC cycles: each cycle's target is CompactedGenBase +
   //     max(UNMERGED batch ids) — deterministic and strictly
-  //     increasing; the previous merge is a content source; the gen-0
-  //     tail is a source only on the first cycle (afterwards its
-  //     tokens live in the merge and the physical tail row is a
-  //     shadowed stale copy).
+  //     increasing. The per-SHARD current run (the shard's largest
+  //     committed merge, or gen 0 if it has none) contributes its tail
+  //     row; a shard with no content in a cycle simply has no
+  //     partition at that target, and its older merge stays that
+  //     shard's current run — the read view resolves currency
+  //     per-shard ([[compactedStreamView]]).
   //   - COMMIT MARKER: a `_merge_committed_<gen>` file at the store
   //     root, written AFTER the target write completes and BEFORE any
-  //     vacuum starts. The marker is the write's durability witness:
-  //     retry with the marker present skips the re-pack entirely and
-  //     only finishes the vacuum — so a crash mid-vacuum (partial
-  //     source generations on disk) can never feed a partial re-merge
-  //     over the good target. Without the marker, every source is
-  //     still intact (vacuum never starts first), so a full re-pack
-  //     heals even a partial target write.
-  //   - EXACTLY-ONCE under replay-after-vacuum: a batch id ≤ the
-  //     current merge's id is ALREADY MERGED (each merge at Base + k
-  //     contains every admitted batch ≤ k, by induction over cycles);
-  //     if such a generation re-appears (an at-least-once replay whose
-  //     original was vacuumed — its rows land at fresh addresses, so
-  //     row-level collapse cannot catch them), it is vacuumed WITHOUT
-  //     being merged. Within-vacuum-window duplicates are caught by
-  //     the usual (shard, gen, seq_idx) max-collapse, which every
-  //     read here applies ([[collapsedStore]]).
+  //     vacuum starts. The marker is the write's durability witness,
+  //     and classification TRUSTS ONLY MARKED merges (ADVICE r15
+  //     high): a merge generation without its marker is crash debris
+  //     from an interrupted target write — possibly PARTIAL, since
+  //     the dynamic-partition commit moves shard directories one by
+  //     one — and is vacuumed before anything else, never used as the
+  //     current merge, a content source, or grounds to vacuum
+  //     sources. Its sources are necessarily still intact (no marker
+  //     ⇒ no vacuum ever started for it), so a full re-pack heals any
+  //     partial target. Retry WITH the marker present skips the
+  //     re-pack and only finishes the vacuum — a crash mid-vacuum
+  //     (partial source generations on disk) can never feed a partial
+  //     re-merge over the good target.
+  //   - EXACTLY-ONCE under replay-after-vacuum: the UNION of committed
+  //     merges covers every admitted batch id ≤ the current target's
+  //     id (induction: each cycle's target Base + k absorbs exactly
+  //     the batches in (prevK, k]). If such a generation re-appears
+  //     (an at-least-once replay whose original was vacuumed — its
+  //     rows land at fresh addresses, so row-level collapse cannot
+  //     catch them), it is vacuumed WITHOUT being merged.
+  //     Within-vacuum-window duplicates are caught by the usual
+  //     (shard, gen, seq_idx) max-collapse, which every read here
+  //     applies ([[collapsedStore]]).
   //   - Content ORDER is (seq_idx, p): generation address ranges are
   //     disjoint and monotone within a shard (each generation packs
   //     from the previous boundary — [[partitionedStoreOffsets]]
-  //     counts merged generations too), so the address itself is the
-  //     total admission order.
-  //   - RTBF scope: forgets run BEFORE compaction (merged rows carry
-  //     no doc boundaries, by the trainer-format design);
-  //     [[forgetStreamStore]] refuses a compacted store loudly rather
-  //     than silently missing the merge partitions.
+  //     counts merged generations too), and the previous run's tail
+  //     row addresses strictly below every unmerged batch, so the
+  //     address itself is the total admission order.
+  //   - RTBF on a compacted store is a SOURCE-REPLAY RE-MERGE of only
+  //     the touched shards (merged rows carry no doc boundaries, by
+  //     the trainer-format design, so the store itself cannot answer)
+  //     — see [[forgetCompactedStore]]; post-compact batch
+  //     generations keep the existing bounded partition rewrite.
   //
-  // Scale shape: generation discovery reads partition VALUES only (no
-  // data rows); re-pack work is bounded by |tail + window since the
-  // last compact| — the previous merge is re-packed too, which at
-  // production scale argues for tiered merges; one tier is the honest
-  // fixture-scale scope.
+  // Scale shape: generation discovery and per-shard currency read
+  // partition VALUES only (directory listing, no data rows); the
+  // cycle's data read is partition-pruned to the per-shard current
+  // runs + the new batches (gen-0 is read only while some shard has
+  // never merged); re-pack write is bounded by |window| + one tail
+  // row per shard. Per-cycle compact cost is FLAT as cycles
+  // accumulate — pinned by StreamStoreCompactSpec's 3-cycle test
+  // (earlier merges byte-identical) and the BenchStress cycle
+  // decomposition.
 
   /** Merged generations live at CompactedGenBase + k, k = the highest
-    * batch id that merge contains — outside any plausible micro-batch
-    * id range; the CURRENT merge is the largest one present. */
+    * batch id that merge covers — outside any plausible micro-batch
+    * id range; the CURRENT merge is the largest COMMITTED one present
+    * (per shard, for rows; globally, for batch classification). */
   private[graft] val CompactedGenBase: Long = 1L << 30
 
   private def mergeMarker(dir: String, target: Long): java.nio.file.Path =
     java.nio.file.Paths.get(dir).resolve(s"_merge_committed_$target")
 
-  /** Whether any merged generation directory exists — a cheap listing
-    * (the RTBF scope guard must not pay a read). */
-  private[graft] def hasMergedGens(dir: String): Boolean = {
+  /** The store's (shard, gen) partition pairs — a pure directory
+    * listing (no data rows, no Spark job; underscore-prefixed marker
+    * files are invisible). Every discovery/currency decision in the
+    * compaction and forget paths derives from this metadata. */
+  private[graft] def storeShardGens(dir: String): Seq[(Long, Long)] = {
     val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(root)) return false
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
     val shards = java.nio.file.Files.list(root)
     try {
       import scala.jdk.CollectionConverters._
       shards.iterator().asScala
         .filter(_.getFileName.toString.startsWith("shard="))
-        .exists { p =>
+        .flatMap { p =>
+          val sh = p.getFileName.toString.stripPrefix("shard=").toLong
           val l = java.nio.file.Files.list(p)
-          try l.iterator().asScala.exists { g =>
-            val n = g.getFileName.toString
-            n.startsWith("gen=") &&
-              n.stripPrefix("gen=").toLongOption.exists(_ >= CompactedGenBase)
-          } finally l.close()
-        }
+          try l.iterator().asScala.flatMap { g =>
+            g.getFileName.toString.stripPrefix("gen=").toLongOption
+              .filter(_ => g.getFileName.toString.startsWith("gen="))
+              .map((sh, _))
+          }.toList
+          finally l.close()
+        }.toList
     } finally shards.close()
   }
 
-  /** Data-bearing generation ids — from partition VALUES (metadata
-    * listing; no row aggregation; underscore-prefixed marker files are
-    * invisible to discovery). */
-  private def storeGens(s: SparkSession, dir: String): Seq[Long] = {
-    import s.implicits._
-    s.read.parquet(dir).select($"gen".cast("long"))
-      .distinct().as[Long].collect().sorted
+  /** Merge generations split into marker-committed vs crash debris
+    * (written but never marker-committed — possibly partial). */
+  private def splitMerges(dir: String, pairs: Seq[(Long, Long)])
+      : (Seq[Long], Seq[Long]) =
+    pairs.map(_._2).filter(_ >= CompactedGenBase).distinct.sorted
+      .partition(g => java.nio.file.Files.exists(mergeMarker(dir, g)))
+
+  /** Per-shard current run among the COMMITTED merges: the shard's
+    * largest committed merge generation (absent if the shard never
+    * merged). The only generation of a shard that can carry a live
+    * under-filled tail row. */
+  private def curShardMerge(pairs: Seq[(Long, Long)],
+      committed: Seq[Long]): Map[Long, Long] = {
+    val c = committed.toSet
+    pairs.filter(p => c.contains(p._2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
   }
 
   /** The store read every compaction DATA input goes through: the
     * family's at-least-once replay collapse at (shard, gen, seq_idx)
-    * grain. */
-  private def collapsedStore(s: SparkSession, dir: String): DataFrame = {
+    * grain. `prune` (on the raw partition columns) is applied BEFORE
+    * the collapse so it reaches the scan as partition pruning. */
+  private def collapsedStore(s: SparkSession, dir: String,
+      prune: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import s.implicits._
-    s.read.parquet(dir)
+    val raw = s.read.parquet(dir)
+    prune.fold(raw)(raw.filter)
       .groupBy($"shard".cast("long").as("shard"),
         $"gen".cast("long").as("gen"), $"seq_idx")
       .agg(max($"n_ids").as("n_ids"), max($"ids_str").as("ids_str"))
   }
 
+  /** Vacuum the given generations' partition directories (all shards)
+    * and, for merge generations, their commit markers. Ascending:
+    * batch gens strictly before superseded merges. */
+  private def vacuumGens(dir: String, dead: Seq[Long]): Unit = {
+    if (dead.isEmpty) return
+    val root = java.nio.file.Paths.get(dir)
+    val shards = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      val dirs = shards.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("shard=")).toSeq
+      dead.sorted.foreach(g =>
+        dirs.foreach(p => graft.Fs.deleteRecursively(p.resolve(s"gen=$g"))))
+    } finally shards.close()
+    dead.filter(_ >= CompactedGenBase)
+      .foreach(g => java.nio.file.Files.deleteIfExists(mergeMarker(dir, g)))
+  }
+
   /** Compact the partitioned stream store at `dir`. Re-entrant across
-    * cycles, crash windows, and post-vacuum replays (see the design
-    * comment for the argument each clause carries). */
+    * cycles, crash windows, and post-vacuum replays; per-cycle cost is
+    * FLAT in store age (see the design comment for the argument each
+    * clause carries). */
   private[graft] def compactStreamStore(s: SparkSession, dir: String): Unit = {
     import s.implicits._
     val seqLen = graft.operators.ShardOps.SeqLen
-    val gens = storeGens(s, dir)
+    val pairs0 = storeShardGens(dir)
+    if (pairs0.isEmpty) return
+    // unmarked merges are crash debris from an interrupted target
+    // write (possibly partial): vacuum them BEFORE classifying —
+    // their sources are all intact, so the re-pack below heals
+    // (ADVICE r15 high)
+    val (committed, debris) = splitMerges(dir, pairs0)
+    vacuumGens(dir, debris)
+    val pairs = pairs0.filterNot(p => debris.contains(p._2))
+    val gens = pairs.map(_._2).distinct.sorted
     val smalls = gens.filter(g => g > 0L && g < CompactedGenBase)
-    val merges = gens.filter(_ >= CompactedGenBase)
-    val cur = merges.lastOption
+    val cur = committed.lastOption
     val curK = cur.map(_ - CompactedGenBase)
-    // batches not yet covered by the current merge vs. post-vacuum
+    // batches not yet covered by the committed merges vs. post-vacuum
     // replay leftovers (already merged — vacuum them, never re-merge)
     val newSmalls = smalls.filter(g => curK.forall(g > _))
     val staleSmalls = smalls.filter(g => curK.exists(g <= _))
-    def vacuum(dead: Seq[Long]): Unit = {
-      val root = java.nio.file.Paths.get(dir)
-      val shards = java.nio.file.Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        val dirs = shards.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("shard=")).toSeq
-        // ascending: batch gens strictly before superseded merges
-        dead.sorted.foreach(g =>
-          dirs.foreach(p => graft.Fs.deleteRecursively(p.resolve(s"gen=$g"))))
-      } finally shards.close()
-      // superseded merges' markers go with their data
-      dead.filter(_ >= CompactedGenBase)
-        .foreach(g => java.nio.file.Files.deleteIfExists(mergeMarker(dir, g)))
-    }
     if (newSmalls.isEmpty) {
-      // nothing new to merge: clean up replay leftovers + any
-      // interrupted vacuum's superseded merges…
-      vacuum(staleSmalls ++ merges.filter(g => !cur.contains(g)))
-      // …and first-compact a single-generation store's tail (so the
-      // view rule holds uniformly); an already-merged or tail-less
-      // store is done
+      vacuumGens(dir, staleSmalls)
+      // a merged store's tails live in the per-shard current runs and
+      // are served — done; otherwise first-compact a single-generation
+      // store's gen-0 tail (so the view rule holds uniformly), unless
+      // it has none
       if (cur.nonEmpty) return
-      val all0 = collapsedStore(s, dir)
-      if (all0.filter($"gen" === 0 && $"n_ids" < seqLen).isEmpty) return
+      val tail0 = collapsedStore(s, dir)
+        .filter($"gen" === 0 && $"n_ids" < seqLen)
+      if (tail0.isEmpty) return
     }
     val target = CompactedGenBase + newSmalls.lastOption.getOrElse(0L)
     if (!java.nio.file.Files.exists(mergeMarker(dir, target))) {
-      val all = collapsedStore(s, dir)
-      val off = all.filter($"gen" === 0 && $"n_ids" === seqLen)
-        .groupBy($"shard").agg(count(lit(1)).cast("long").as("seq0"))
-      val content = all.filter(
-        $"gen".isin((cur.toSeq ++ newSmalls): _*) ||
-          (if (cur.isEmpty) $"gen" === 0 && $"n_ids" < seqLen
-           else lit(false)))
+      // pruned read: per-shard current runs (merge if any, else gen 0)
+      // + the new batch generations. Earlier merges' FULL rows are
+      // final — never read, never rewritten (the flat-cost rule).
+      val curSh = curShardMerge(pairs, committed)
+      val unmergedGen0 = pairs.exists(p => p._2 == 0L &&
+        !curSh.contains(p._1))
+      val readGens = (curSh.values.toSet ++ newSmalls ++
+        (if (unmergedGen0) Set(0L) else Set.empty[Long])).toSeq
+      val all = collapsedStore(
+        s, dir, Some($"gen".cast("long").isin(readGens: _*)))
+      val curDf = if (curSh.isEmpty)
+        s.createDataset(Seq.empty[(Long, Long)]).toDF("shard", "cur_sh")
+      else s.createDataset(curSh.toSeq).toDF("shard", "cur_sh")
+      val withCur = all.join(broadcast(curDf), Seq("shard"), "left")
+      val prevRun = withCur.filter(
+        ($"cur_sh".isNotNull && $"gen" === $"cur_sh") ||
+          ($"cur_sh".isNull && $"gen" === 0L))
+      // the cycle's content: the previous run's tail rows (≤ 1 per
+      // shard, by the pack contract) + every unmerged batch
+      val content = prevRun.filter($"n_ids" < seqLen)
+        .unionAll(withCur.filter($"gen".isin(newSmalls: _*)))
+      // frozen boundary per shard: the tail row's own address (its
+      // tokens re-pack in place), else one past the run's last row
+      val off = prevRun.groupBy($"shard").agg(coalesce(
+        max(when($"n_ids" < seqLen, $"seq_idx")),
+        max($"seq_idx") + 1L).as("seq0"))
       val toks = content
         .select($"shard", $"seq_idx", posexplode(split($"ids_str", ",")))
         .toDF("shard", "seq_idx", "p", "tid")
@@ -2233,28 +2450,45 @@ object StreamingOps extends QueryPack {
         .partitionBy("shard", "gen").parquet(dir)
       java.nio.file.Files.createFile(mergeMarker(dir, target))
     }
-    vacuum(staleSmalls ++ newSmalls ++ cur.toSeq)
+    vacuumGens(dir, staleSmalls ++ newSmalls)
   }
 
-  /** The compacted logical view — untouched full gen-0 rows ∪ the
-    * CURRENT merge ∪ batches newer than it (appended since the last
-    * cycle — omitting them would serve a stale store between cycles);
-    * the stale gen-0 tail and already-merged replay leftovers are
-    * shadowed. An uncompacted store passes through whole. Pruned
-    * single-generation branches, all replay-collapsed. */
+  /** The compacted logical view. Per shard: every row of the shard's
+    * CURRENT run (its largest committed merge — tail included) ∪ the
+    * FULL rows of everything below it (gen 0 and superseded merges,
+    * whose tails are shadowed — their tokens live in a later merge) ∪
+    * batches newer than the global merge coverage (appended since the
+    * last cycle — omitting them would serve a stale store between
+    * cycles). Already-merged replay leftovers and crash-debris merges
+    * are shadowed. An uncompacted store passes through whole. All
+    * replay-collapsed. */
   private[graft] def compactedStreamView(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
-    val merges = storeGens(s, dir).filter(_ >= CompactedGenBase)
-    val all = collapsedStore(s, dir)
-    if (merges.isEmpty)
-      all.select($"shard", $"seq_idx", $"n_ids", $"ids_str")
+    val pairs = storeShardGens(dir)
+    val (committed, debris) = splitMerges(dir, pairs)
+    val all = collapsedStore(s, dir,
+      if (debris.isEmpty) None
+      else Some(!$"gen".cast("long").isin(debris: _*)))
+    if (committed.isEmpty)
+      all.filter($"gen" < CompactedGenBase)
+        .select($"shard", $"seq_idx", $"n_ids", $"ids_str")
     else {
-      val curK = merges.max - CompactedGenBase
-      all.filter($"gen" === 0 &&
-          $"n_ids" === graft.operators.ShardOps.SeqLen)
-        .unionAll(all.filter($"gen" === merges.max))
-        .unionAll(all.filter($"gen" > curK && $"gen" < CompactedGenBase))
+      val curK = committed.max - CompactedGenBase
+      val seqLen = graft.operators.ShardOps.SeqLen
+      val curDf = s.createDataset(curShardMerge(pairs, committed).toSeq)
+        .toDF("shard", "cur_sh")
+      all.join(broadcast(curDf), Seq("shard"), "left")
+        .filter(
+          // batches newer than the merge coverage
+          ($"gen" > curK && $"gen" < CompactedGenBase) ||
+            // the shard's current run, whole
+            ($"cur_sh".isNotNull && $"gen" === $"cur_sh") ||
+            // superseded merges: full rows only (tails shadowed)
+            ($"gen" >= CompactedGenBase && $"gen" =!= coalesce($"cur_sh",
+              lit(-1L)) && $"n_ids" === seqLen) ||
+            // gen 0: whole if the shard never merged, else full rows
+            ($"gen" === 0 && ($"cur_sh".isNull || $"n_ids" === seqLen)))
         .select($"shard", $"seq_idx", $"n_ids", $"ids_str")
     }
   }
@@ -2302,6 +2536,62 @@ object StreamingOps extends QueryPack {
       "read view hash-equal to a one-pass global defragmented pack of " +
       "the whole admitted token stream")
 
+  // RTBF AFTER compaction (r16, VERDICT r15 task 2): the lifecycle
+  // order production actually sees — the store compacts on a schedule,
+  // the delete request arrives later. Declared chain: build → compact →
+  // forget → view; the forget routes to the source-replay re-merge
+  // ([[forgetCompactedStore]]). The forget∘compact ≡ compact∘forget
+  // contract makes the oracle the COMPACT oracle over the SURVIVING
+  // admitted stream: a touched shard's view is the contiguous pack of
+  // its survivors, an untouched shard's is unchanged — and since
+  // deleted docs exist only in touched shards, one formula covers both.
+  private val streamPipelineForgetCompacted = QueryDef(
+    "q_stream_pipeline_forget_compacted",
+    (s, d) => {
+      import s.implicits._
+      val pristine = streamPipelineStore(s, d)
+      val dir = indexArtifactDir("stream_pipe_store_forget_compact", d)
+      graft.Fs.deleteRecursively(dir)
+      graft.Fs.copyRecursively(java.nio.file.Paths.get(pristine), dir)
+      compactStreamStore(s, dir.toString)
+      forgetStreamStore(s, d, dir.toString,
+        col("doc_id") % graft.operators.ShardOps.ForgetMod ===
+          graft.operators.ShardOps.ForgetRes)
+      compactedStreamView(s, dir.toString).orderBy($"shard", $"seq_idx")
+    },
+    Some({
+      val fm = graft.operators.ShardOps.ForgetMod
+      val fr = graft.operators.ShardOps.ForgetRes
+      val nsh = graft.operators.ShardOps.NShards
+      val sl = graft.operators.ShardOps.SeqLen
+      s"""WITH ${graft.operators.BpeOps.subwordIdCtes},
+      ${pipelineKeptSqlCtes},
+      kids AS (SELECT i.doc_id, i.pos, i.subpos, i.tid,
+          i.doc_id % $nsh AS shard,
+          CASE WHEN i.doc_id <
+              (SELECT (max(doc_id) + 1) // 2 FROM documents)
+            THEN 0 ELSE 1 END AS gen
+        FROM ids i JOIN pkept k USING (doc_id)
+        WHERE NOT i.doc_id % $fm = $fr),
+      ord AS (SELECT shard, tid,
+          row_number() OVER (PARTITION BY shard
+            ORDER BY gen, doc_id, pos, subpos) - 1 AS tok
+        FROM kids)
+      SELECT CAST(shard AS BIGINT) AS shard,
+        CAST(tok // $sl AS BIGINT) AS seq_idx,
+        CAST(count(*) AS BIGINT) AS n_ids,
+        array_to_string(list(CAST(tid AS VARCHAR) ORDER BY tok), ',')
+          AS ids_str
+      FROM ord GROUP BY 1, 2 ORDER BY shard, seq_idx"""
+    }),
+    "RTBF on a COMPACTED stream store (the production order: compact " +
+      "first, delete later): touched shards' merged regions re-derived " +
+      "by source replay of the surviving admitted docs (merged rows " +
+      "carry no doc boundaries — the store cannot answer; the corpus " +
+      "can), staged and installed under a commit marker; untouched " +
+      "shards byte-identical; view hash-equal to the one-pass " +
+      "post-delete defragmented pack (forget-compact commutativity)")
+
   // ---------- as-of over the STREAM-built store (r15). Completes the
   // time-travel matrix the batch store opened (q_shard_asof): "what was
   // the stream-built training set when model M trained" — at the
@@ -2311,9 +2601,15 @@ object StreamingOps extends QueryPack {
   // the ADMITTED token stream (quality + global first-wins gates) and
   // the admission-split generation rule. Events: 0 = after micro-batch
   // 0 landed, 1 = the full pristine store, 2 = post-fixture-forget
-  // (offsets frozen pre-delete). Spec cross-checks events 0/1 against
-  // the real pristine partitioned store and event 2 against a
-  // forgotten copy.
+  // (offsets frozen pre-delete), 3 = the forgotten store COMPACTED
+  // (r16 — time travel across the boundary where batch generations
+  // are PHYSICALLY VACUUMED into a merge: survivor gen-0 full rows at
+  // their final addresses, everything else in one merge generation;
+  // that the manifest still answers for the vacuumed generations at
+  // events 0-2 is the whole point of as-of). Spec cross-checks events
+  // 0/1 against the real pristine partitioned store, event 2 against
+  // a forgotten copy, and event 3 against a forgotten-then-compacted
+  // copy's served rows.
   private val streamPipelineAsOf = QueryDef(
     "q_stream_pipeline_asof",
     (s, d) => {
@@ -2328,7 +2624,8 @@ object StreamingOps extends QueryPack {
           graft.operators.GenerationLayout.streamGenOf($"doc_id", sp))
       graft.operators.ShardOps.asOfManifestFrom(s, t,
         col("doc_id") % graft.operators.ShardOps.ForgetMod ===
-          graft.operators.ShardOps.ForgetRes)
+          graft.operators.ShardOps.ForgetRes,
+        compactBase = Some(CompactedGenBase))
         .orderBy($"asof_event", $"shard", $"gen", $"seq_idx")
     },
     Some({
@@ -2352,6 +2649,9 @@ object StreamingOps extends QueryPack {
             ORDER BY gen ROWS BETWEEN UNBOUNDED PRECEDING
             AND 1 PRECEDING), 0) AS off
         FROM fullc),
+      sv AS (SELECT shard, CAST(SUM(n) AS BIGINT) AS st,
+          CAST(SUM(CASE WHEN gen = 0 THEN n ELSE 0 END) AS BIGINT) AS s0
+        FROM survc GROUP BY shard),
       ev AS (
         SELECT 0 AS asof_event, f.shard, f.gen, o.off, f.n
         FROM fullc f JOIN offs o USING (shard, gen) WHERE f.gen = 0
@@ -2360,7 +2660,16 @@ object StreamingOps extends QueryPack {
         FROM fullc f JOIN offs o USING (shard, gen)
         UNION ALL
         SELECT 2, f.shard, f.gen, o.off, f.n
-        FROM survc f JOIN offs o USING (shard, gen)),
+        FROM survc f JOIN offs o USING (shard, gen)
+        UNION ALL
+        SELECT 3, shard, 0, 0, CAST((s0 // $sl) * $sl AS BIGINT)
+        FROM sv WHERE (s0 // $sl) * $sl > 0
+        UNION ALL
+        SELECT 3, shard,
+          CAST($CompactedGenBase + (SELECT max(gen) FROM survc) AS BIGINT),
+          CAST(s0 // $sl AS BIGINT),
+          CAST(st - (s0 // $sl) * $sl AS BIGINT)
+        FROM sv WHERE st - (s0 // $sl) * $sl > 0),
       rws AS (SELECT asof_event, shard, gen, off, n,
           unnest(range(0, (n + ${sl - 1}) // $sl)) AS i
         FROM ev)
@@ -2373,10 +2682,12 @@ object StreamingOps extends QueryPack {
     }),
     "Time travel over the STREAM-built store: the (shard, gen, seq_idx, " +
       "n_ids) manifest at each lifecycle event (micro-batch 0 landed / " +
-      "full store / post-forget) from the admitted token stream and the " +
-      "layout rule alone — prefix-sum generation offsets frozen " +
-      "pre-delete, no store scan, no retained snapshot; spec " +
-      "cross-checks the real partitioned store at every event")
+      "full store / post-forget / post-COMPACT, where batch " +
+      "generations are physically vacuumed into a merge yet the " +
+      "manifest keeps answering for them) from the admitted token " +
+      "stream and the layout rule alone — prefix-sum generation " +
+      "offsets frozen pre-delete, no store scan, no retained snapshot; " +
+      "spec cross-checks the real partitioned store at every event")
 
   // ------- near-dup-gated streaming pipeline (r14, VERDICT r13 task 3)
   // q_stream_pipeline sheds EXACT duplicates only; a production ingest
@@ -2851,6 +3162,7 @@ object StreamingOps extends QueryPack {
       streamIndexMaintain, streamIndexCompact, streamAnomaly,
       streamDedupBloom, streamStateInspect, streamStateEvict,
       streamPipeline, streamPipelineForget, streamPipelineCompact,
+      streamPipelineForgetCompacted,
       streamPipelineAsOf, streamPipelineNearDup,
       streamPipelineNearDupAudit, streamPipelineLineage,
       streamSchemaEvolution)

@@ -239,6 +239,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // 1-row doc-count MANIFEST attach (the post-forget search's N —
       // same idf-denominator class as q_search_term)
       "q_search_index_forget",
+      // 1-row global-merge-target attach (event 3's gen value)
+      "q_stream_pipeline_asof",
+      "q_shard_asof",
       "q_profile_skew", // 1-row stat attach to the bounded top-N head
       "q_dedup_embedding", // 1-row near-dup total attached to the 8-row audit
       // audit companions: bounded-window all-pairs / 1-row flag attachments

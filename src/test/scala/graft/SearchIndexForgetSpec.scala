@@ -76,27 +76,29 @@ class SearchIndexForgetSpec extends SparkTestBase {
 
   test("the post-forget search plan scans the posting index with the " +
       "term filter pushed, and never the source corpus") {
-    spark.sharedState.cacheManager.clearCache() // plan-shape test guard
     val dir = SearchOps.postingIndexDir(sf)
     assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
-    val plan = SearchOps.searchOverIndex(spark, dir)
-      .queryExecution.sparkPlan
-    // the tf relation is cached (the lexContrib convention), so its
-    // parquet scan lives inside the InMemoryRelation's cached plan —
-    // collect scans through that boundary too
-    val scans = (plan +: plan.collect {
-      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        i.relation.cachedPlan
-    }).flatMap(_.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    })
-    assert(scans.nonEmpty)
-    val paths = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
-    assert(paths.forall(p => p.contains("posting_index_forget")),
-      s"search plan reads outside the index artifact: $paths")
-    assert(scans.exists(_.metadata.get("PushedFilters")
+    // the postings data scan is materialized once via localCheckpoint
+    // (so a rebuilt dir can't pin stale cached relations, ADVICE r15);
+    // its plan shape — term pushdown, index-only paths — is asserted
+    // where the scan lives
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    val tfScans = fileScans(SearchOps.prunedPostings(spark, dir)
+      .queryExecution.sparkPlan)
+    assert(tfScans.nonEmpty)
+    assert(tfScans.exists(_.metadata.get("PushedFilters")
       .exists(f => f.contains("In(tok") || f.contains("EqualTo(tok"))),
       "term filter not pushed into the postings scan")
+    // the full search reads NOTHING outside the index artifact (the
+    // only other file scan is the doc-count manifest)
+    val scans = tfScans ++ fileScans(SearchOps.searchOverIndex(spark, dir)
+      .queryExecution.sparkPlan)
+    val paths = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(paths.nonEmpty && paths.forall(_.contains("posting_index_forget")),
+      s"search plan reads outside the index artifact: $paths")
     assert(TestFs.crcByFile(java.nio.file.Paths.get(dir)).nonEmpty)
   }
 }

@@ -5,13 +5,19 @@ import graft.streaming.StreamingOps
 import org.apache.spark.sql.functions._
 
 /** q_stream_pipeline_compact contract (hardened twice by the r15
-  * adversarial reviews): gen-0 files byte-untouched; superseded
-  * generations vacuumed; PERIODIC cycles preserve every earlier
-  * merge; the commit marker makes every crash window safe — including
-  * the mid-vacuum window whose partial sources must never feed a
-  * re-merge; a batch replayed AFTER its generation was vacuumed is
-  * vacuumed again, never re-merged; the view between cycles includes
-  * batches newer than the merge; and RTBF refuses a compacted store. */
+  * adversarial reviews; FLAT-COST redesign r16): gen-0 files
+  * byte-untouched; superseded batch generations vacuumed; PERIODIC
+  * cycles preserve every earlier merge's files BYTE-IDENTICAL (the
+  * flat-cost witness: a cycle re-packs only the previous run's tail
+  * rows + the new batches, never an earlier merge's full rows); the
+  * commit marker makes every crash window safe — including the
+  * mid-vacuum window whose partial sources must never feed a
+  * re-merge, and the ADVICE r15 window where an UNMARKED (partial)
+  * merge is crash debris that must never be served, used as a source,
+  * or cause sources to be vacuumed; a batch replayed AFTER its
+  * generation was vacuumed is vacuumed again, never re-merged; the
+  * view between cycles includes batches newer than the merge.
+  * (RTBF on a compacted store: StreamStoreForgetCompactSpec.) */
 class StreamStoreCompactSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -94,10 +100,38 @@ class StreamStoreCompactSpec extends SparkTestBase {
     assert(TestFs.crcByFile(dir) === settled, "no-op compact touched files")
   }
 
+  test("crash before the commit marker leaves an unmarked PARTIAL " +
+      "merge: never served by the view, never a content source, never " +
+      "grounds to vacuum the (intact) sources; the retry vacuums the " +
+      "debris and heals by a full re-pack (ADVICE r15 high)") {
+    val dir = freshCopy("stream_pipe_store_compact_debris")
+    val uncompacted = view(dir.toString)
+    StreamingOps.compactStreamStore(spark, dir.toString)
+    val v1 = view(dir.toString)
+    val t1 = StreamingOps.CompactedGenBase + 1L
+    // manufacture the window: target written but PARTIAL (one shard's
+    // partition dropped mid-commit), sources intact (vacuum never
+    // started — restore them), marker never written
+    java.nio.file.Files.delete(dir.resolve(s"_merge_committed_$t1"))
+    graft.Fs.deleteRecursively(dir.resolve("shard=0").resolve(s"gen=$t1"))
+    restoreGen1(dir, None)
+    // the partial unmarked merge must be invisible: the view falls
+    // back to the intact uncompacted store
+    assert(view(dir.toString) === uncompacted,
+      "debris merge leaked into the served view")
+    // retry: debris vacuumed, re-pack from the intact sources — the
+    // healed store equals the clean first compaction
+    StreamingOps.compactStreamStore(spark, dir.toString)
+    assert(view(dir.toString) === v1, "retry did not heal the debris")
+    assert(java.nio.file.Files.exists(dir.resolve(s"_merge_committed_$t1")))
+    assert(!TestFs.crcByFile(dir).keys.exists(_.contains("gen=1/")),
+      "sources not vacuumed after the healed re-pack")
+  }
+
   test("periodic cycles: compact -> append batch 2 (replay-duplicated " +
       "in-window) -> view already serves it -> compact again keeps " +
-      "every earlier merge and equals the admitted stream; RTBF " +
-      "refuses the compacted store") {
+      "every earlier merge BYTE-IDENTICAL (flat per-cycle cost) and " +
+      "equals the admitted stream; a third cycle repeats the proof") {
     val dir = freshCopy("stream_pipe_store_compact_cycles")
     val accept = StreamingOps
       .indexArtifactDir("stream_pipe_store_compact_cycles_accept", sf)
@@ -138,6 +172,8 @@ class StreamStoreCompactSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSeq
     assert(viewToks(dir.toString) === want,
       "between-cycles view misses the newest batch")
+    val t1 = StreamingOps.CompactedGenBase + 1L
+    val merge1Files = TestFs.crcByFile(dir).filter(_._1.contains(s"gen=$t1"))
     StreamingOps.compactStreamStore(spark, dir.toString) // cycle 2
     val got = viewToks(dir.toString)
     // earlier merge intact: cycle-1 tokens are a per-shard PREFIX
@@ -148,14 +184,55 @@ class StreamStoreCompactSpec extends SparkTestBase {
           s"shard $sh lost cycle-1 tokens in cycle 2")
       }
     assert(got === want, "cycle-2 view diverges from the admitted stream")
-    val tails = view(dir.toString).groupBy(_.getLong(0)).values.map(rs =>
-      rs.count(_.getLong(2) != ShardOps.SeqLen.toLong))
-    assert(tails.forall(_ <= 1))
-    // RTBF on a compacted store must refuse, not silently miss the merge
-    val ex = intercept[IllegalArgumentException] {
-      StreamingOps.forgetStreamStore(spark, sf, dir.toString,
-        col("doc_id") % ShardOps.ForgetMod === ShardOps.ForgetRes)
+    // FLAT COST: cycle 2's re-pack input is merge-1's tail rows + batch
+    // 2 only — merge-1's files must come through byte-identical (its
+    // tail row is shadowed at read, not rewritten)
+    assert(TestFs.crcByFile(dir).filter(_._1.contains(s"gen=$t1"))
+      === merge1Files, "cycle 2 rewrote the earlier merge's files")
+    assertDefragged(dir.toString)
+    // cycle 3: one more batch, one more merge — the earlier merges
+    // stay byte-identical again (tier growth is additive, never a
+    // re-pack of history)
+    val b3 = base.filter($"doc_id" >= 50 && $"doc_id" < 100)
+      .select(($"doc_id" + 8L * sp).as("doc_id"), $"text")
+      .localCheckpoint()
+    assert(b3.count() > 0)
+    StreamingOps.pipelineBatchImpl(b3, 3L, sf, dir.toString,
+      accept.toString, partitioned = true)
+    val t2 = StreamingOps.CompactedGenBase + 2L
+    val settled2 = TestFs.crcByFile(dir)
+      .filter(p => p._1.contains(s"gen=$t1") || p._1.contains(s"gen=$t2"))
+    StreamingOps.compactStreamStore(spark, dir.toString) // cycle 3
+    assert(TestFs.crcByFile(dir)
+      .filter(p => p._1.contains(s"gen=$t1") || p._1.contains(s"gen=$t2"))
+      === settled2, "cycle 3 rewrote an earlier merge's files")
+    val fed3 = fed.unionAll(b3.withColumn("bgen", lit(3L)))
+    val want3 = graft.operators.BpeOps
+      .subwordIdsOf(spark, sf, fed3.select($"doc_id", $"text"))
+      .join(fed3.select($"doc_id", $"bgen"), Seq("doc_id"))
+      .select(GenerationLayout.shardOf($"doc_id").as("shard"),
+        $"bgen", $"doc_id", $"pos", $"subpos", $"tid")
+      .orderBy($"shard", $"bgen", $"doc_id", $"pos", $"subpos")
+      .select($"shard", $"tid".cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    assert(viewToks(dir.toString) === want3,
+      "cycle-3 view diverges from the admitted stream")
+    assertDefragged(dir.toString)
+  }
+
+  /** The one-pass-pack shape: per shard the view's addresses are
+    * exactly 0..n-1 (global contiguity survives every cycle) and at
+    * most the LAST row is under-filled. */
+  private def assertDefragged(dir: String): Unit = {
+    view(dir).groupBy(_.getLong(0)).foreach { case (sh, rows) =>
+      val seqs = rows.map(_.getLong(1)).sorted
+      assert(seqs === (0L until seqs.size.toLong).toSeq,
+        s"shard $sh view addresses not contiguous from 0")
+      val under = rows.sortBy(_.getLong(1))
+        .map(_.getLong(2)).zipWithIndex
+        .filter(_._1 != ShardOps.SeqLen.toLong).map(_._2)
+      assert(under.forall(_ == rows.size - 1),
+        s"shard $sh has an interior under-filled row")
     }
-    assert(ex.getMessage.contains("before compaction"))
   }
 }
