@@ -85,6 +85,23 @@ object BenchStress {
     "q_media_index_forget",
     // round-14: the audio twin of the index-forget compliance path
     "q_audio_index_forget",
+    // round-16: the EMBEDDING modality's persisted-ANN lifecycle
+    // (VERDICT r15 task 3) — the rebuild twin re-hashes the corpus
+    // (bucket populations grow xREP; candidates stay band-bounded)...
+    "q_simsearch_ann_rad",
+    // ...while the persisted-index search reads the stamped artifact
+    // and hashes only the probe set — the serving-path claim is
+    // "indexed <= rebuild at 10x", checked directly in the artifact
+    "q_simsearch_ann_index",
+    // stream-maintained signature log: search cost = the
+    // q_simsearch_ann_index claim over the distinct-collapsed log
+    "q_stream_ann_index",
+    // distinct fold of the signature log into a single-file base +
+    // the indexed search (the q_stream_media_index_compact class)
+    "q_stream_ann_index_compact",
+    // RTBF into the ANN index: filter-in-place generation rewrite +
+    // dynamic partition overwrite at 10x index size
+    "q_ann_index_forget",
     // round-15: RTBF into the posting index — 2x corpus-sized posting
     // build + affected-generation re-tokenize + the manifest-backed
     // search; stressed to prove the forget stays slice-sized and the

@@ -16,7 +16,7 @@ object SparkEntry {
     CoreOps, JoinOps, AggOps, WindowFuncOps, SortSetOps, ScalarOps,
     CohortOps, AnomalyOps,
     TextOps, BpeOps, UnigramOps, DedupOps, GraphOps, ClusterOps,
-    SimilarityOps, SearchOps,
+    SimilarityOps, SearchOps, EmbedIndexOps,
     CustomOps, MultimodalOps, TypedOps, SourceOps, CleanPipelineOps, ShardOps,
     CurationOps, MixOps, TrainOps, ProfileOps, LayoutOps, AuditOps,
     graft.streaming.StreamingOps)

@@ -61,6 +61,11 @@ object GraftFunctions {
       info("srp_sig", "srp_sig(array<float>, bands, bits, seed) - multi-band SRP-LSH signature"),
       (es: Seq[Expression]) => SrpSig(es.head, intLit(es(1), "bands"),
         intLit(es(2), "bits"), longLit(es(3), "seed"))),
+    (FunctionIdentifier("rad_sig"),
+      info("rad_sig",
+        "rad_sig(array<long>, bands, bits, seed) - Rademacher-SRP LSH signature of a scale-6 scaled vector"),
+      (es: Seq[Expression]) => RadSig(es.head, intLit(es(1), "bands"),
+        intLit(es(2), "bits"), longLit(es(3), "seed"))),
     (FunctionIdentifier("decimal_scale6"),
       info("decimal_scale6",
         "decimal_scale6(array<float>) - exact scale-6 unscaled longs"),

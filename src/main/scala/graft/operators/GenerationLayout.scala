@@ -81,6 +81,15 @@ object GenerationLayout {
       pmod(shiftright(id - 1, 1), lit(BpeOps.HoldoutMod.toLong)) === 0
   }
 
+  /** The embedding (Rademacher-SRP) band index: every vec_id — the
+    * embeddings table is one vector per id, no modality split — with
+    * the family HoldoutMod delta rule on the vec_id domain (dense
+    * 0..N−1, so multiples of HoldoutMod are always populated). */
+  case object EmbedIndex extends Layout("embed_index") {
+    def slice(id: Column): Column = lit(true)
+    def isDelta(id: Column): Column = id % BpeOps.HoldoutMod === 0
+  }
+
   /** The STREAM-built shard store's generation rule: gen = the
     * micro-batch that admitted the doc. Not a static id rule in
     * general; the pinned two-file fixture landing zone admits
@@ -91,5 +100,5 @@ object GenerationLayout {
 
   /** Every static layout — the property spec sweeps this list, so a
     * store added here is non-vacuity-tested for free. */
-  val all: Seq[Layout] = Seq(ShardStore, MediaIndex, AudioIndex)
+  val all: Seq[Layout] = Seq(ShardStore, MediaIndex, AudioIndex, EmbedIndex)
 }

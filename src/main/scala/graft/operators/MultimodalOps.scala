@@ -739,20 +739,19 @@ object MultimodalOps extends QueryPack {
       : DataFrame =
     probeTopK(s, d, indexRead(s, mediaIndexDir(s, d)))
 
-  // ---------- RTBF propagation into the serving index (r14). Forgetting
-  // a doc from the training shards (q_shard_forget) is not enough: its
-  // SIGNATURES still sit in the search index and keep surfacing it —
-  // the compliance requirement is that a delete propagates to every
-  // derived artifact. Generation alignment gives the same bounded blast
-  // radius here as in the shard store: a media id's index rows live in
-  // exactly ONE generation, derivable from the id alone (the HoldoutMod
-  // layout rule), so only the generations the delete set touches are
-  // re-derived — from their SURVIVING source slice (filter before the
-  // encode map, so deleted payloads are never even hashed) — and
-  // swapped in with dynamic partition overwrite; untouched generations
-  // keep their files byte-identical (MediaSearchSpec). A generation
-  // whose every media was deleted is dropped at the directory level
-  // (the dynamic-overwrite zero-row gap, same as forgetDocs).
+  // ---------- RTBF propagation into the serving index (r14; rewrite
+  // r16). Forgetting a doc from the training shards (q_shard_forget) is
+  // not enough: its SIGNATURES still sit in the search index and keep
+  // surfacing it — the compliance requirement is that a delete
+  // propagates to every derived artifact. Generation alignment gives
+  // the same bounded blast radius here as in the shard store: a media
+  // id's index rows live in exactly ONE generation, derivable from the
+  // id alone (the HoldoutMod layout rule), so only the generations the
+  // delete set touches rewrite. The rewrite itself is the shared
+  // filter-in-place engine ([[IndexForget]]): the artifact's current
+  // rows minus the delete set — NOT a re-derivation from the source,
+  // which until r16 silently resurrected earlier deletes on the second
+  // forget (the works-once class the periodic-lifecycle harness pins).
   private[graft] def forgetMediaIndex(s: SparkSession, d: String,
       dir: String, deletePred: org.apache.spark.sql.Column): Unit = {
     import s.implicits._
@@ -762,18 +761,9 @@ object MultimodalOps extends QueryPack {
     val affected = media.filter(deletePred)
       .select(lay.genOfInt($"doc_id").as("gen"))
       .distinct().as[Int].collect().toSeq.sorted
-    affected.foreach { g =>
-      val genSel = lay.genSlice($"doc_id", delta = g == 1)
-      val anySurvivor = !media.filter(genSel).filter(!deletePred).isEmpty
-      if (anySurvivor)
-        bandRows(indexSlice(s, d, delta = g == 1, keep = !deletePred))
-          .withColumn("gen", lit(g))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("gen").parquet(dir)
-      else graft.Fs.deleteRecursively(
-        java.nio.file.Paths.get(dir).resolve(s"gen=$g"))
-    }
+    IndexForget.filterInPlace(s, dir, "media_id",
+      Seq("media_id", "ph", "band", "bkey"), affected,
+      media.filter(deletePred).select($"doc_id".as("media_id")))
   }
 
   private val mediaIndexForget = QueryDef(
@@ -796,8 +786,9 @@ object MultimodalOps extends QueryPack {
         CAST(neighbor_id AS BIGINT) AS neighbor_id, hamming
       FROM shm QUALIFY rnk <= $TopK ORDER BY probe_id, rnk"""),
     "RTBF propagation into the serving index: affected generations " +
-      "re-derived from their surviving source slice (deleted payloads " +
-      "never re-hashed) and swapped via dynamic partition overwrite; " +
+      "filtered IN PLACE (current artifact rows minus the delete set — " +
+      "survivors byte-carried, nothing re-hashed, repeated forgets " +
+      "compose) and swapped via dynamic partition overwrite; " +
       "post-forget search hash-equal to the oracle's replay with " +
       "deleted docs excluded from the searchable side")
 
@@ -1491,9 +1482,9 @@ object MultimodalOps extends QueryPack {
 
   // RTBF propagation into the audio index — a delete must reach EVERY
   // derived artifact, and the WAV fingerprints are one (see
-  // q_media_index_forget for the design: affected generations
-  // re-derived from their surviving source slice, deleted payloads
-  // never re-hashed, dynamic partition overwrite).
+  // q_media_index_forget: blast radius from the layout rule, rewrite =
+  // the shared filter-in-place engine — the artifact's current rows
+  // minus the delete set, so repeated forgets compose; r16).
   private[graft] def forgetAudioIndex(s: SparkSession, d: String,
       dir: String, deletePred: org.apache.spark.sql.Column): Unit = {
     import s.implicits._
@@ -1502,19 +1493,9 @@ object MultimodalOps extends QueryPack {
     val affected = media.filter(deletePred)
       .select(lay.genOfInt($"doc_id").as("gen"))
       .distinct().as[Int].collect().toSeq.sorted
-    affected.foreach { g =>
-      val genSel = lay.genSlice($"doc_id", delta = g == 1)
-      val anySurvivor = !media.filter(genSel).filter(!deletePred).isEmpty
-      if (anySurvivor)
-        audioBandRows(audioIndexSlice(s, d, delta = g == 1,
-          keep = !deletePred))
-          .withColumn("gen", lit(g))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("gen").parquet(dir)
-      else graft.Fs.deleteRecursively(
-        java.nio.file.Paths.get(dir).resolve(s"gen=$g"))
-    }
+    IndexForget.filterInPlace(s, dir, "media_id",
+      Seq("media_id", "ph", "band", "bkey"), affected,
+      media.filter(deletePred).select($"doc_id".as("media_id")))
   }
 
   private val audioIndexForget = QueryDef(
@@ -1537,10 +1518,10 @@ object MultimodalOps extends QueryPack {
         CAST(neighbor_id AS BIGINT) AS neighbor_id, hamming
       FROM vhm QUALIFY rnk <= $TopK ORDER BY probe_id, rnk"""),
     "RTBF propagation into the audio fingerprint index: affected " +
-      "generations re-derived from the surviving source slice and " +
-      "swapped via dynamic partition overwrite; post-forget search " +
-      "hash-equal to the replay with deleted docs excluded from the " +
-      "searchable side")
+      "generations filtered in place (current rows minus the delete " +
+      "set; repeated forgets compose) and swapped via dynamic " +
+      "partition overwrite; post-forget search hash-equal to the " +
+      "replay with deleted docs excluded from the searchable side")
 
   private val audioSearchIndexed = QueryDef(
     "q_simsearch_audio_index",

@@ -261,16 +261,22 @@ object SearchOps extends QueryPack {
       .groupBy($"tok", $"doc_id").agg(count(lit(1)).cast("long").as("tf"))
   }
 
-  /** The generation's doc-count manifest row — always exactly one row
-    * (an agg over zero docs still yields count 0), so the manifest has
-    * no empty-partition edge case. */
+  /** The generation's doc-MEMBERSHIP manifest (one row per doc). A
+    * plain n_docs count (the r15 form) could not survive repeated
+    * forgets: counting survivors requires knowing which docs are still
+    * present, and an EMPTY doc is present without owning a single
+    * posting row — so presence must be recorded, not inferred. With
+    * membership rows the manifest is itself a generation-aligned store
+    * whose forget is the same filter-in-place anti-join as the
+    * postings', and N is a count over it. O(N docs) rows — orders
+    * below the postings it annotates. */
   private def metaRows(s: org.apache.spark.sql.SparkSession, d: String,
       delta: Boolean, keep: Column = lit(true)): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .filter(GenerationLayout.ShardStore.genSlice($"doc_id", delta))
       .filter(keep)
-      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .select($"doc_id")
       .withColumn("gen", lit(if (delta) 1 else 0))
   }
 
@@ -294,9 +300,11 @@ object SearchOps extends QueryPack {
   }
 
   /** RTBF propagation into the posting index: affected generations (by
-    * the layout rule — no index scan) re-derived from their surviving
-    * source slice and swapped via dynamic partition overwrite; the
-    * manifest is rewritten under the same discipline. */
+    * the layout rule — no index scan) filtered IN PLACE via the shared
+    * engine ([[IndexForget]]) — current postings minus the delete set,
+    * so repeated forgets compose (the r16 works-once fix: re-deriving
+    * from the source resurrected earlier deletes); the doc-membership
+    * manifest rewrites under the identical discipline. */
   private[graft] def forgetPostingIndex(s: org.apache.spark.sql.SparkSession,
       d: String, dir: String, deletePred: Column): Unit = {
     import s.implicits._
@@ -306,23 +314,11 @@ object SearchOps extends QueryPack {
     val affected = docs.filter(deletePred)
       .select(lay.genOfInt($"doc_id").as("gen"))
       .distinct().as[Int].collect().toSeq.sorted
-    affected.foreach { g =>
-      val anySurvivor = !docs.filter(lay.genSlice($"doc_id", delta = g == 1))
-        .filter(!deletePred).isEmpty
-      if (anySurvivor)
-        postingRows(s, d, delta = g == 1, keep = !deletePred)
-          .withColumn("gen", lit(g))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("gen").parquet(dir)
-      else graft.Fs.deleteRecursively(
-        java.nio.file.Paths.get(dir).resolve(s"gen=$g"))
-      // the manifest row always rewrites (count 0 is a valid fact)
-      metaRows(s, d, delta = g == 1, keep = !deletePred)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("gen").parquet(postingMetaDir(dir))
-    }
+    val delIds = docs.filter(deletePred).select($"doc_id")
+    IndexForget.filterInPlace(s, dir, "doc_id",
+      Seq("tok", "doc_id", "tf"), affected, delIds)
+    IndexForget.filterInPlace(s, postingMetaDir(dir), "doc_id",
+      Seq("doc_id"), affected, delIds)
   }
 
   /** The q_search_term ranked search AGAINST a posting-index read: the
@@ -355,7 +351,7 @@ object SearchOps extends QueryPack {
     // [[prunedPostings]] itself.
     val tf = prunedPostings(s, dir).localCheckpoint()
     val n = s.read.parquet(postingMetaDir(dir))
-      .agg(sum($"n_docs").cast("long").as("n_docs"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
     val weights = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .select($"tok", mil($"n_docs" - $"df", $"n_docs").as("w_mil"))
@@ -386,11 +382,11 @@ object SearchOps extends QueryPack {
       FROM scored GROUP BY doc_id
       ORDER BY score DESC, doc_id LIMIT $SearchTopN"""),
     "RTBF propagation into the posting index: affected generations " +
-      "re-derived from the surviving source slice (deleted texts never " +
-      "re-tokenized) and swapped via dynamic partition overwrite, " +
-      "doc-count manifest rewritten alongside; post-forget ranked " +
-      "search over the index read hash-equal to the scorer's replay " +
-      "over the surviving corpus")
+      "filtered in place (current postings minus the delete set — " +
+      "nothing re-tokenized, repeated forgets compose) and swapped " +
+      "via dynamic partition overwrite, doc-membership manifest " +
+      "rewritten alongside; post-forget ranked search over the index " +
+      "read hash-equal to the scorer's replay over the surviving corpus")
 
   // ------------------------------------------- q_search_hybrid_rrf
   // Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of

@@ -496,10 +496,18 @@ object ShardOps extends QueryPack {
         GenerationLayout.ShardStore.genOf($"doc_id").as("gen"))
       .distinct()
       .as[(Long, Long)].collect().toSeq
+    // packed rows carry no doc membership, so survivors must be
+    // re-derived from the source — which still contains every doc an
+    // EARLIER forget removed. The store's tombstone log closes that
+    // works-once hole (r16): record-first (idempotent; a crashed
+    // delete is completed by its retry), then anti-join the log into
+    // every survivor derivation so repeated forgets compose.
+    Tombstones.record(s, dir,
+      graft.Tables.documents(s, d).filter(deletePred).select($"doc_id"))
     forgetRewrite(s, dir, affected, (g, shards) =>
-      genIds(s, d, delta = g == 1L)
-        .filter($"shard".isin(shards: _*))
-        .filter(!deletePred))
+      Tombstones.without(s, dir,
+        genIds(s, d, delta = g == 1L)
+          .filter($"shard".isin(shards: _*))))
   }
 
   /** Stress-only blast-radius variant (BenchStress `x_shard_forget_*`):

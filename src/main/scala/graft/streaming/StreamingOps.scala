@@ -51,6 +51,14 @@ object StreamingOps extends QueryPack {
     // multi-config service can accumulate.
     cap = 4, onEvict = _ => ())
 
+  /** Fixture-zone mtime pin — batch admission order is load-bearing in
+    * every landing zone, so a silent setLastModified failure must fail
+    * the build loudly, not stamp an order-scrambled zone complete (the
+    * SourceOps ADVICE-r15 rule, applied to every site r16). */
+  private[graft] def touchOrFail(fs: Iterable[java.io.File], ts: Long): Unit =
+    fs.foreach(f => require(f.setLastModified(ts),
+      s"setLastModified failed for $f"))
+
   private[graft] def withStreamPartitions[T](s: SparkSession, n: Int,
       conf: Seq[(String, String)] = Nil)(
       body: SparkSession => T): T = {
@@ -223,8 +231,8 @@ object StreamingOps extends QueryPack {
     // FIRST, advancing the watermark and dropping every real event as
     // late. Pin the order explicitly: events at t-60s, sentinel at t.
     val t = System.currentTimeMillis()
-    eventParts.foreach(_.setLastModified(t - 60000L))
-    (parts -- eventParts).foreach(_.setLastModified(t))
+    touchOrFail(eventParts, t - 60000L)
+    touchOrFail(parts -- eventParts, t)
     graft.FixtureStamp.complete(marker, stamp)
     dir.toString
   }
@@ -1128,8 +1136,8 @@ object StreamingOps extends QueryPack {
     // a mtime tie could admit the sentinel first and drop every real
     // event as late)
     val t = System.currentTimeMillis()
-    eventParts.foreach(_.setLastModified(t - 60000L))
-    (parts -- eventParts).foreach(_.setLastModified(t))
+    touchOrFail(eventParts, t - 60000L)
+    touchOrFail(parts -- eventParts, t)
     graft.FixtureStamp.complete(marker, stamp)
     dir.toString
   }
@@ -1453,8 +1461,8 @@ object StreamingOps extends QueryPack {
     ev.filter($"ts" >= timestamp_seconds(lit(sp)))
       .coalesce(1).write.mode("append").parquet(dir.toString)
     val t = System.currentTimeMillis()
-    earlyParts.foreach(_.setLastModified(t - 60000L))
-    (parts -- earlyParts).foreach(_.setLastModified(t))
+    touchOrFail(earlyParts, t - 60000L)
+    touchOrFail(parts -- earlyParts, t)
     graft.FixtureStamp.complete(marker, stamp)
     dir.toString
   }
@@ -1558,8 +1566,8 @@ object StreamingOps extends QueryPack {
     // pin batch order: low doc_id range strictly first (the
     // streamInputDir3 mtime rule)
     val t = System.currentTimeMillis()
-    lowParts.foreach(_.setLastModified(t - 60000L))
-    (parts -- lowParts).foreach(_.setLastModified(t))
+    touchOrFail(lowParts, t - 60000L)
+    touchOrFail(parts -- lowParts, t)
     graft.FixtureStamp.complete(marker, stamp)
     dir.toString
   }
@@ -1986,15 +1994,19 @@ object StreamingOps extends QueryPack {
           .as("gen"))
       .distinct()
       .as[(Long, Long)].collect().toSeq
+    // record-first tombstones (see ShardOps.forgetDocs): the source
+    // replay below would otherwise resurrect earlier forgets' docs
+    graft.operators.Tombstones.record(s, dir,
+      kept.filter(deletePred).select($"doc_id"))
     graft.operators.ShardOps.forgetRewrite(s, dir, affected,
       (g, shards) => {
-        val docs = graft.Tables.documents(s, d).select($"doc_id", $"text")
-          .filter(graft.operators.GenerationLayout
-            .streamGenOf($"doc_id", sp) === g)
-          .filter(!deletePred)
-          .join(kept, Seq("doc_id"), "left_semi")
-          .filter(graft.operators.GenerationLayout.shardOf($"doc_id")
-            .isin(shards: _*))
+        val docs = graft.operators.Tombstones.without(s, dir,
+          graft.Tables.documents(s, d).select($"doc_id", $"text")
+            .filter(graft.operators.GenerationLayout
+              .streamGenOf($"doc_id", sp) === g)
+            .join(kept, Seq("doc_id"), "left_semi")
+            .filter(graft.operators.GenerationLayout.shardOf($"doc_id")
+              .isin(shards: _*)))
         graft.operators.BpeOps.subwordIdsOf(s, d, docs)
           .withColumn("shard",
             graft.operators.GenerationLayout.shardOf($"doc_id"))
@@ -2061,23 +2073,47 @@ object StreamingOps extends QueryPack {
           .as("gen"))
       .distinct()
       .as[(Long, Long)].collect().toSeq
+    // record-first tombstones (see ShardOps.forgetDocs): the source
+    // replay below must not resurrect earlier forgets' docs
+    graft.operators.Tombstones.record(s, dir,
+      kept.filter(deletePred).select($"doc_id"))
+    // the marker now CARRIES the tombstone-state fingerprint it staged
+    // under: a marker from a DIFFERENT delete state (a crash mid-
+    // install of delete #1, then delete #2 arrives) marks a stage that
+    // is stale for the current state — without the check, #2 would
+    // install #1's stage under its own touched-shard list and silently
+    // skip its own merged-region work. Stale ⇒ purge stage+marker and
+    // rebuild from the CURRENT tombstone state (which includes every
+    // earlier recorded delete, so the union semantics converge;
+    // delete #1's pending shards heal on its retry). Bounded: one
+    // 1-row aggregate over the narrow tombstone log.
+    val tombFp = graft.operators.Tombstones
+      .fingerprint(s, dir.toString)
+    val stage = java.nio.file.Paths.get(dir).resolve("_forget_stage")
+    val marker = java.nio.file.Paths.get(dir)
+      .resolve("_forget_committed")
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker),
+          "UTF-8") != tombFp) {
+      graft.Fs.deleteRecursively(stage)
+      java.nio.file.Files.delete(marker)
+    }
     val touched = affected.filter(_._2 <= curK).map(_._1).distinct.sorted
     if (touched.nonEmpty) {
-      val stage = java.nio.file.Paths.get(dir).resolve("_forget_stage")
-      val marker = java.nio.file.Paths.get(dir)
-        .resolve("_forget_committed")
       if (!java.nio.file.Files.exists(marker)) {
         graft.Fs.deleteRecursively(stage)
         // source replay of the touched shards' merged region: the
         // surviving admitted docs whose admission batch the merge
-        // covers, in admission order (batch, then doc)
-        val docs = graft.Tables.documents(s, d).select($"doc_id", $"text")
-          .filter(graft.operators.GenerationLayout.shardOf($"doc_id")
-            .isin(touched: _*))
-          .filter(graft.operators.GenerationLayout
-            .streamGenOf($"doc_id", sp) <= curK)
-          .filter(!deletePred)
-          .join(kept, Seq("doc_id"), "left_semi")
+        // covers, in admission order (batch, then doc) — survivors =
+        // admitted minus the FULL tombstone log (subsumes the current
+        // delete set, recorded above)
+        val docs = graft.operators.Tombstones.without(s, dir,
+          graft.Tables.documents(s, d).select($"doc_id", $"text")
+            .filter(graft.operators.GenerationLayout.shardOf($"doc_id")
+              .isin(touched: _*))
+            .filter(graft.operators.GenerationLayout
+              .streamGenOf($"doc_id", sp) <= curK)
+            .join(kept, Seq("doc_id"), "left_semi"))
         val toks = graft.operators.BpeOps.subwordIdsOf(s, d, docs)
           .withColumn("shard",
             graft.operators.GenerationLayout.shardOf($"doc_id"))
@@ -2094,7 +2130,7 @@ object StreamingOps extends QueryPack {
         touched.foreach(sh => java.nio.file.Files
           .createDirectories(stage.resolve(s"shard=$sh")))
         crash("pre_marker")
-        java.nio.file.Files.createFile(marker)
+        java.nio.file.Files.write(marker, tombFp.getBytes("UTF-8"))
       }
       crash("post_marker")
       touched.foreach { sh =>
@@ -2126,14 +2162,14 @@ object StreamingOps extends QueryPack {
     if (postPairs.nonEmpty)
       graft.operators.ShardOps.forgetRewrite(s, dir, postPairs,
         (g, shards) => {
-          val docs = graft.Tables.documents(s, d)
-            .select($"doc_id", $"text")
-            .filter(graft.operators.GenerationLayout
-              .streamGenOf($"doc_id", sp) === g)
-            .filter(!deletePred)
-            .join(kept, Seq("doc_id"), "left_semi")
-            .filter(graft.operators.GenerationLayout.shardOf($"doc_id")
-              .isin(shards: _*))
+          val docs = graft.operators.Tombstones.without(s, dir,
+            graft.Tables.documents(s, d)
+              .select($"doc_id", $"text")
+              .filter(graft.operators.GenerationLayout
+                .streamGenOf($"doc_id", sp) === g)
+              .join(kept, Seq("doc_id"), "left_semi")
+              .filter(graft.operators.GenerationLayout.shardOf($"doc_id")
+                .isin(shards: _*)))
           graft.operators.BpeOps.subwordIdsOf(s, d, docs)
             .withColumn("shard",
               graft.operators.GenerationLayout.shardOf($"doc_id"))

@@ -68,6 +68,31 @@ class GenerationLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("streamGenOf (the parameterized stream-store rule) is swept " +
+      "too: both generations populated, split exactly at the midpoint, " +
+      "on every id window") {
+    // not a static Layout (gen = admitting micro-batch; the fixture
+    // landing zone makes it a midpoint rule) — swept here explicitly so
+    // the dynamic rule gets the same non-vacuity pin as `all`
+    // (VERDICT r15 task 4)
+    for ((lo, hi) <- windows) {
+      val mid = lo + (hi - lo) / 2
+      val byGen = ids(lo, hi)
+        .groupBy(GenerationLayout.streamGenOf($"doc_id", mid).as("gen"))
+        .count().as[(Long, Long)].collect().toMap
+      assert(byGen.keySet === Set(0L, 1L),
+        s"streamGenOf: generations ${byGen.keySet} on [$lo, $hi)")
+      assert(byGen(0L) === mid - lo && byGen(1L) === hi - mid,
+        s"streamGenOf: split sizes $byGen diverge from the midpoint " +
+          s"rule on [$lo, $hi)")
+    }
+    // and the boundary id itself is the first of generation 1
+    val edge = ids(10L, 12L)
+      .select(GenerationLayout.streamGenOf($"doc_id", 11L).as("gen"))
+      .as[Long].collect().toSeq
+    assert(edge === Seq(0L, 1L))
+  }
+
   test("the in-engine rules are the layout rules: ShardStore matches " +
       "the family HoldoutMod split; AudioIndex matches the shipped " +
       "audioDeltaSel on its slice") {

@@ -404,6 +404,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // posting-index forget: the affected-generation set (≤ 2 rows by
       // the layout rule — the forgetDocs class)
       "operators/SearchOps.scala" -> 1,
+      // embedding-ANN index forget: the affected-generation set (≤ 2
+      // rows by the layout rule — the forgetDocs class)
+      "operators/EmbedIndexOps.scala" -> 1,
       // stream-store forget: the affected (shard, gen) pair set
       // (≤ NShards × generations rows by the admission layout rule) +
       // stream-store compact: the data-bearing generation key set

@@ -52,9 +52,11 @@ class SearchIndexForgetSpec extends SparkTestBase {
       .filter($"doc_id" % ShardOps.ForgetMod === ShardOps.ForgetRes)
       .count()
     assert(leaked === 0, s"$leaked postings still name deleted docs")
-    // manifest = per-generation survivor counts
+    // manifest = per-generation survivor MEMBERSHIP (r16 doc-grain
+    // form; counts derive from it)
     val meta = spark.read.parquet(SearchOps.postingMetaDir(dir))
-      .select($"gen".cast("int"), $"n_docs")
+      .groupBy($"gen".cast("int").as("gen"))
+      .agg(count(lit(1)).as("n_docs"))
       .as[(Int, Long)].collect().toMap
     val surv = Tables.documents(spark, sf)
       .filter($"doc_id" % ShardOps.ForgetMod =!= ShardOps.ForgetRes)
