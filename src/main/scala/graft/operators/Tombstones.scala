@@ -59,7 +59,17 @@ object Tombstones {
     * replayed/duplicated append states agree). Bounded: one 1-row
     * aggregate over the narrow log. The compacted-store forget stamps
     * its `_forget_committed` marker with this, so a stage built under
-    * a DIFFERENT delete state is detectable as stale. */
+    * a DIFFERENT delete state is detectable as stale. (count, sum, xor)
+    * is not collision-proof against an adversarial id set — but the
+    * states being distinguished are successive delete logs of ONE
+    * store, where any difference perturbs all three aggregates
+    * independently; an accidental collision would need two distinct
+    * delete histories agreeing on all three, and the failure mode it
+    * guards (installing a stage built under the wrong delete state)
+    * also requires a crash in the same window. The alternative — an
+    * order-insensitive cryptographic set hash — needs either a
+    * driver-side id collect (unbounded) or a per-id hash SUM, which is
+    * the same algebraic shape with bigger constants. */
   def fingerprint(s: SparkSession, store: String): String =
     if (!exists(store)) "empty"
     else {

@@ -201,4 +201,38 @@ class PeriodicLifecycleSpec extends SparkTestBase {
         .forgetStreamStore(spark, sf, d, p),
       collapsedStore)
   }
+
+  test("INTERLEAVED lifecycle: forget -> compact -> forget -> compact " +
+      "equals the one-pass union forget + compact (operator " +
+      "interleaving, not just repetition)") {
+    // the repeated-forget runners vary ONE operator; production
+    // interleaves them — a delete arrives, compaction runs, another
+    // delete arrives. The compactor derives content from the STORE
+    // (post-forget truth) and the compacted-forget replays the source
+    // minus the FULL tombstone log, so the interleaving must commute
+    // to the one-pass answer; this leg pins exactly that.
+    val a = scratch("plc-interleave-a")
+    copyPristine(a)
+    graft.streaming.StreamingOps.forgetStreamStore(spark, sf, a, p1)
+    graft.streaming.StreamingOps.compactStreamStore(spark, a)
+    graft.streaming.StreamingOps.forgetStreamStore(spark, sf, a, p2)
+    graft.streaming.StreamingOps.compactStreamStore(spark, a)
+    val b = scratch("plc-interleave-b")
+    copyPristine(b)
+    graft.streaming.StreamingOps.forgetStreamStore(spark, sf, b, p1 || p2)
+    graft.streaming.StreamingOps.compactStreamStore(spark, b)
+    // compare the LOGICAL VIEW, not raw files: the two histories
+    // legitimately differ physically — B keeps gen-0 full rows at
+    // their final addresses (the flat-cost rule: never rewritten),
+    // while A's compacted-forget re-derived its touched shards
+    // entirely at the merge generation. The view is the read contract
+    // and must agree address-for-address, token-for-token.
+    def view(d: String): Seq[org.apache.spark.sql.Row] =
+      graft.streaming.StreamingOps.compactedStreamView(spark, d)
+        .orderBy($"shard", $"seq_idx").collect().toSeq
+    val (ca, cb) = (view(a), view(b))
+    assert(ca.nonEmpty && ca === cb,
+      "interleaved forget/compact diverges from the one-pass union — " +
+        "an operator pair that does not commute")
+  }
 }
