@@ -352,6 +352,10 @@ object BenchStress {
     // media-dedup audit: 2x the stressed q_dedup_media plus the pixel
     // ground-truth pass (same banded class) and 1-row flag attaches
     "q_dedup_media_audit",
+    // rad-ANN recall audit: the stressed q_simsearch_ann_rad plus the
+    // exact-cosine truth (whose super-linear scorer q_simsearch_cosine
+    // is already in StressQueries) — audit-only by design
+    "q_simsearch_ann_rad_audit",
     // media-search audit: the stressed q_simsearch_media plus the
     // probe-broadcast brute-force truth — audit-only by design (the
     // exact re-score is the thing the banded path exists to avoid)

@@ -406,7 +406,64 @@ object EmbedIndexOps extends QueryPack {
       "oracle's replay with the delete set excluded from both " +
       "candidate sides")
 
+  // ------------------------------------------------------------- audit
+
+  /** MEASURED recall — a first for the engine's ANN audits. The
+    * SRP/IVF/IVFPQ audits pin deterministic recall FLOORS because
+    * their hit counts are algorithm-specific (JVM-PRNG planes /
+    * learned quantizers — DuckDB cannot recompute them); this family's
+    * banded result replays in DuckDB like everything else, so the
+    * audit ships the actual hit count as a hash-checked value: both
+    * the exact decimal top-K truth and the banded candidate top-K are
+    * recomputed independently by the oracle, and n_hits is their join
+    * cardinality — no floor, no margin, no pinning risk. */
+  private val annRadAudit = QueryDef(
+    "q_simsearch_ann_rad_audit",
+    (s, d) => {
+      import s.implicits._
+      val exact = SimilarityOps.exactTopK(s, d)
+        .select($"qid", $"cid").cache()
+      val found = probeTopK(s, d,
+          bandRows(scaledVecs(s, d, lit(true)))
+            .toDF("cid", "cv", "band", "bkey"))
+        .select($"qid", $"cid")
+      val hits = exact.join(found, Seq("qid", "cid"), "left_semi")
+      exact.agg(
+          countDistinct($"qid").cast("long").as("n_queries"),
+          count(lit(1)).cast("long").as("n_exact_topk"))
+        .crossJoin(broadcast(found.agg(
+          count(lit(1)).cast("long").as("n_found"))))
+        .crossJoin(broadcast(hits.agg(
+          count(lit(1)).cast("long").as("n_hits"))))
+    },
+    Some(s"""WITH $radCtes,
+      radc AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+        FROM radsig q JOIN radsig c ON q.band = c.band AND q.bkey = c.bkey
+        WHERE q.vec_id < $NQ AND q.vec_id <> c.vec_id),
+      fnd AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY ${dotSql("qe", "ce")} DESC, cid) AS rnk
+        FROM radc JOIN embeddings qe ON radc.qid = qe.vec_id
+          JOIN embeddings ce ON radc.cid = ce.vec_id)
+        WHERE rnk <= ${SimilarityOps.K}),
+      tk AS MATERIALIZED (SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${dotSql("q", "c")} DESC, c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < $NQ AND q.vec_id <> c.vec_id)
+        WHERE rnk <= ${SimilarityOps.K})
+      SELECT CAST((SELECT count(DISTINCT qid) FROM tk) AS BIGINT) AS n_queries,
+        CAST((SELECT count(*) FROM tk) AS BIGINT) AS n_exact_topk,
+        CAST((SELECT count(*) FROM fnd) AS BIGINT) AS n_found,
+        CAST((SELECT count(*) FROM tk JOIN fnd USING (qid, cid)) AS BIGINT)
+          AS n_hits"""),
+    "Rademacher-ANN recall audit with MEASURED hits: exact decimal " +
+      "top-K truth and banded top-K both replayed independently by the " +
+      "oracle; n_hits is their exact intersection — a hash-checked " +
+      "recall number, not a pinned floor")
+
   override def defs: Seq[QueryDef] = Seq(
     annRebuild, annIndexed, annStreamIndexed, annStreamCompacted,
-    annIndexForget)
+    annIndexForget, annRadAudit)
 }

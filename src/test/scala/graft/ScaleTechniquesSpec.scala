@@ -247,6 +247,7 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // audit companions: bounded-window all-pairs / 1-row flag attachments
       "q_dedup_embedding_audit", // 200-vector audit window, constant work
       "q_simsearch_ann_srp_audit", // 1-row recall flag crossJoin
+      "q_simsearch_ann_rad_audit", // 1-row measured-recall attach crossJoins
       "q_simsearch_ivf_audit", // 1-row recall flag crossJoin
       "q_simsearch_ivfpq_audit", // 1-row recall flag crossJoin
       "q_text_unigram_audit", // 1-row scalar/flag attach crossJoin
