@@ -408,20 +408,46 @@ object BpeOps extends QueryPack {
     * streaming micro-batch of cleaned docs, StreamingOps
     * q_stream_pipeline). Same plan shape: vocab-sized broadcasts, pure
     * map + posexplode on the doc side. */
+  /** The (tok, tid) subword-ID vocabulary as a DRIVER-LOCAL relation,
+    * computed once per (application, corpus, fixture stamp) — r16
+    * optimization. The previous form re-derived the vocab INSIDE every
+    * consumer plan (explode + aggregate + sort + limit + one-partition
+    * window over the dict relation, re-executed per tokenize call: the
+    * stream pipelines tokenize per MICRO-BATCH, the forgets per
+    * rewrite). The vocabulary is deterministic tokenizer state — rank
+    * by (corpus-weighted frequency DESC, tok) with the UTF-8-binary
+    * tie-break both engines share — so one execution of exactly the
+    * plan it replaces, collected (vocab-sized, the MaxDictWords class)
+    * and re-entered as a LocalRelation, removes that subtree from
+    * every consumer. Same memo class (driver-local, corpus-stamped) as
+    * [[learnBpe]]. */
+  private val vocabMemo =
+    new graft.Memo.Bounded[(String, String, String), Seq[(String, Int)]](
+      cap = 4, onEvict = _ => ())
+  private[graft] def subwordVocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = vocabMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+      graft.FixtureStamp.stamp("bpe1", d, "documents"))) {
+      val (_, dictTok) = learnBpe(s, d)
+      // subword vocab: corpus-weighted token frequency (Σ word-freq
+      // over occurrences), rank desc with lexicographic tie-break
+      dictTok
+        .select(explode($"toks").as("tok"), $"freq")
+        .groupBy($"tok").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"tok").limit(VocabSize)
+        .withColumn("tid", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"cnt".desc, $"tok")))
+        .select($"tok", $"tid").as[(String, Int)].collect().toSeq
+    }
+    rows.toDF("tok", "tid")
+  }
+
   private[graft] def subwordIdsOf(s: SparkSession, d: String,
       docs: DataFrame): DataFrame = {
     import s.implicits._
     val (_, dictTok) = learnBpe(s, d)
-    // subword vocab: corpus-weighted token frequency (Σ word-freq over
-    // occurrences), rank desc with lexicographic tie-break
-    val vocab = dictTok
-      .select(explode($"toks").as("tok"), $"freq")
-      .groupBy($"tok").agg(sum($"freq").as("cnt"))
-      .orderBy($"cnt".desc, $"tok").limit(VocabSize)
-      .withColumn("tid", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy($"cnt".desc, $"tok")))
-      .select($"tok", $"tid")
+    val vocab = subwordVocab(s, d)
     val posWords = docs
       .select($"doc_id", posexplode(split(lower($"text"), " +")))
       .toDF("doc_id", "pos", "w0")

@@ -346,15 +346,73 @@ object ClusterOps extends QueryPack {
   private[graft] val PqK = 16
   private[graft] val PqDsub = Dim / PqM
 
-  /** The M learned sub-codebooks: (sub, cluster, centroid slice). */
+  /** Lloyd's iterations over M INDEPENDENT subspaces in ONE pass per
+    * iteration (r16 optimization — the q_embed_pq training loop).
+    * `svSubs` is the (sub, vec_id, sa) union of every subspace slice;
+    * each iteration runs ONE action computing the (sub, cluster, pos)
+    * centroid sums for all subspaces at once, where the per-subspace
+    * form paid (Iters + 1) sequential driver actions per subspace —
+    * 4× the job count for the same total compute (guide §1.2: fix the
+    * number of passes first). Per-subspace arithmetic is identical to
+    * [[fitCentroids]]: the assignment joins the broadcast codebook on
+    * `sub` (so a vector only scores against its own subspace's
+    * centroids), the argmin groups on (sub, vec_id) with the same
+    * (d2, cluster) tie-break, and the mean is the same exact-integer
+    * HALF_UP — subspaces never interact, so the learned codebooks are
+    * bit-identical to the per-subspace loop's (EmbedIndexSpec /
+    * IterativeOpsSpec pin q_embed_pq against reference Lloyd's). */
+  private[graft] def fitCentroidsSubs(s: SparkSession, svSubs: DataFrame,
+      k: Int): Seq[(Int, Long, Array[Long])] = {
+    import s.implicits._
+    // deterministic init per subspace: the first K vectors by id
+    var cents: Map[(Int, Long), Array[Long]] = svSubs
+      .filter($"vec_id" < k)
+      .select($"sub", $"vec_id", $"sa").as[(Int, Long, Seq[Long])]
+      .collect().map { case (m, c, a) => (m, c) -> a.toArray }.toMap
+    for (_ <- 0 until Iters) {
+      val centDf = cents.toSeq.map { case ((m, c), a) => (m, c, a.toSeq) }
+        .toDF("sub", "cluster", "carr")
+      // M × K×Dsub centroid sums — kilobytes at any corpus size
+      val sums = svSubs.join(broadcast(centDf), Seq("sub"))
+        .select($"sub", $"vec_id", $"cluster",
+          dist2($"sa", $"carr").as("d2"))
+        .groupBy($"sub", $"vec_id")
+        .agg(min(struct($"d2", $"cluster")).as("b"))
+        .select($"sub", $"vec_id", $"b.cluster".as("cluster"))
+        .join(svSubs, Seq("sub", "vec_id"))
+        .select($"sub", $"cluster", posexplode($"sa"))
+        .toDF("sub", "cluster", "pos", "x")
+        .groupBy($"sub", $"cluster", $"pos")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("c"))
+        .as[(Int, Long, Int, Long, Long)]
+        .collect()
+      val byKey = sums.groupBy(r => (r._1, r._2))
+      cents = cents.map { case (key, old) =>
+        byKey.get(key) match {
+          case Some(rows) =>
+            val arr = old.clone()
+            rows.foreach { case (_, _, pos, sx, cnt) =>
+              arr(pos) = halfUpDiv(sx, cnt) }
+            key -> arr
+          case None => key -> old // empty cluster keeps its centroid
+        }
+      }
+    }
+    cents.toSeq.map { case ((m, c), a) => (m, c, a) }
+      .sortBy(t => (t._1, t._2))
+  }
+
+  /** The M learned sub-codebooks: (sub, cluster, centroid slice) —
+    * trained jointly in one pass per iteration ([[fitCentroidsSubs]]). */
   private[graft] def pqCodebook(s: SparkSession, sv: DataFrame)
       : Seq[(Int, Long, Array[Long])] = {
     import s.implicits._
-    (0 until PqM).flatMap { m =>
-      val svSub = sv.select($"vec_id",
-        slice($"sa", m * PqDsub + 1, PqDsub).as("sa"))
-      fitCentroids(s, svSub, PqK).map { case (c, a) => (m, c, a) }
-    }
+    val svSubs = sv.select($"vec_id", posexplode(
+        array((0 until PqM).map(m =>
+          slice($"sa", m * PqDsub + 1, PqDsub)): _*)))
+      .toDF("vec_id", "sub", "sa")
+      .select($"sub", $"vec_id", $"sa")
+    fitCentroidsSubs(s, svSubs, PqK)
   }
 
   private val embedPq = QueryDef(

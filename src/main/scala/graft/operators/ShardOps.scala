@@ -422,6 +422,35 @@ object ShardOps extends QueryPack {
   private[graft] def forgetShardDir(d: String): String =
     graft.streaming.StreamingOps.indexArtifactDir("shard_forget", d).toString
 
+  /** As [[packStream]] (docStats = true form), but packing EACH
+    * (shard, gen) independently in ONE pass: the window partitions on
+    * (shard, gen), `startSeq` is keyed by (shard, gen), and the output
+    * keeps `gen`. Per-(shard, gen) content is identical to packRows
+    * over that generation alone — the window order and the pack rule
+    * never cross a generation boundary, so partitioning the window by
+    * (shard, gen) over the union of generations numbers each
+    * generation's tokens exactly as the per-generation pass did. */
+  private[graft] def packRowsByGen(s: SparkSession, toks: DataFrame,
+      startSeq: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard", $"gen")
+      .orderBy($"doc_id", $"pos", $"subpos")
+    val idxd = toks
+      .withColumn("tok_idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("seq_in_gen", expr(s"tok_idx div $SeqLen"))
+      .withColumn("pos_in_seq", pmod($"tok_idx", lit(SeqLen.toLong)))
+    idxd.join(broadcast(startSeq), Seq("shard", "gen"), "left")
+      .withColumn("seq_idx", $"seq_in_gen" + coalesce($"seq0", lit(0L)))
+      .groupBy($"shard", $"gen", $"seq_idx")
+      .agg(count(lit(1)).cast("long").as("n_ids"),
+        array_join(
+          transform(array_sort(collect_list(struct($"pos_in_seq", $"tid"))),
+            x => x.getField("tid").cast("string")), ",").as("ids_str"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
   /** The ONE forget-rewrite engine for generation-aligned packed
     * stores, shared by the batch store ([[forgetDocs]]) and the
     * stream-built store (StreamingOps.forgetStreamStore) — the r14
@@ -430,24 +459,28 @@ object ShardOps extends QueryPack {
     *
     * `affected` is the (shard, gen) partition set the delete touches
     * (derived by the caller from its layout rule — bounded, never a
-    * store scan); `survivingIds(gen, shards)` returns that
-    * generation's surviving token stream restricted to the affected
-    * shards, as a (doc_id, pos, subpos, tid, shard) relation. Each
-    * affected generation is re-packed and swapped in with DYNAMIC
-    * partition overwrite; generations rewrite in ascending order with
-    * seq offsets FROZEN at their original pre-delete values — each
-    * generation's own min seq_idx, which IS its frozen start
-    * regardless of what happened to the generations below it (on a
-    * compacted store the predecessors were vacuumed into a merge, so
-    * "1 + max of earlier generations" no longer reconstructs it) —
-    * snapshotted DRIVER-SIDE before any rewrite (cache() is NOT a
-    * snapshot: block eviction would recompute from the already-shrunk
-    * store and mis-address later generations); a partition whose every
-    * doc was deleted is dropped at the directory level (dynamic
-    * overwrite leaves zero-row partitions' stale files behind). */
+    * store scan); `survivingIds(pairs)` returns the surviving token
+    * stream restricted to those pairs, as a (doc_id, pos, subpos, tid,
+    * shard, gen) relation. ALL affected generations re-pack in ONE
+    * pass (r16 optimization — the per-generation loop paid the whole
+    * tokenize → window → write chain once per generation, and its
+    * post-write survivor collect silently re-ran the same pipeline a
+    * second time per generation; the pack is now localCheckpointed
+    * once, written once with DYNAMIC partition overwrite, and the
+    * survivor set read from the checkpoint). Seq offsets stay FROZEN
+    * at their original pre-delete values — each generation's own min
+    * seq_idx, which IS its frozen start regardless of what happened to
+    * the generations below it (on a compacted store the predecessors
+    * were vacuumed into a merge, so "1 + max of earlier generations"
+    * no longer reconstructs it) — snapshotted DRIVER-SIDE before the
+    * rewrite (cache() is NOT a snapshot: block eviction would
+    * recompute from the already-shrunk store and mis-address later
+    * generations); a partition whose every doc was deleted is dropped
+    * at the directory level (dynamic overwrite leaves zero-row
+    * partitions' stale files behind). */
   private[graft] def forgetRewrite(s: SparkSession, dir: String,
       affected: Seq[(Long, Long)],
-      survivingIds: (Long, Seq[Long]) => DataFrame): Unit = {
+      survivingIds: Seq[(Long, Long)] => DataFrame): Unit = {
     import s.implicits._
     if (affected.isEmpty) return
     // pre-delete (shard, gen) → min seq_idx snapshot (the frozen
@@ -457,25 +490,24 @@ object ShardOps extends QueryPack {
         $"gen".cast("long").as("gen"))
       .agg(min($"seq_idx").as("mn"))
       .as[(Long, Long, Long)].collect().toSeq
-    affected.map(_._2).distinct.sorted.foreach { g =>
-      val shards = affected.collect { case (sh, gg) if gg == g => sh }
-      val startSeq = if (g == 0L) None else {
-        val rows = minSeq.collect { case (sh, gg, mn) if gg == g =>
-          (sh, mn) }
-        Some(s.createDataset(rows).toDF("shard", "seq0"))
-      }
-      val packed = packRows(s, survivingIds(g, shards), startSeq)
-        .withColumn("gen", lit(g))
-      packed.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard", "gen").parquet(dir)
-      // bounded collect: ≤ NShards distinct shard keys
-      val survivors = packed.select($"shard").distinct()
-        .as[Long].collect().toSet
-      shards.filterNot(survivors).foreach { sh =>
-        graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir)
-          .resolve(s"shard=$sh").resolve(s"gen=$g"))
-      }
+    // gen 0 packs from 0 (its frozen min IS 0); later generations from
+    // their snapshotted pre-delete min — exactly the per-generation
+    // loop's None / Some(minSeq) split, keyed by (shard, gen)
+    val offRows = minSeq.map { case (sh, g, mn) =>
+      (sh, g, if (g == 0L) 0L else mn) }
+    val off = s.createDataset(offRows).toDF("shard", "gen", "seq0")
+    val packed = packRowsByGen(s, survivingIds(affected), off)
+      .localCheckpoint()
+    packed.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "gen").parquet(dir)
+    // bounded collect from the checkpoint: ≤ affected-pair count
+    val survivors = packed
+      .select($"shard", $"gen").distinct()
+      .as[(Long, Long)].collect().toSet
+    affected.filterNot(survivors).foreach { case (sh, g) =>
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir)
+        .resolve(s"shard=$sh").resolve(s"gen=$g"))
     }
   }
 
@@ -504,10 +536,16 @@ object ShardOps extends QueryPack {
     // every survivor derivation so repeated forgets compose.
     Tombstones.record(s, dir,
       graft.Tables.documents(s, d).filter(deletePred).select($"doc_id"))
-    forgetRewrite(s, dir, affected, (g, shards) =>
+    // ONE tokenize pass over the union of affected generations (the
+    // per-generation form re-ran the whole subword pipeline per gen)
+    forgetRewrite(s, dir, affected, pairs =>
       Tombstones.without(s, dir,
-        genIds(s, d, delta = g == 1L)
-          .filter($"shard".isin(shards: _*))))
+        BpeOps.subwordIdRows(s, d)
+          .withColumn("shard", GenerationLayout.shardOf($"doc_id"))
+          .withColumn("gen", GenerationLayout.ShardStore.genOf($"doc_id"))
+          .filter(pairs.groupBy(_._2).map { case (g, ps) =>
+            col("gen") === g && col("shard").isin(ps.map(_._1): _*)
+          }.reduce(_ || _))))
   }
 
   /** Stress-only blast-radius variant (BenchStress `x_shard_forget_*`):

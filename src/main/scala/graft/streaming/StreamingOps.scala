@@ -106,6 +106,35 @@ object StreamingOps extends QueryPack {
     finally ckpt.foreach(graft.Fs.deleteRecursively)
   }
 
+  /** Per-run scratch checkpoint root for queries that must pass an
+    * EXPLICIT checkpointLocation (file sinks, the statestore-reader
+    * pair): RAM-backed when the host has one, disk fallback otherwise
+    * — the r8 rule that moved withStreamPartitions' per-call
+    * checkpoints off disk, extended in r16 to the four queries that
+    * bypassed it (each stateful micro-batch commits offsets + state
+    * deltas per partition with fsyncs; on the ext4 target/ dir that
+    * fixed cost dominated these queries' bench profile). The
+    * checkpoint never outlives its usefulness — every caller wipes it
+    * at entry and the bounded landing-zone runs re-stream per
+    * invocation — so durability semantics are unchanged; at cluster
+    * scale this is the NVMe-local state-dir analog. Deterministic
+    * per-(kind, corpus) names keep the /dev/shm footprint bounded. */
+  private[graft] def scratchCheckpointDir(kind: String, d: String)
+      : java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        // full-path hash suffix — the indexArtifactDir collision rule
+        shm.resolve(s"graft_ck_${kind}_" + new java.io.File(d).getName +
+          "-" + java.security.MessageDigest.getInstance("MD5")
+            .digest(d.getBytes("UTF-8")).take(4)
+            .map("%02x".format(_)).mkString)
+      else indexArtifactDir(kind, d)
+    graft.Fs.deleteRecursively(p)
+    p
+  }
+
   /** Streaming queries active on ANY pooled scoped session — the outer
     * session's StreamingQueryManager cannot see them (each newSession()
     * has its own), so "no stream is running" checks must go through
@@ -856,7 +885,8 @@ object StreamingOps extends QueryPack {
           .filter($"user_id" >= 0)
           .writeStream.format("parquet")
           .option("path", base.resolve("data").toString)
-          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .option("checkpointLocation",
+            scratchCheckpointDir("sink_stream_files_ck", d).toString)
           .outputMode("append")
           .start()
         q.processAllAvailable()
@@ -1175,8 +1205,8 @@ object StreamingOps extends QueryPack {
       // dirs are wiped per run so re-invocations re-stream instead of
       // serving the previous run's files through the same checkpoint.
       val outPath = indexArtifactDir("stream_anomaly_out", d)
-      val ckPath = indexArtifactDir("stream_anomaly_ck", d)
-      Seq(outPath, ckPath).foreach(graft.Fs.deleteRecursively)
+      graft.Fs.deleteRecursively(outPath)
+      val ckPath = scratchCheckpointDir("stream_anomaly_ck", d)
       withStreamPartitions(s, 8) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -1388,8 +1418,7 @@ object StreamingOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val dir = streamInputDirState(s, d)
-      val ckPath = indexArtifactDir("stream_state_ck", d)
-      graft.Fs.deleteRecursively(ckPath)
+      val ckPath = scratchCheckpointDir("stream_state_ck", d)
       val schema = StructType(Seq(
         StructField("ts", TimestampType),
         StructField("event_type", StringType),
@@ -1486,8 +1515,7 @@ object StreamingOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val dir = streamInputDirState2(s, d)
-      val ckPath = indexArtifactDir("stream_state_ck2", d)
-      graft.Fs.deleteRecursively(ckPath)
+      val ckPath = scratchCheckpointDir("stream_state_ck2", d)
       val schema = StructType(Seq(
         StructField("ts", TimestampType),
         StructField("event_type", StringType),
@@ -1999,17 +2027,23 @@ object StreamingOps extends QueryPack {
     graft.operators.Tombstones.record(s, dir,
       kept.filter(deletePred).select($"doc_id"))
     graft.operators.ShardOps.forgetRewrite(s, dir, affected,
-      (g, shards) => {
+      pairs => {
+        // ONE tokenize pass over every affected (shard, gen) pair —
+        // docs are filtered to the pair set BEFORE the subword explode
         val docs = graft.operators.Tombstones.without(s, dir,
           graft.Tables.documents(s, d).select($"doc_id", $"text")
-            .filter(graft.operators.GenerationLayout
-              .streamGenOf($"doc_id", sp) === g)
             .join(kept, Seq("doc_id"), "left_semi")
-            .filter(graft.operators.GenerationLayout.shardOf($"doc_id")
-              .isin(shards: _*)))
+            .filter(pairs.groupBy(_._2).map { case (g, ps) =>
+              (graft.operators.GenerationLayout
+                .streamGenOf($"doc_id", sp) === g) &&
+                graft.operators.GenerationLayout.shardOf($"doc_id")
+                  .isin(ps.map(_._1): _*)
+            }.reduce(_ || _)))
         graft.operators.BpeOps.subwordIdsOf(s, d, docs)
           .withColumn("shard",
             graft.operators.GenerationLayout.shardOf($"doc_id"))
+          .withColumn("gen", graft.operators.GenerationLayout
+            .streamGenOf($"doc_id", sp))
       })
   }
 
@@ -2161,18 +2195,22 @@ object StreamingOps extends QueryPack {
     val postPairs = affected.filter(_._2 > curK)
     if (postPairs.nonEmpty)
       graft.operators.ShardOps.forgetRewrite(s, dir, postPairs,
-        (g, shards) => {
+        pairs => {
           val docs = graft.operators.Tombstones.without(s, dir,
             graft.Tables.documents(s, d)
               .select($"doc_id", $"text")
-              .filter(graft.operators.GenerationLayout
-                .streamGenOf($"doc_id", sp) === g)
               .join(kept, Seq("doc_id"), "left_semi")
-              .filter(graft.operators.GenerationLayout.shardOf($"doc_id")
-                .isin(shards: _*)))
+              .filter(pairs.groupBy(_._2).map { case (g, ps) =>
+                (graft.operators.GenerationLayout
+                  .streamGenOf($"doc_id", sp) === g) &&
+                  graft.operators.GenerationLayout.shardOf($"doc_id")
+                    .isin(ps.map(_._1): _*)
+              }.reduce(_ || _)))
           graft.operators.BpeOps.subwordIdsOf(s, d, docs)
             .withColumn("shard",
               graft.operators.GenerationLayout.shardOf($"doc_id"))
+            .withColumn("gen", graft.operators.GenerationLayout
+              .streamGenOf($"doc_id", sp))
         })
   }
 
@@ -3068,7 +3106,7 @@ object StreamingOps extends QueryPack {
       // declared pipeline already ran (VERDICT r14 task 5)
       val (_, acceptLog) = ndPipelineLogs(s, d)
       val streamed = s.read.parquet(acceptLog)
-        .select($"doc_id").distinct().localCheckpoint()
+        .select($"doc_id").distinct()
       val (accepted, a0, kept1, shed) = nearDupBatchReference(s, d)
       // brute-force truth: posting join over all (kept1, accepted-0)
       // shingle pairs — audit-only cost, not the declared plan
@@ -3107,25 +3145,36 @@ object StreamingOps extends QueryPack {
             .cast("decimal(38,6)").as("j"))
         .filter($"j" >= lit("0.5").cast("decimal(38,6)"))
         .select($"did").distinct()
-      def emptyFlag(df: DataFrame): org.apache.spark.sql.Column =
-        lit(1L) - least(lit(df.count()), lit(1L))
-      val equalsOk = emptyFlag(streamed.unionAll(accepted)
-        .groupBy($"doc_id").agg(count(lit(1)).as("c")).filter($"c" =!= 2))
-      val precisionOk = emptyFlag(
-        shed.join(trueNd.withColumnRenamed("did", "doc_id"),
-          Seq("doc_id"), "left_anti"))
-      val recallHiOk = emptyFlag(
-        trueHi.withColumnRenamed("did", "doc_id")
-          .join(shed, Seq("doc_id"), "left_anti"))
-      kept1.agg(
-        lit(a0.count()).as("n_accept0"),
-        count(lit(1)).cast("long").as("n_delta"))
-        .select($"n_accept0", $"n_delta",
-          lit(trueNd.count()).as("n_true_nd"),
-          lit(intraTrueNd.count()).as("n_intra_true_nd"),
-          equalsOk.as("stream_equals_batch_ok"),
-          precisionOk.as("precision_ok"),
-          recallHiOk.as("recall_hi_ok"))
+      // ONE action for all seven scalars (r16 optimization): each is a
+      // 1-row aggregate attached by crossJoin(broadcast(...)) — the
+      // media-audit pattern. The previous form ran 7 SEQUENTIAL driver
+      // count() jobs (three over heavy subtrees: the brute-force truth,
+      // the intra-batch self-join, the set-equality check); as broadcast
+      // inputs of one plan they materialize CONCURRENTLY on the
+      // broadcast-exchange pool (guide §2.6: overlap independent jobs —
+      // the biggest single bench entry was mostly idle-tail time).
+      // Values are unchanged: lit(df.count()) ≡ count(*) aggregate;
+      // the old `1 - least(count, 1)` flag ≡ `count == 0`.
+      def emptyFlag(df: DataFrame, name: String): DataFrame =
+        df.agg((count(lit(1)) === 0L).cast("long").as(name))
+      val mismatches = streamed.unionAll(accepted)
+        .groupBy($"doc_id").agg(count(lit(1)).as("c")).filter($"c" =!= 2)
+      val precViol = shed.join(trueNd.withColumnRenamed("did", "doc_id"),
+        Seq("doc_id"), "left_anti")
+      val recallViol = trueHi.withColumnRenamed("did", "doc_id")
+        .join(shed, Seq("doc_id"), "left_anti")
+      kept1.agg(count(lit(1)).cast("long").as("n_delta"))
+        .crossJoin(broadcast(a0.agg(
+          count(lit(1)).cast("long").as("n_accept0"))))
+        .crossJoin(broadcast(trueNd.agg(
+          count(lit(1)).cast("long").as("n_true_nd"))))
+        .crossJoin(broadcast(intraTrueNd.agg(
+          count(lit(1)).cast("long").as("n_intra_true_nd"))))
+        .crossJoin(broadcast(emptyFlag(mismatches, "stream_equals_batch_ok")))
+        .crossJoin(broadcast(emptyFlag(precViol, "precision_ok")))
+        .crossJoin(broadcast(emptyFlag(recallViol, "recall_hi_ok")))
+        .select($"n_accept0", $"n_delta", $"n_true_nd", $"n_intra_true_nd",
+          $"stream_equals_batch_ok", $"precision_ok", $"recall_hi_ok")
     },
     Some({
       val grams = graft.operators.TextOps.modelSqlGrams("text")

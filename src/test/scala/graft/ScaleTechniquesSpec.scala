@@ -261,6 +261,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // truth) + 1-row count attaches — audit-only, probe-bounded
       "q_simsearch_media_audit",
       "q_dedup_audio_audit", // 1-row count/flag attach crossJoins (×5)
+      // 1-row count/flag attach crossJoins (×6) — the scalars were
+      // previously sequential driver count() jobs; same class as
+      // q_dedup_media_audit
+      "q_stream_pipeline_neardup_audit",
       // probe fingerprints broadcast against the index (exact re-score
       // ground truth) + 1-row count attaches — audit-only, probe-bounded
       "q_simsearch_audio_audit",
@@ -375,8 +379,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       "operators/SimilarityOps.scala" -> 6,
       // k-means training loop: .limit(K) seed fetch + the K×Dim-row
       // per-iteration centroid-sum collect (kilobytes at any corpus size
-      // — the MLlib collect-broadcast iteration shape)
-      "operators/ClusterOps.scala" -> 2,
+      // — the MLlib collect-broadcast iteration shape); ×2 for the PQ
+      // multi-subspace variant (same shape, M×K×Dsub rows — r16's
+      // one-pass-per-iteration training)
+      "operators/ClusterOps.scala" -> 4,
       // batch-perceptron training loop: the per-iteration <=B+1-row
       // gradient collect (the kmeans centroid-collect shape — kilobytes
       // at any corpus size)
@@ -390,8 +396,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // BPE learning (round 10, driver-local): ONE vocab-sized dict
       // collect guarded by the MaxDictWords require — the industrial
       // learner shape — plus the spec-only distributed reference's
-      // .limit(1) argmax fetch (unreachable from declared queries)
-      "operators/BpeOps.scala" -> 2,
+      // .limit(1) argmax fetch (unreachable from declared queries),
+      // plus the once-per-corpus .limit(VocabSize) subword-vocab
+      // collect (r16 — the LocalRelation every tokenize plan reuses)
+      "operators/BpeOps.scala" -> 3,
       // shard forget: the affected (shard, gen) pair set (≤ NShards×2
       // rows by the layout rule) + the surviving-shard key set
       // (≤ NShards rows) for empty-partition cleanup + the pre-rewrite
@@ -408,6 +416,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // embedding-ANN index forget: the affected-generation set (≤ 2
       // rows by the layout rule — the forgetDocs class)
       "operators/EmbedIndexOps.scala" -> 1,
+      // shared index forget engine: the surviving-generation key set
+      // (≤ generation count) for empty-partition cleanup after the
+      // one-pass rewrite (r16)
+      "operators/IndexForget.scala" -> 1,
       // stream-store forget: the affected (shard, gen) pair set
       // (≤ NShards × generations rows by the admission layout rule) +
       // stream-store compact: the data-bearing generation key set
