@@ -309,7 +309,8 @@ object EmbedIndexOps extends QueryPack {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
-    graft.streaming.StreamingOps.withStreamPartitions(s, 8) { ss =>
+    graft.streaming.StreamingOps.withStreamPartitions(s,
+      graft.streaming.StreamingOps.streamPartitionsFor(dir)) { ss =>
       val q = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")

@@ -836,7 +836,8 @@ object MultimodalOps extends QueryPack {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    graft.streaming.StreamingOps.withStreamPartitions(s, 8) { ss =>
+    graft.streaming.StreamingOps.withStreamPartitions(s,
+      graft.streaming.StreamingOps.streamPartitionsFor(dir)) { ss =>
       val q = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")

@@ -113,7 +113,8 @@ object SourceOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val dir = materializePayloads(s, d)
-      graft.streaming.StreamingOps.withStreamPartitions(s, 8) { ss =>
+      graft.streaming.StreamingOps.withStreamPartitions(s,
+      graft.streaming.StreamingOps.streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream.format("graft.sources.PayloadJsonSource")
           .option("path", dir)
           .option("maxFilesPerTrigger", "64") // ~5 micro-batches per sf

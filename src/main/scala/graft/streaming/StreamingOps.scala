@@ -106,6 +106,38 @@ object StreamingOps extends QueryPack {
     finally ckpt.foreach(graft.Fs.deleteRecursively)
   }
 
+  /** Scale-adaptive stream shuffle-partition count for a bounded
+    * landing zone (r16, guide §2: derive partitioning from input size
+    * rather than a constant tuned for either local mode or the
+    * cluster). A stateful micro-batch pays per-PARTITION fixed costs —
+    * state-store open/commit and offset bookkeeping per partition per
+    * batch — so the partition count should track the zone's data
+    * volume: one partition per ~16 MB of zone bytes (the small-state
+    * analog of AQE's advisoryPartitionSizeInBytes), floored at 4
+    * (measured knee on the fixture zones: 8 → 4 cut the stateful
+    * families' per-batch overhead ~19%, 4 → 2 was flat) and capped at
+    * 512; `SPARK_GRAFT_STREAM_PARTS` overrides for explicit tuning. At
+    * a production TB-scale zone the same rule yields hundreds of
+    * partitions. Declared results are invariant to this value — every
+    * consumer's output is re-sorted and replay-collapsed. */
+  private[graft] def streamPartitionsFor(zone: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+      val root = java.nio.file.Paths.get(zone)
+      val bytes =
+        if (!java.nio.file.Files.isDirectory(root)) 0L
+        else {
+          val st = java.nio.file.Files.walk(root)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size).sum
+          } finally st.close()
+        }
+      math.max(4L, math.min(512L, (bytes + (16L << 20) - 1) / (16L << 20)))
+        .toInt
+    }
+
   /** Per-run scratch checkpoint root for queries that must pass an
     * EXPLICIT checkpointLocation (file sinks, the statestore-reader
     * pair): RAM-backed when the host has one, disk fallback otherwise
@@ -202,7 +234,7 @@ object StreamingOps extends QueryPack {
       val rawSchema = Tables.rawEvents(s, d).schema
       // file stream source requires a directory: stream the sf dir with a
       // glob filter so only the events table is picked up
-      withStreamPartitions(s, 8,
+      withStreamPartitions(s, streamPartitionsFor(d),
         Seq("spark.sql.legacy.parquet.nanosAsLong" -> "true")) { ss =>
         val q = Tables.normalizeTs(ss.readStream.schema(rawSchema)
           .option("pathGlobFilter", "events.parquet").parquet(d))
@@ -282,7 +314,7 @@ object StreamingOps extends QueryPack {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.DoubleType)))
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("latestFirst", "false")
@@ -369,7 +401,7 @@ object StreamingOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val dir = streamInputDir(s, d)
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = chainedStream(ss, dir)
           .writeStream.format("memory").queryName("graft_stream_chained")
           .outputMode("append")
@@ -424,7 +456,7 @@ object StreamingOps extends QueryPack {
         state.update(UserState(n, cents))
         Iterator.single((uid, n, cents))
       }
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         import ss.implicits._
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -542,7 +574,7 @@ object StreamingOps extends QueryPack {
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("value", DoubleType)))
-      withStreamPartitions(s, 8,
+      withStreamPartitions(s, streamPartitionsFor(dir),
         Seq("spark.sql.streaming.stateStore.providerClass" ->
           ("org.apache.spark.sql.execution.streaming.state." +
             "RocksDBStateStoreProvider"))) { ss =>
@@ -585,7 +617,7 @@ object StreamingOps extends QueryPack {
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("value", DoubleType)))
       // transformWithState refuses the default heap-backed provider
-      withStreamPartitions(s, 8,
+      withStreamPartitions(s, streamPartitionsFor(dir),
         Seq("spark.sql.streaming.stateStore.providerClass" ->
           ("org.apache.spark.sql.execution.streaming.state." +
             "RocksDBStateStoreProvider"))) { ss =>
@@ -670,7 +702,7 @@ object StreamingOps extends QueryPack {
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("value", DoubleType)))
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
           .withColumn("minute_bucket",
@@ -736,7 +768,7 @@ object StreamingOps extends QueryPack {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", TimestampType),
         StructField("user_id", LongType), StructField("event_type", StringType)))
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         def side(et: String, p: String): DataFrame =
           ss.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -783,7 +815,7 @@ object StreamingOps extends QueryPack {
         StructField("value", DoubleType)))
       val dim = Tables.nation(s, d)
         .select($"n_nationkey".cast("long").as("nkey"), $"n_name")
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
           .filter($"user_id" >= 0)
@@ -830,7 +862,7 @@ object StreamingOps extends QueryPack {
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("value", DoubleType)))
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
           .writeStream
@@ -879,7 +911,7 @@ object StreamingOps extends QueryPack {
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("value", DoubleType)))
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
           .filter($"user_id" >= 0)
@@ -947,7 +979,7 @@ object StreamingOps extends QueryPack {
         org.apache.spark.sql.types.StructField("source",
           org.apache.spark.sql.types.StringType)))
       val (n, raw) = graft.operators.TextOps.modelRawScore($"text")
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("latestFirst", "false")
@@ -1042,7 +1074,7 @@ object StreamingOps extends QueryPack {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("source",
           org.apache.spark.sql.types.StringType)))
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(dir)
@@ -1207,7 +1239,7 @@ object StreamingOps extends QueryPack {
       val outPath = indexArtifactDir("stream_anomaly_out", d)
       graft.Fs.deleteRecursively(outPath)
       val ckPath = scratchCheckpointDir("stream_anomaly_ck", d)
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
           .withWatermark("ts", "10 minutes")
@@ -1332,7 +1364,7 @@ object StreamingOps extends QueryPack {
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType)))
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
           .select($"doc_id",
@@ -1428,7 +1460,7 @@ object StreamingOps extends QueryPack {
       // EVICTS every closed window from state — the snapshot we came to
       // inspect. With them off, batch 0's state (watermark still 0,
       // nothing evicted, nothing emitted) is the complete aggregate set.
-      withStreamPartitions(s, 8,
+      withStreamPartitions(s, streamPartitionsFor(dir),
           Seq("spark.sql.streaming.noDataMicroBatches.enabled" ->
             "false")) { ss =>
         val q = ss.readStream.schema(schema).parquet(dir)
@@ -1520,7 +1552,7 @@ object StreamingOps extends QueryPack {
         StructField("ts", TimestampType),
         StructField("event_type", StringType),
         StructField("value", DoubleType)))
-      withStreamPartitions(s, 8,
+      withStreamPartitions(s, streamPartitionsFor(dir),
           Seq("spark.sql.streaming.noDataMicroBatches.enabled" ->
             "false")) { ss =>
         val q = ss.readStream.schema(schema)
@@ -1610,14 +1642,36 @@ object StreamingOps extends QueryPack {
 
   /** Reset both pipeline logs to schema-bearing empty parquet dirs (so
     * the first batch's reads plan against real schemas). */
+  /** Land a schema-bearing EMPTY parquet dir at `dst` by file-copying a
+    * stamped per-schema template instead of running a Spark write job
+    * (r16: the empty-log resets cost two jobs per q_stream_pipeline
+    * invocation — pure fixed overhead; the copied bytes are the one
+    * deterministic empty file the old write produced). The template is
+    * built once per schema under target/ and keyed by the schema's
+    * catalog string, so a schema change rebuilds it. */
+  private[graft] def emptySchemaDir(s: SparkSession, dst: String,
+      schema: StructType): Unit = {
+    val key = Integer.toHexString(schema.catalogString.hashCode)
+    val tpl = java.nio.file.Paths.get("target", "empty_log_tpl", key)
+      .toAbsolutePath
+    val marker = tpl.resolve("_complete")
+    val stamp = "v1|" + schema.catalogString
+    if (!graft.FixtureStamp.upToDate(marker, stamp)) {
+      graft.Fs.deleteRecursively(tpl)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+        .coalesce(1).write.mode("overwrite").parquet(tpl.toString)
+      graft.FixtureStamp.complete(marker, stamp)
+    }
+    val d = java.nio.file.Paths.get(dst)
+    graft.Fs.deleteRecursively(d)
+    graft.Fs.copyRecursively(tpl, d)
+    java.nio.file.Files.deleteIfExists(d.resolve("_complete"))
+  }
+
   private[graft] def resetPipeLogs(s: SparkSession, shardLog: String,
       acceptLog: String): Unit = {
-    graft.Fs.deleteRecursively(java.nio.file.Paths.get(shardLog))
-    graft.Fs.deleteRecursively(java.nio.file.Paths.get(acceptLog))
-    s.createDataFrame(s.sparkContext.emptyRDD[Row], pipeShardSchema)
-      .coalesce(1).write.mode("overwrite").parquet(shardLog)
-    s.createDataFrame(s.sparkContext.emptyRDD[Row], pipeAcceptSchema)
-      .coalesce(1).write.mode("overwrite").parquet(acceptLog)
+    emptySchemaDir(s, shardLog, pipeShardSchema)
+    emptySchemaDir(s, acceptLog, pipeAcceptSchema)
   }
 
   /** One pipeline micro-batch (quality gate already applied upstream,
@@ -1645,21 +1699,24 @@ object StreamingOps extends QueryPack {
       partitioned: Boolean): Unit = {
     val spark2 = batch.sparkSession
     import spark2.implicits._
-    val b = batch.localCheckpoint()
     // dedup gate: first occurrence wins — within the batch (min doc_id
-    // per normalized-text hash) and against hashes accepted by EARLIER
-    // generations (anti join on the accept log)
-    val withH = b.select($"doc_id", $"text",
+    // per normalized-text hash: a map-side-combinable MIN aggregate;
+    // the window form paid an exchange + SORT per micro-batch — r16,
+    // guide §2.3 "aggregate before you shuffle". doc_id is unique, so
+    // min(struct(doc_id, text)) IS the rn=1 row) and against hashes
+    // accepted by EARLIER generations (anti join on the accept log)
+    val withH = batch.select($"doc_id", $"text",
       md5(graft.operators.DedupOps.normText).as("h"))
     val firstInBatch = withH
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"h").orderBy($"doc_id")))
-      .filter($"rn" === 1).drop("rn")
+      .groupBy($"h").agg(min(struct($"doc_id", $"text")).as("b"))
+      .select($"b.doc_id".as("doc_id"), $"b.text".as("text"), $"h")
     val prior = spark2.read.parquet(acceptLog)
       .where($"gen" < batchId).select($"h").distinct()
     val kept = firstInBatch.join(prior, Seq("h"), "left_anti")
       .localCheckpoint() // reused: accept-log append + tokenize
-    kept.select($"h").distinct().withColumn("gen", lit(batchId))
+    // kept is unique per h by construction — no write-side distinct
+    // (it cost one more exchange per batch; the read side distincts)
+    kept.select($"h").withColumn("gen", lit(batchId))
       .write.mode("append").parquet(acceptLog)
     // tokenize the survivors with the corpus' frozen tokenizer and pack
     // them from each shard's next free seq boundary (offsets from the
@@ -1739,7 +1796,7 @@ object StreamingOps extends QueryPack {
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType)))
       val (n, raw) = graft.operators.TextOps.modelRawScore($"text")
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("latestFirst", "false")
@@ -1824,7 +1881,7 @@ object StreamingOps extends QueryPack {
       val outPath = indexArtifactDir("stream_schema_evo_out", d)
       graft.Fs.deleteRecursively(outPath)
       val out = outPath.toString
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream
           .schema(graft.operators.SourceOps.evo2Schema)
           .option("maxFilesPerTrigger", "1")
@@ -1913,13 +1970,11 @@ object StreamingOps extends QueryPack {
       val storePath = indexArtifactDir("stream_pipe_store", d)
       val acceptPath = indexArtifactDir("stream_pipe_store_accept", d)
       graft.Fs.deleteRecursively(storePath)
-      graft.Fs.deleteRecursively(java.nio.file.Paths.get(acceptPath.toString))
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], pipeAcceptSchema)
-        .coalesce(1).write.mode("overwrite").parquet(acceptPath.toString)
+      emptySchemaDir(s, acceptPath.toString, pipeAcceptSchema)
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType)))
       val (n, raw) = graft.operators.TextOps.modelRawScore(col("text"))
-      withStreamPartitions(s, 8) { ss =>
+      withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
         val q = ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("latestFirst", "false")
@@ -1985,11 +2040,11 @@ object StreamingOps extends QueryPack {
       .select($"doc_id", $"text", n.as("n_grams"), raw.as("raw"))
       .filter(graft.operators.TextOps.modelScore($"n_grams", $"raw") >=
         lit(0).cast("decimal(38,6)"))
-      .select($"doc_id", $"text",
+      .select($"doc_id",
         md5(graft.operators.DedupOps.normText).as("h"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"h").orderBy($"doc_id")))
-      .filter($"rn" === 1)
+      // first-wins = min doc_id per hash (map-side-combinable; the
+      // window form paid an exchange + sort — r16)
+      .groupBy($"h").agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
   }
 
@@ -2800,9 +2855,7 @@ object StreamingOps extends QueryPack {
       acceptLog: String, bandLog: String): Unit =
     Seq(shardLog -> pipeShardSchema, acceptLog -> pipeNdAcceptSchema,
       bandLog -> pipeNdBandSchema).foreach { case (p, sch) =>
-      graft.Fs.deleteRecursively(java.nio.file.Paths.get(p))
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], sch)
-        .coalesce(1).write.mode("overwrite").parquet(p)
+      emptySchemaDir(s, p, sch)
     }
 
   /** One near-dup-gated micro-batch. Identical replay contract to
@@ -2813,15 +2866,14 @@ object StreamingOps extends QueryPack {
       bandLog: String): Unit = {
     val spark2 = batch.sparkSession
     import spark2.implicits._
-    val b = batch.localCheckpoint()
     // exact gate (the q_stream_pipeline rule): first occurrence wins —
-    // within the batch, then against earlier-accepted hashes
-    val withH = b.select($"doc_id", $"text",
+    // within the batch (min-struct aggregate, see pipelineBatchImpl),
+    // then against earlier-accepted hashes
+    val withH = batch.select($"doc_id", $"text",
       md5(graft.operators.DedupOps.normText).as("h"))
     val firstInBatch = withH
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"h").orderBy($"doc_id")))
-      .filter($"rn" === 1).drop("rn")
+      .groupBy($"h").agg(min(struct($"doc_id", $"text")).as("b"))
+      .select($"b.doc_id".as("doc_id"), $"b.text".as("text"), $"h")
     val priorH = spark2.read.parquet(acceptLog)
       .where($"gen" < batchId).select($"h").distinct()
     val kept1 = firstInBatch.join(priorH, Seq("h"), "left_anti")
@@ -2892,7 +2944,7 @@ object StreamingOps extends QueryPack {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val (n, raw) = graft.operators.TextOps.modelRawScore($"text")
-    withStreamPartitions(s, 8) { ss =>
+    withStreamPartitions(s, streamPartitionsFor(dir)) { ss =>
       val q = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
@@ -2972,9 +3024,8 @@ object StreamingOps extends QueryPack {
       .select($"doc_id", $"text",
         md5(graft.operators.DedupOps.normText).as("h"))
     def firstWins(df: DataFrame): DataFrame = df
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"h").orderBy($"doc_id")))
-      .filter($"rn" === 1).drop("rn")
+      .groupBy($"h").agg(min(struct($"doc_id", $"text")).as("b"))
+      .select($"b.doc_id".as("doc_id"), $"b.text".as("text"), $"h")
     val a0 = firstWins(qp.filter($"doc_id" < sp)).localCheckpoint()
     val kept1 = firstWins(qp.filter($"doc_id" >= sp))
       .join(a0.select($"h"), Seq("h"), "left_anti").localCheckpoint()
