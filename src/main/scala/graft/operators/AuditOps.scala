@@ -142,12 +142,31 @@ object AuditOps extends QueryPack {
   private def docWindowed(cte: String): String =
     cte.replace("FROM documents", s"FROM documents WHERE doc_id < $DocAuditWindow")
 
+  /** The exact J >= 0.5 pair set of the audit window, materialized ONCE
+    * per (context, corpus) and shared by its three consumers — the
+    * minhash, simhash and winnowing recall audits each recomputed the
+    * full windowed shingle → blocked-pair → verify pipeline (r16; the
+    * [[DedupOps.sharedNgramPairs]] factoring rule from VERDICT r8 task 3
+    * applied to the audit window). presentation=false skips the
+    * range-exchange sort that only exists for the declared pair dump;
+    * `jaccard` stays the exact decimal, so the 0.9 near-dup threshold
+    * below compares in the same domain as the oracle. */
+  private val windowPairsMemo =
+    new graft.Memo.Bounded[(String, String, String),
+      org.apache.spark.sql.DataFrame](
+      cap = 2, onEvict = graft.Memo.releaseLocalCheckpoint)
+  private def windowExactPairs(s: SparkSession, d: String): DataFrame =
+    windowPairsMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+      graft.FixtureStamp.stamp("audpairs1", d, "documents")))(
+      DedupOps.ngramJaccardPairs(s, d, prefixFilter = false,
+        Some(DocAuditWindow), presentation = false)
+        .localCheckpoint())
+
   private val minhashAudit = QueryDef(
     "q_dedup_minhash_audit",
     (s, d) => {
       import s.implicits._
-      val exact = DedupOps
-        .ngramJaccardPairs(s, d, prefixFilter = false, Some(DocAuditWindow))
+      val exact = windowExactPairs(s, d)
         .select($"doc1", $"doc2", lit(1L).as("in_e"))
       val mh = DedupOps.minhashPairs(s, d, Some(DocAuditWindow))
         .select($"doc1", $"doc2", lit(1L).as("in_m"))
@@ -213,9 +232,9 @@ object AuditOps extends QueryPack {
       name,
       (s, d) => {
         import s.implicits._
-        val nd = DedupOps
-          .ngramJaccardPairs(s, d, prefixFilter = false, Some(DocAuditWindow))
-          .filter($"jaccard" >= 0.9).select($"doc1", $"doc2")
+        val nd = windowExactPairs(s, d)
+          .filter($"jaccard" >= lit("0.9").cast("decimal(38,6)"))
+          .select($"doc1", $"doc2")
         val fp = pairs(s, d).select($"doc1", $"doc2", lit(1L).as("caught"))
         nd.join(fp, Seq("doc1", "doc2"), "left")
           .agg(count("*").as("n_neardup_pairs"),

@@ -157,9 +157,27 @@ object ClusterOps extends QueryPack {
       .select($"vec_id", $"b.cluster".as("cluster"), $"b.d2".as("d2"))
   }
 
+  /** As [[assign]] but carrying each vector THROUGH the argmin (r16,
+    * guide §2.4: remove the join outright): every pre-aggregation row of
+    * a vec_id group holds the SAME `sa`, so `first(sa)` re-emits it and
+    * the join back to `sv` on vec_id — one exchange of the corpus plus
+    * a join per consumer — disappears. Returns (vec_id, cluster, sa). */
+  private def assignWithVec(s: SparkSession, sv: DataFrame,
+      cents: Seq[(Long, Array[Long])]): DataFrame = {
+    import s.implicits._
+    val centDf = cents.map { case (c, a) => (c, a.toSeq) }
+      .toDF("cluster", "carr")
+    sv.crossJoin(broadcast(centDf))
+      .groupBy($"vec_id")
+      .agg(min(struct(dist2($"sa", $"carr").as("d2"), $"cluster")).as("b"),
+        first($"sa").as("sa"))
+      .select($"vec_id", $"b.cluster".as("cluster"), $"sa")
+  }
+
   /** Lloyd's iterations; returns the final centroids. Each iteration is
-    * two Spark jobs (assignment+sums aggregation collapsed into one
-    * action) and one K×Dim-row driver collect. */
+    * ONE Spark job (assignment + centroid sums in a single plan — the
+    * vector rides the argmin, no join back to the corpus) and one
+    * K×Dim-row driver collect. */
   private[graft] def fitCentroids(s: SparkSession, sv: DataFrame, k: Int)
       : Seq[(Long, Array[Long])] = {
     import s.implicits._
@@ -171,7 +189,7 @@ object ClusterOps extends QueryPack {
       .collect().sortBy(_._1).map { case (c, a) => (c, a.toArray) }.toSeq
     for (_ <- 0 until Iters) {
       // K×Dim centroid sums — kilobytes at any corpus size
-      val sums = assign(s, sv, cents).join(sv, "vec_id")
+      val sums = assignWithVec(s, sv, cents)
         .select($"cluster", posexplode($"sa"))
         .toDF("cluster", "pos", "x")
         .groupBy($"cluster", $"pos")
@@ -292,8 +310,9 @@ object ClusterOps extends QueryPack {
       // checkpoint the |corpus|×K crossJoin+argmin subtree executed
       // three times (ADVICE r8). Eager also lets the corpus cache be
       // released here rather than accumulating across a bench run.
-      val asg = assign(s, sv, cents).join(sv, "vec_id")
-        .select($"vec_id", $"cluster", $"sa")
+      // r16: the vector rides the argmin (assignWithVec) — the join
+      // back to sv this comment used to describe is gone.
+      val asg = assignWithVec(s, sv, cents)
         .localCheckpoint()
       sv.unpersist(false)
       val dropped = asg.as("a").join(asg.as("b"),
@@ -372,15 +391,15 @@ object ClusterOps extends QueryPack {
     for (_ <- 0 until Iters) {
       val centDf = cents.toSeq.map { case ((m, c), a) => (m, c, a.toSeq) }
         .toDF("sub", "cluster", "carr")
-      // M × K×Dsub centroid sums — kilobytes at any corpus size
+      // M × K×Dsub centroid sums — kilobytes at any corpus size.
+      // r16: the slice rides the argmin (first(sa) — every row of a
+      // (sub, vec_id) group carries the same sa), so the join back to
+      // svSubs disappears (the assignWithVec rule).
       val sums = svSubs.join(broadcast(centDf), Seq("sub"))
-        .select($"sub", $"vec_id", $"cluster",
-          dist2($"sa", $"carr").as("d2"))
         .groupBy($"sub", $"vec_id")
-        .agg(min(struct($"d2", $"cluster")).as("b"))
-        .select($"sub", $"vec_id", $"b.cluster".as("cluster"))
-        .join(svSubs, Seq("sub", "vec_id"))
-        .select($"sub", $"cluster", posexplode($"sa"))
+        .agg(min(struct(dist2($"sa", $"carr").as("d2"), $"cluster")).as("b"),
+          first($"sa").as("sa"))
+        .select($"sub", $"b.cluster".as("cluster"), posexplode($"sa"))
         .toDF("sub", "cluster", "pos", "x")
         .groupBy($"sub", $"cluster", $"pos")
         .agg(sum($"x").as("sx"), count(lit(1)).as("c"))

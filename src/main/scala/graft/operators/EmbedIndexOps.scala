@@ -109,6 +109,23 @@ object EmbedIndexOps extends QueryPack {
       .withColumn("gen", lit(1))
       .write.mode("append").partitionBy("gen").parquet(dir)
 
+  /** One-pass two-generation build for the forget query's SCRATCH store
+    * (r16, guide §1.2: cut the pass count): q_ann_index_forget rebuilds
+    * its store per invocation, and the phased base+delta helpers each
+    * re-ran the scale+hash map over their slice — deriving gen from the
+    * id lands the identical (gen=0, gen=1) hive layout in ONE pass and
+    * ONE write. The phased helpers stay: they ARE the maintain-path
+    * contract (delta-only hashing) and the stamped index artifact's
+    * builder. */
+  private[graft] def buildEmbedIndexStore(s: SparkSession, d: String,
+      dir: String): Unit = {
+    import s.implicits._
+    val lay = GenerationLayout.EmbedIndex
+    bandRows(scaledVecs(s, d, lay.slice($"vec_id")))
+      .withColumn("gen", lay.genOfInt($"vec_id"))
+      .write.mode("overwrite").partitionBy("gen").parquet(dir)
+  }
+
   /** The persisted index artifact, stamped per corpus version. */
   private[graft] def embedIndexDir(s: SparkSession, d: String): String = {
     val dir = graft.streaming.StreamingOps
@@ -388,8 +405,7 @@ object EmbedIndexOps extends QueryPack {
     (s, d) => {
       val dir = graft.streaming.StreamingOps
         .indexArtifactDir("embed_rad_index_forget", d).toString
-      writeEmbedIndexBase(s, d, dir)
-      appendEmbedIndexDelta(s, d, dir)
+      buildEmbedIndexStore(s, d, dir) // one scale+hash pass (r16)
       val pred = col("vec_id") % ShardOps.ForgetMod === ShardOps.ForgetRes
       forgetEmbedIndex(s, d, dir, pred)
       probeTopK(s, d, indexRead(s, dir), probeKeep = !pred)

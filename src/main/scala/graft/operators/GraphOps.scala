@@ -190,6 +190,14 @@ object GraphOps extends QueryPack {
     val baseMil = ratMil(150000L)  // teleport term: round(0.15e6 / N)
     // (u, v, deg(u)) — static across iterations, materialized once
     val ew = edges.join(deg, "u").localCheckpoint()
+    // The iteration chain itself is LAZY (r16, guide §1.2: cut the pass
+    // count first): iters is a FIXED unrolled depth and pr(k) has exactly
+    // one consumer, pr(k+1) — so the whole loop is one linear plan over
+    // the checkpointed (u, v, deg) relation and the caller's single
+    // action runs all iterations as stages of ONE job. The previous
+    // per-iteration localCheckpoint paid `iters` sequential driver
+    // round-trips for lineage depth that is already O(1) in the input
+    // (the only multi-consumed relation, ew, stays checkpointed).
     var pr = deg.select($"u".as("node"), lit(initMil).as("pr"))
     for (_ <- 1 to iters) {
       pr = ew.join(pr, ew("u") === pr("node"))
@@ -197,7 +205,6 @@ object GraphOps extends QueryPack {
         .groupBy($"v").agg(sum($"c").as("s"))
         .select($"v".as("node"),
           (lit(baseMil) + mil0(lit(85L) * $"s", lit(100L))).as("pr"))
-        .localCheckpoint()
     }
     pr.join(deg, pr("node") === deg("u"))
       .select($"node".as("doc_id"), $"deg", $"pr".as("pagerank_mil"))

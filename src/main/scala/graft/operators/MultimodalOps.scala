@@ -693,6 +693,27 @@ object MultimodalOps extends QueryPack {
       .withColumn("gen", lit(1))
       .write.mode("append").partitionBy("gen").parquet(dir)
 
+  /** One-pass two-generation build for the forget query's SCRATCH store
+    * (r16, guide §1.2): q_media_index_forget rebuilds per invocation and
+    * the phased base+delta helpers each re-ran the encode+hash map over
+    * their slice — gen derived from the id lands the identical
+    * (gen=0, gen=1) layout in ONE pass and ONE write. The phased
+    * helpers stay as the maintain-path contract (delta-only hashing)
+    * and the stamped artifact's builder. */
+  private[graft] def buildMediaIndexStore(s: SparkSession, d: String,
+      dir: String): Unit = {
+    import s.implicits._
+    val lay = GenerationLayout.MediaIndex
+    val slice = Tables.documents(s, d).filter(lay.slice($"doc_id"))
+      .select($"doc_id", encode($"text", "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, tb) => (id, MediaCodec.encodeBmp(id, tb)) }
+      .toDF("media_id", "payload")
+    bandRows(slice)
+      .withColumn("gen", lay.genOfInt($"media_id"))
+      .write.mode("overwrite").partitionBy("gen").parquet(dir)
+  }
+
   /** The persisted index artifact, stamped per corpus version. */
   private[graft] def mediaIndexDir(s: SparkSession, d: String): String = {
     val dir = graft.streaming.StreamingOps
@@ -772,8 +793,7 @@ object MultimodalOps extends QueryPack {
       import s.implicits._
       val dir = graft.streaming.StreamingOps
         .indexArtifactDir("media_band_index_forget", d).toString
-      writeMediaIndexBase(s, d, dir)
-      appendMediaIndexDelta(s, d, dir)
+      buildMediaIndexStore(s, d, dir) // one encode+hash pass (r16)
       forgetMediaIndex(s, d, dir,
         col("doc_id") % ShardOps.ForgetMod === ShardOps.ForgetRes)
       probeTopK(s, d, indexRead(s, dir)).orderBy($"probe_id", $"rnk")
@@ -1444,6 +1464,22 @@ object MultimodalOps extends QueryPack {
       .withColumn("gen", lit(1))
       .write.mode("append").partitionBy("gen").parquet(dir)
 
+  /** One-pass two-generation build for the forget query's SCRATCH store
+    * — the audio twin of [[buildMediaIndexStore]] (r16, guide §1.2). */
+  private[graft] def buildAudioIndexStore(s: SparkSession, d: String,
+      dir: String): Unit = {
+    import s.implicits._
+    val lay = GenerationLayout.AudioIndex
+    val slice = Tables.documents(s, d).filter(lay.slice($"doc_id"))
+      .select($"doc_id", encode($"text", "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, tb) => (id, MediaCodec.encodeWav(id, tb)) }
+      .toDF("media_id", "payload")
+    audioBandRows(slice)
+      .withColumn("gen", lay.genOfInt($"media_id"))
+      .write.mode("overwrite").partitionBy("gen").parquet(dir)
+  }
+
   private[graft] def audioIndexDir(s: SparkSession, d: String): String = {
     val dir = graft.streaming.StreamingOps
       .indexArtifactDir("audio_band_index", d)
@@ -1505,8 +1541,7 @@ object MultimodalOps extends QueryPack {
       import s.implicits._
       val dir = graft.streaming.StreamingOps
         .indexArtifactDir("audio_band_index_forget", d).toString
-      writeAudioIndexBase(s, d, dir)
-      appendAudioIndexDelta(s, d, dir)
+      buildAudioIndexStore(s, d, dir) // one encode+fingerprint pass (r16)
       forgetAudioIndex(s, d, dir,
         col("doc_id") % ShardOps.ForgetMod === ShardOps.ForgetRes)
       audioProbeTopK(s, d, indexRead(s, dir)).orderBy($"probe_id", $"rnk")

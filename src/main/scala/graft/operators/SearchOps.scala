@@ -299,6 +299,29 @@ object SearchOps extends QueryPack {
       .write.mode("append").partitionBy("gen").parquet(postingMetaDir(dir))
   }
 
+  /** One-pass two-generation build for the forget query's SCRATCH store
+    * (r16, guide §1.2): q_search_index_forget rebuilds per invocation
+    * and the phased base+delta helpers each re-tokenized their slice —
+    * gen derived from the id lands the identical (gen=0, gen=1) layout
+    * in ONE tokenize pass (postings) + ONE doc scan (manifest). The
+    * phased helpers stay as the maintain-path contract. */
+  private[graft] def buildPostingStore(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String): Unit = {
+    import s.implicits._
+    val lay = GenerationLayout.ShardStore
+    val docs = Tables.documents(s, d)
+    docs
+      .select($"doc_id",
+        explode(array_remove(split(lower($"text"), " +"), "")).as("tok"))
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("gen", lay.genOfInt($"doc_id"))
+      .write.mode("overwrite").partitionBy("gen").parquet(dir)
+    docs.select($"doc_id")
+      .withColumn("gen", lay.genOfInt($"doc_id"))
+      .write.mode("overwrite").partitionBy("gen")
+      .parquet(postingMetaDir(dir))
+  }
+
   /** RTBF propagation into the posting index: affected generations (by
     * the layout rule — no index scan) filtered IN PLACE via the shared
     * engine ([[IndexForget]]) — current postings minus the delete set,
@@ -369,8 +392,7 @@ object SearchOps extends QueryPack {
     "q_search_index_forget",
     (s, d) => {
       val dir = postingIndexDir(d)
-      writePostingBase(s, d, dir)
-      appendPostingDelta(s, d, dir)
+      buildPostingStore(s, d, dir) // one tokenize pass (r16)
       forgetPostingIndex(s, d, dir,
         col("doc_id") % ShardOps.ForgetMod === ShardOps.ForgetRes)
       searchOverIndex(s, dir)

@@ -194,12 +194,49 @@ object ShardOps extends QueryPack {
       .write.mode("append").partitionBy("shard", "gen").parquet(dir)
   }
 
+  /** The gen-tagged subword-id stream — the shared tokenize input of the
+    * two-generation build (and the forget path's survivor derivation):
+    * (doc_id, pos, subpos, tid, shard, gen). */
+  private[graft] def taggedIds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    BpeOps.subwordIdRows(s, d)
+      .withColumn("shard", GenerationLayout.shardOf($"doc_id"))
+      .withColumn("gen", GenerationLayout.ShardStore.genOf($"doc_id"))
+  }
+
+  /** Build the two-generation append store at `dir` with ONE tokenize
+    * pass (r16, guide §1.2: cut the pass count): `ids` is the
+    * materialized [[taggedIds]] stream and both generations pack from
+    * SLICES of it, where writeShardBaseTo + appendShardDeltaTo each
+    * re-ran the whole subword pipeline over the corpus. Phase order —
+    * and the incremental contract — are unchanged: the base lands
+    * first, then the delta packs from the STORE's own partition-pruned
+    * manifest offsets, never from the token stream (the phased helpers
+    * stay for the specs that assert between phases). Per-(shard, gen)
+    * content is bit-identical: each pack's window sees exactly the rows
+    * the per-phase tokenize produced. */
+  private[graft] def buildAppendStoreTo(s: SparkSession, d: String,
+      dir: String, ids: DataFrame): String = {
+    import s.implicits._
+    packRows(s, ids.filter($"gen" === 0L).drop("gen"), None)
+      .withColumn("gen", lit(0))
+      .write.mode("overwrite").partitionBy("shard", "gen").parquet(dir)
+    val offsets = s.read.parquet(dir).filter($"gen" === 0)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg((max($"seq_idx") + 1L).as("seq0"))
+    packRows(s, ids.filter($"gen" === 1L).drop("gen"), Some(offsets))
+      .withColumn("gen", lit(1))
+      .write.mode("append").partitionBy("shard", "gen").parquet(dir)
+    dir
+  }
+
   private val shardAppend = QueryDef(
     "q_shard_append",
     (s, d) => {
       import s.implicits._
-      writeShardBase(s, d)
-      appendShardDelta(s, d)
+      val ids = taggedIds(s, d).localCheckpoint()
+      buildAppendStoreTo(s, d, appendShardDir(d), ids)
+      graft.Memo.releaseLocalCheckpoint(ids) // store is durable now
       s.read.parquet(appendShardDir(d))
         .select($"shard".cast("long").as("shard"),
           $"gen".cast("long").as("gen"),
@@ -366,9 +403,10 @@ object ShardOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val dir = compactShardDir(d)
-      writeShardBaseTo(s, d, dir)
-      appendShardDeltaTo(s, d, dir)
-      compactShards(s, dir)
+      val ids = taggedIds(s, d).localCheckpoint() // one tokenize pass (r16)
+      buildAppendStoreTo(s, d, dir, ids)
+      graft.Memo.releaseLocalCheckpoint(ids)
+      compactShards(s, dir) // re-packs from the STORE — no tokenize
       compactedView(s, dir).orderBy($"shard", $"seq_idx")
     },
     Some(s"""WITH ${BpeOps.subwordIdCtes},
@@ -518,7 +556,8 @@ object ShardOps extends QueryPack {
     * set the delete set touches. */
   private[graft] def forgetDocs(s: SparkSession, d: String, dir: String,
       deletePred: org.apache.spark.sql.Column =
-        col("doc_id") % ForgetMod === ForgetRes): Unit = {
+        col("doc_id") % ForgetMod === ForgetRes,
+      ids: Option[DataFrame] = None): Unit = {
     import s.implicits._
     // bounded collect: ≤ NShards × 2 rows regardless of corpus size —
     // the blast radius comes from the layout rule, never a store scan
@@ -537,12 +576,13 @@ object ShardOps extends QueryPack {
     Tombstones.record(s, dir,
       graft.Tables.documents(s, d).filter(deletePred).select($"doc_id"))
     // ONE tokenize pass over the union of affected generations (the
-    // per-generation form re-ran the whole subword pipeline per gen)
+    // per-generation form re-ran the whole subword pipeline per gen);
+    // callers that just built the store hand in their materialized
+    // taggedIds checkpoint so the survivor stream is a FILTER of it,
+    // not a third tokenize of the corpus (r16)
     forgetRewrite(s, dir, affected, pairs =>
       Tombstones.without(s, dir,
-        BpeOps.subwordIdRows(s, d)
-          .withColumn("shard", GenerationLayout.shardOf($"doc_id"))
-          .withColumn("gen", GenerationLayout.ShardStore.genOf($"doc_id"))
+        ids.getOrElse(taggedIds(s, d))
           .filter(pairs.groupBy(_._2).map { case (g, ps) =>
             col("gen") === g && col("shard").isin(ps.map(_._1): _*)
           }.reduce(_ || _))))
@@ -561,9 +601,10 @@ object ShardOps extends QueryPack {
     import s.implicits._
     val dir = graft.streaming.StreamingOps
       .indexArtifactDir("shard_forget_x", d).toString
-    writeShardBaseTo(s, d, dir)
-    appendShardDeltaTo(s, d, dir)
-    forgetDocs(s, d, dir, pred)
+    val ids = taggedIds(s, d).localCheckpoint() // one tokenize pass (r16)
+    buildAppendStoreTo(s, d, dir, ids)
+    forgetDocs(s, d, dir, pred, Some(ids))
+    graft.Memo.releaseLocalCheckpoint(ids)
     s.read.parquet(dir)
       .select($"shard".cast("long").as("shard"),
         $"gen".cast("long").as("gen"), $"seq_idx", $"n_ids")
@@ -574,9 +615,10 @@ object ShardOps extends QueryPack {
     (s, d) => {
       import s.implicits._
       val dir = forgetShardDir(d)
-      writeShardBaseTo(s, d, dir)
-      appendShardDeltaTo(s, d, dir)
-      forgetDocs(s, d, dir)
+      val ids = taggedIds(s, d).localCheckpoint() // one tokenize pass (r16)
+      buildAppendStoreTo(s, d, dir, ids)
+      forgetDocs(s, d, dir, ids = Some(ids))
+      graft.Memo.releaseLocalCheckpoint(ids)
       s.read.parquet(dir)
         .select($"shard".cast("long").as("shard"),
           $"gen".cast("long").as("gen"),

@@ -91,9 +91,20 @@ object TrainOps extends QueryPack {
       }
       var w = Map.empty[Long, Long]
       for (_ <- 0 until TrainIters) {
-        val mis = margins(w).filter($"y" * $"margin" <= 0)
-          .select($"doc_id")
-        val grad = x.join(mis, Seq("doc_id"), "left_semi")
+        // r16 (guide §2.4): the margin is a per-doc WINDOW sum over the
+        // feature rows instead of a groupBy + semi-join back to x — the
+        // misclassification test (y·margin ≤ 0, y and margin constant
+        // within a doc) then filters the feature rows in place and the
+        // gradient aggregates directly, one exchange of x per iteration
+        // instead of two plus a join.
+        val wDf = (if (w.isEmpty) Seq((0L, 0L)) else w.toSeq)
+          .toDF("b", "wt")
+        val wdoc = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")
+        val grad = x.join(broadcast(wDf), Seq("b"), "left")
+          .na.fill(0L, Seq("wt"))
+          .withColumn("margin", sum($"c" * $"wt").over(wdoc))
+          .filter($"y" * $"margin" <= 0)
           .groupBy($"b").agg(sum($"y" * $"c").as("g"))
           .as[(Long, Long)].collect() // ≤B+1 rows — bounded
         w = grad.foldLeft(w) { case (acc, (b, g)) =>
