@@ -408,25 +408,25 @@ object BpeOps extends QueryPack {
     * streaming micro-batch of cleaned docs, StreamingOps
     * q_stream_pipeline). Same plan shape: vocab-sized broadcasts, pure
     * map + posexplode on the doc side. */
-  /** The (tok, tid) subword-ID vocabulary as a DRIVER-LOCAL relation,
-    * computed once per (application, corpus, fixture stamp) — r16
-    * optimization. The previous form re-derived the vocab INSIDE every
-    * consumer plan (explode + aggregate + sort + limit + one-partition
-    * window over the dict relation, re-executed per tokenize call: the
-    * stream pipelines tokenize per MICRO-BATCH, the forgets per
-    * rewrite). The vocabulary is deterministic tokenizer state — rank
-    * by (corpus-weighted frequency DESC, tok) with the UTF-8-binary
-    * tie-break both engines share — so one execution of exactly the
-    * plan it replaces, collected (vocab-sized, the MaxDictWords class)
-    * and re-entered as a LocalRelation, removes that subtree from
-    * every consumer. Same memo class (driver-local, corpus-stamped) as
-    * [[learnBpe]]. */
+  /** The (tok, tid) subword-ID vocabulary rows, computed once per
+    * (application, corpus, fixture stamp) — r16 optimization. The
+    * previous form re-derived the vocab INSIDE every consumer plan
+    * (explode + aggregate + sort + limit + one-partition window over
+    * the dict relation, re-executed per tokenize call: the stream
+    * pipelines tokenize per MICRO-BATCH, the forgets per rewrite). The
+    * vocabulary is deterministic tokenizer state — rank by
+    * (corpus-weighted frequency DESC, tok); the tie-break DELIBERATELY
+    * executes as a Spark plan (UTF8String binary comparison — the
+    * UTF-8-byte order DuckDB shares; a driver-side Scala String sort
+    * would compare UTF-16 code units and diverge on supplementary
+    * characters), collected once (vocab-sized, the MaxDictWords class).
+    * Same memo class (driver-local, corpus-stamped) as [[learnBpe]]. */
   private val vocabMemo =
     new graft.Memo.Bounded[(String, String, String), Seq[(String, Int)]](
       cap = 4, onEvict = _ => ())
-  private[graft] def subwordVocab(s: SparkSession, d: String): DataFrame = {
+  private def vocabRows(s: SparkSession, d: String): Seq[(String, Int)] = {
     import s.implicits._
-    val rows = vocabMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+    vocabMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
       graft.FixtureStamp.stamp("bpe1", d, "documents"))) {
       val (_, dictTok) = learnBpe(s, d)
       // subword vocab: corpus-weighted token frequency (Σ word-freq
@@ -440,26 +440,47 @@ object BpeOps extends QueryPack {
             .orderBy($"cnt".desc, $"tok")))
         .select($"tok", $"tid").as[(String, Int)].collect().toSeq
     }
-    rows.toDF("tok", "tid")
+  }
+
+  /** word → ordered subword-ID array, the two tokenizer maps (word →
+    * toks, tok → tid) COMPOSED driver-side once per (application,
+    * corpus, fixture stamp) — r16, guide §1.2 step 2 (per-task work):
+    * the tokenize kernel previously probed TWO broadcast hash
+    * relations per token — the dict per word row, then the vocab per
+    * SUBWORD row, on the widest (post-explode) stream under every
+    * shard build/forget and stream-pipeline micro-batch. Both maps are
+    * bounded driver-local tokenizer state, so the composition costs
+    * one vocab-sized pass at memo-fill time and removes the per-
+    * subword-row probe (and one broadcast build) from every consumer
+    * plan. OOV subwords map to id 0, exactly the left-join coalesce
+    * this replaces. */
+  private val tidDictMemo =
+    new graft.Memo.Bounded[(String, String, String), Seq[(String, Seq[Int])]](
+      cap = 4, onEvict = _ => ())
+  private def tidDictRows(s: SparkSession, d: String): Seq[(String, Seq[Int])] = {
+    import s.implicits._
+    tidDictMemo.getOrElseUpdate((s.sparkContext.applicationId, d,
+      graft.FixtureStamp.stamp("bpe1", d, "documents"))) {
+      val (_, dictTok) = learnBpe(s, d)
+      val vmap = vocabRows(s, d).toMap
+      dictTok.select($"word", $"toks").as[(String, Seq[String])]
+        .collect().toSeq // vocab-sized LocalRelation — a driver-only job
+        .map { case (w, toks) => (w, toks.map(vmap.getOrElse(_, 0))) }
+    }
   }
 
   private[graft] def subwordIdsOf(s: SparkSession, d: String,
       docs: DataFrame): DataFrame = {
     import s.implicits._
-    val (_, dictTok) = learnBpe(s, d)
-    val vocab = subwordVocab(s, d)
-    val posWords = docs
+    val dict = tidDictRows(s, d).toDF("word", "tids")
+    docs
       .select($"doc_id", posexplode(split(lower($"text"), " +")))
       .toDF("doc_id", "pos", "w0")
       .select($"doc_id", $"pos", replace($"w0", lit(D), lit("")).as("word"))
       .filter(length($"word") > 0)
-    posWords
-      .join(broadcast(dictTok.select($"word", $"toks")), "word")
-      .select($"doc_id", $"pos", posexplode($"toks"))
-      .toDF("doc_id", "pos", "subpos", "tok")
-      .join(broadcast(vocab), Seq("tok"), "left")
-      .select($"doc_id", $"pos", $"subpos",
-        coalesce($"tid", lit(0)).as("tid"))
+      .join(broadcast(dict), "word")
+      .select($"doc_id", $"pos", posexplode($"tids"))
+      .toDF("doc_id", "pos", "subpos", "tid")
   }
 
   /** DuckDB CTE chain replaying [[subwordIdRows]] — ends at `ids`

@@ -153,18 +153,29 @@ object StreamingOps extends QueryPack {
     * per-(kind, corpus) names keep the /dev/shm footprint bounded. */
   private[graft] def scratchCheckpointDir(kind: String, d: String)
       : java.nio.file.Path = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val p =
-      if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm))
-        // full-path hash suffix — the indexArtifactDir collision rule
-        shm.resolve(s"graft_ck_${kind}_" + new java.io.File(d).getName +
-          "-" + java.security.MessageDigest.getInstance("MD5")
-            .digest(d.getBytes("UTF-8")).take(4)
-            .map("%02x".format(_)).mkString)
-      else indexArtifactDir(kind, d)
+    val p = scratchCheckpointPath(kind, d)
     graft.Fs.deleteRecursively(p)
     p
+  }
+
+  /** Resolve (WITHOUT wiping) the scratch checkpoint path for `kind`
+    * over corpus `d` — the same RAM-backed-or-disk rule
+    * [[scratchCheckpointDir]] applies. Split out so offline state
+    * readers (the statestore-source specs) can locate the checkpoint
+    * the query actually used instead of re-deriving the fallback rule
+    * (the r16 batch-1 move to /dev/shm silently stranded a spec on the
+    * old disk path). */
+  private[graft] def scratchCheckpointPath(kind: String, d: String)
+      : java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      // full-path hash suffix — the indexArtifactDir collision rule
+      shm.resolve(s"graft_ck_${kind}_" + new java.io.File(d).getName +
+        "-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(4)
+          .map("%02x".format(_)).mkString)
+    else indexArtifactDir(kind, d)
   }
 
   /** Streaming queries active on ANY pooled scoped session — the outer

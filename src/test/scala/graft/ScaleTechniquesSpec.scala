@@ -398,8 +398,12 @@ class ScaleTechniquesSpec extends SparkTestBase {
       // learner shape — plus the spec-only distributed reference's
       // .limit(1) argmax fetch (unreachable from declared queries),
       // plus the once-per-corpus .limit(VocabSize) subword-vocab
-      // collect (r16 — the LocalRelation every tokenize plan reuses)
-      "operators/BpeOps.scala" -> 3,
+      // collect (r16 — the LocalRelation every tokenize plan reuses),
+      // plus the once-per-corpus (word → tids) dict render (r16 — a
+      // LocalTableScan of the already-driver-local dictTok, MaxDictWords-
+      // bounded, composing the two tokenizer maps so the tokenize kernel
+      // probes ONE broadcast relation instead of two)
+      "operators/BpeOps.scala" -> 4,
       // shard forget: the affected (shard, gen) pair set (≤ NShards×2
       // rows by the layout rule) + the surviving-shard key set
       // (≤ NShards rows) for empty-partition cleanup + the pre-rewrite

@@ -145,9 +145,12 @@ class StreamQualitySpec extends SparkTestBase {
     assert(first.length > 0)
     // the checkpoint outlives the query; reading it again runs NO stream
     // (this is the whole point of the statestore source: state debugging
-    // without replay). Same checkpoint -> same rows.
+    // without replay). Same checkpoint -> same rows. Resolve the path
+    // through the SAME RAM-backed-or-disk rule the query used (the r16
+    // scratch-checkpoint move; a hard-coded disk path reads a stale or
+    // absent checkpoint on any host with /dev/shm).
     val ck = graft.streaming.StreamingOps
-      .indexArtifactDir("stream_state_ck", sf).toString
+      .scratchCheckpointPath("stream_state_ck", sf).toString
     // streams run on POOLED SCOPED sessions whose StreamingQueryManagers
     // the outer session can't see — spark.streams.active here is always
     // empty and proves nothing (r12 review); enumerate the pool instead
