@@ -157,27 +157,24 @@ object ClusterOps extends QueryPack {
       .select($"vec_id", $"b.cluster".as("cluster"), $"b.d2".as("d2"))
   }
 
-  /** As [[assign]] but carrying each vector THROUGH the argmin (r16,
-    * guide §2.4: remove the join outright): every pre-aggregation row of
-    * a vec_id group holds the SAME `sa`, so `first(sa)` re-emits it and
-    * the join back to `sv` on vec_id — one exchange of the corpus plus
-    * a join per consumer — disappears. Returns (vec_id, cluster, sa). */
-  private def assignWithVec(s: SparkSession, sv: DataFrame,
-      cents: Seq[(Long, Array[Long])]): DataFrame = {
-    import s.implicits._
-    val centDf = cents.map { case (c, a) => (c, a.toSeq) }
-      .toDF("cluster", "carr")
-    sv.crossJoin(broadcast(centDf))
-      .groupBy($"vec_id")
-      .agg(min(struct(dist2($"sa", $"carr").as("d2"), $"cluster")).as("b"),
-        first($"sa").as("sa"))
-      .select($"vec_id", $"b.cluster".as("cluster"), $"sa")
-  }
+  // A carried-vector argmin variant (`first(sa)` riding the min-struct
+  // aggregate so the join back to `sv` disappears) was tried mid-r16 and
+  // REVERTED on 10× stress evidence: an ArrayType aggregation buffer is
+  // not HashAggregate-mutable and `first` is declarative (so no
+  // ObjectHashAggregate either) — the argmin degrades to a SORT-based
+  // aggregate whose input is corpus×K rows each carrying the FULL
+  // Dim-long vector, and at 10× that sort cost +47% (q_cluster_kmeans
+  // 6.3→9.3 s) / +85% (q_cluster_semdedup 5.2→9.6 s) against a
+  // faster-host tailwind. The narrow argmin + join form below sorts
+  // 24-byte rows and re-attaches vectors through one keyed join of the
+  // cached corpus — the scale-correct shape (guide §2.3: shuffle/sort
+  // the lightweight proxy, move heavy payloads once). The SUBSPACE
+  // variant (fitCentroidsSubs) keeps the carried form: its slices are
+  // Dim/M longs and the same stress run measured it faster.
 
   /** Lloyd's iterations; returns the final centroids. Each iteration is
-    * ONE Spark job (assignment + centroid sums in a single plan — the
-    * vector rides the argmin, no join back to the corpus) and one
-    * K×Dim-row driver collect. */
+    * one action (narrow argmin + vector re-attach join + sums in a
+    * single plan) and one K×Dim-row driver collect. */
   private[graft] def fitCentroids(s: SparkSession, sv: DataFrame, k: Int)
       : Seq[(Long, Array[Long])] = {
     import s.implicits._
@@ -189,7 +186,7 @@ object ClusterOps extends QueryPack {
       .collect().sortBy(_._1).map { case (c, a) => (c, a.toArray) }.toSeq
     for (_ <- 0 until Iters) {
       // K×Dim centroid sums — kilobytes at any corpus size
-      val sums = assignWithVec(s, sv, cents)
+      val sums = assign(s, sv, cents).join(sv, "vec_id")
         .select($"cluster", posexplode($"sa"))
         .toDF("cluster", "pos", "x")
         .groupBy($"cluster", $"pos")
@@ -310,9 +307,8 @@ object ClusterOps extends QueryPack {
       // checkpoint the |corpus|×K crossJoin+argmin subtree executed
       // three times (ADVICE r8). Eager also lets the corpus cache be
       // released here rather than accumulating across a bench run.
-      // r16: the vector rides the argmin (assignWithVec) — the join
-      // back to sv this comment used to describe is gone.
-      val asg = assignWithVec(s, sv, cents)
+      val asg = assign(s, sv, cents).join(sv, "vec_id")
+        .select($"vec_id", $"cluster", $"sa")
         .localCheckpoint()
       sv.unpersist(false)
       val dropped = asg.as("a").join(asg.as("b"),
@@ -394,7 +390,10 @@ object ClusterOps extends QueryPack {
       // M × K×Dsub centroid sums — kilobytes at any corpus size.
       // r16: the slice rides the argmin (first(sa) — every row of a
       // (sub, vec_id) group carries the same sa), so the join back to
-      // svSubs disappears (the assignWithVec rule).
+      // svSubs disappears. Kept for the SUBSPACE loop only: slices are
+      // Dim/M longs, so the sort-aggregate rows stay narrow — the 10×
+      // stress that refuted the full-width variant (see fitCentroids)
+      // measured this one faster.
       val sums = svSubs.join(broadcast(centDf), Seq("sub"))
         .groupBy($"sub", $"vec_id")
         .agg(min(struct(dist2($"sa", $"carr").as("d2"), $"cluster")).as("b"),
